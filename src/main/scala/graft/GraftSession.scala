@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned SparkSession factory for the graft engine.
+  *
+  * Settings chosen for correctness parity with the DuckDB oracle (UTC,
+  * ANSI-ish) and for scale (AQE, skew-join handling, partition sizing).
+  * On a real cluster the same builder applies — only master/memory
+  * change; everything else is partition-count-relative.
+  */
+object GraftSession {
+
+  /** Cores to use locally; the driver exports SPARK_GRAFT_CPUS. */
+  def cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+
+  def builder(appName: String = "graft", cores: Int = cpus): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      // Shuffle partitions sized to parallelism, not the 200 default.
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      // AQE: runtime coalescing, skew-join splitting, plan re-opt.
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS); read losslessly-enough
+      // as micros-truncated timestamps where supported.
+      .config("spark.sql.ui.explainMode", "formatted")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

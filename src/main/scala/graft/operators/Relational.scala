@@ -1,0 +1,427 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Det._
+
+/** Relational core: the scan/filter/project/aggregate/join/sort surface
+  * a Hadoop-3.0-era batch-analytics stack (Hive-on-MR style) provides,
+  * re-expressed as declarative DataFrame plans so Catalyst handles
+  * pushdown, pruning, join planning and AQE handles runtime skew.
+  *
+  * Scale notes (100 TB):
+  * - dimension tables (region/nation/supplier/part, and customer at
+  *   most SFs) are broadcast — no shuffle on the fact side;
+  * - fact aggregations rely on partial (map-side) aggregation;
+  * - every top-k carries a unique tie-break key so results are
+  *   deterministic under any partitioning.
+  */
+object Relational {
+  private def ts(s: String) = lit(s).cast("timestamp")
+
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" <= ts("1998-09-02"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_extendedprice").as("avg_price"),
+        davg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  def q3TopUnshipped(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+    val o = Tables.orders(s, d).filter($"o_orderdate" < ts("1998-01-01"))
+    val l = Tables.lineitem(s, d).filter($"l_shipdate" > ts("1998-01-01"))
+    // customer is small relative to the facts: broadcast it so the
+    // orders->lineitem join is the only shuffle.
+    broadcast(c).join(o, $"c_custkey" === $"o_custkey")
+      .join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
+  def q5RegionRevenue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val r = Tables.region(s, d).filter($"r_name" === "ASIA")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter($"o_orderdate" >= ts("1996-01-01") && $"o_orderdate" < ts("1997-01-01"))
+    val l = Tables.lineitem(s, d)
+    val sup = Tables.supplier(s, d)
+    // region⋈nation⋈customer collapses to a broadcast dim; supplier is
+    // broadcast too; the only shuffle is orders⋈lineitem on orderkey.
+    val dim = broadcast(r.join(n, $"r_regionkey" === $"n_regionkey"))
+    c.join(dim, $"c_nationkey" === $"n_nationkey")
+      .join(o, $"c_custkey" === $"o_custkey")
+      .join(l, $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(sup),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .groupBy($"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+  }
+
+  def q6Forecast(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= ts("1997-01-01") && $"l_shipdate" < ts("1998-01-01") &&
+        $"l_discount" >= 0.02 && $"l_discount" <= 0.06 && $"l_quantity" < 24.0)
+      .agg(dsum($"l_extendedprice" * $"l_discount").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  def qSemiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).filter($"o_totalprice" > 300000.0)
+    Tables.customer(s, d)
+      .join(o, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+  }
+
+  def qAntiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+  }
+
+  def qDistinctAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .groupBy($"c_mktsegment")
+      .agg(countDistinct($"c_nationkey").as("n_nations"),
+        count(lit(1)).as("n_cust"),
+        dsum($"c_acctbal").as("sum_bal"))
+  }
+
+  def qHaving(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_spent"))
+      .filter($"n_orders" >= 15)
+  }
+
+  def qCaseBucket(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .withColumn("band",
+        when($"o_totalprice" < 50000.0, "small")
+          .when($"o_totalprice" < 200000.0, "medium")
+          .otherwise("large"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+  }
+
+  def qStringOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, d)
+      .filter($"p_name".like("%ol%"))
+      .select($"p_partkey",
+        upper($"p_brand").as("brand_u"),
+        substring($"p_name", 1, 8).as("name8"),
+        concat($"p_type", lit("/"), $"p_brand").as("type_brand"),
+        length($"p_name").as("name_len"))
+  }
+
+  def qDateTruncMonth(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"))
+  }
+
+  def qUnionAll(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+      .select(lit("customer").as("src"), $"c_name".as("name"), $"c_acctbal".as("bal"))
+    val sup = Tables.supplier(s, d)
+      .select(lit("supplier").as("src"), $"s_name".as("name"), $"s_acctbal".as("bal"))
+    c.unionByName(sup)
+  }
+
+  def qIntersect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d).select($"c_nationkey".as("nk"))
+      .intersect(Tables.supplier(s, d).select($"s_nationkey".as("nk")))
+  }
+
+  def qPivotStatus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(when($"o_orderstatus" === "O", 1)).as("n_open"),
+        count(when($"o_orderstatus" === "F", 1)).as("n_finished"),
+        count(when($"o_orderstatus" === "P", 1)).as("n_pending"))
+  }
+
+  def qRollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+  }
+
+  def qCube(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def qInSubquery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hot = Tables.lineitem(s, d).filter($"l_quantity" > 45.0)
+      .select($"l_partkey").distinct()
+    Tables.part(s, d)
+      .filter($"p_size".isin(1, 5, 9, 13))
+      .join(hot, $"p_partkey" === $"l_partkey", "left_semi")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def qQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .groupBy($"c_mktsegment")
+      .agg(
+        round(expr("percentile(c_acctbal, 0.5)"), 6).as("median_bal"),
+        round(expr("percentile(c_acctbal, 0.9)"), 6).as("p90_bal"),
+        count(lit(1)).as("n"))
+  }
+
+  /** stddev/variance from exact decimal moments — order-independent,
+    * unlike the built-in streaming (Welford) implementations which are
+    * partitioning-dependent in their last few FP bits. */
+  def qStatsMoments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum($"o_totalprice").as("sx"),
+        dsum($"o_totalprice" * $"o_totalprice" / 1000.0).as("sxx_k"))
+      .select($"o_orderstatus", $"n", $"sx",
+        round(($"sxx_k" * 1000.0 - $"sx" * $"sx" / $"n") / ($"n" - 1), 2).as("variance"))
+  }
+
+  // ---- window functions -------------------------------------------------
+
+  def qTopNPerGroup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    Tables.customer(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal", $"rn".cast("long").as("rn"))
+  }
+
+  def qRunningTotal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        sum($"o_totalprice".cast(Dec)).over(w).cast("double").as("running_total"))
+  }
+
+  def qLagLead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        lag($"o_totalprice", 1).over(w).as("prev_price"),
+        lead($"o_totalprice", 1).over(w).as("next_price"))
+  }
+
+  def qPercentRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".asc, $"c_custkey".asc)
+    Tables.customer(s, d)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal",
+        round(percent_rank().over(w), 6).as("pr"),
+        ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_top_unshipped" -> (q3TopUnshipped _),
+    "q5_region_revenue" -> (q5RegionRevenue _),
+    "q6_forecast" -> (q6Forecast _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_distinct_agg" -> (qDistinctAgg _),
+    "q_having" -> (qHaving _),
+    "q_case_bucket" -> (qCaseBucket _),
+    "q_string_ops" -> (qStringOps _),
+    "q_date_trunc_month" -> (qDateTruncMonth _),
+    "q_union_all" -> (qUnionAll _),
+    "q_intersect" -> (qIntersect _),
+    "q_pivot_status" -> (qPivotStatus _),
+    "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_in_subquery" -> (qInSubquery _),
+    "q_quantiles" -> (qQuantiles _),
+    "q_stats_moments" -> (qStatsMoments _),
+    "q_topn_per_group" -> (qTopNPerGroup _),
+    "q_running_total" -> (qRunningTotal _),
+    "q_lag_lead" -> (qLagLead _),
+    "q_percent_rank" -> (qPercentRank _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${sqlSum("l_quantity")} AS sum_qty,
+         |${sqlSum("l_extendedprice")} AS sum_base_price,
+         |${sqlSum("l_extendedprice*(1.0-l_discount)")} AS sum_disc_price,
+         |${sqlSum("l_extendedprice*(1.0-l_discount)*(1.0+l_tax)")} AS sum_charge,
+         |${sqlAvg("l_quantity")} AS avg_qty,
+         |${sqlAvg("l_extendedprice")} AS avg_price,
+         |${sqlAvg("l_discount")} AS avg_disc,
+         |COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_unshipped" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |${sqlSum("l_extendedprice*(1.0-l_discount)")} AS revenue
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |AND o_orderdate < TIMESTAMP '1998-01-01'
+         |AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      s"""SELECT n_name, ${sqlSum("l_extendedprice*(1.0-l_discount)")} AS revenue
+         |FROM region JOIN nation ON r_regionkey = n_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |WHERE r_name = 'ASIA'
+         |AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name""".stripMargin,
+    "q6_forecast" ->
+      s"""SELECT ${sqlSum("l_extendedprice*l_discount")} AS revenue,
+         |COUNT(*) AS n_items
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |AND l_shipdate < TIMESTAMP '1998-01-01'
+         |AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24.0""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_distinct_agg" ->
+      s"""SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+         |COUNT(*) AS n_cust, ${sqlSum("c_acctbal")} AS sum_bal
+         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q_having" ->
+      s"""SELECT o_custkey, COUNT(*) AS n_orders,
+         |${sqlSum("o_totalprice")} AS total_spent
+         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15""".stripMargin,
+    "q_case_bucket" ->
+      s"""SELECT CASE WHEN o_totalprice < 50000.0 THEN 'small'
+         |WHEN o_totalprice < 200000.0 THEN 'medium' ELSE 'large' END AS band,
+         |COUNT(*) AS n, ${sqlSum("o_totalprice")} AS total
+         |FROM orders GROUP BY 1""".stripMargin,
+    "q_string_ops" ->
+      """SELECT p_partkey, UPPER(p_brand) AS brand_u,
+        |SUBSTR(p_name, 1, 8) AS name8,
+        |CONCAT(p_type, '/', p_brand) AS type_brand,
+        |LENGTH(p_name) AS name_len
+        |FROM part WHERE p_name LIKE '%ol%'""".stripMargin,
+    "q_date_trunc_month" ->
+      s"""SELECT DATE_TRUNC('month', o_orderdate) AS month,
+         |COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS total
+         |FROM orders GROUP BY 1""".stripMargin,
+    "q_union_all" ->
+      """SELECT 'customer' AS src, c_name AS name, c_acctbal AS bal FROM customer
+        |UNION ALL
+        |SELECT 'supplier' AS src, s_name AS name, s_acctbal AS bal FROM supplier""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nk FROM supplier""".stripMargin,
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+        |COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+        |COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |${sqlSum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_in_subquery" ->
+      """SELECT p_brand, COUNT(*) AS n FROM part
+        |WHERE p_size IN (1, 5, 9, 13)
+        |AND p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45.0)
+        |GROUP BY p_brand""".stripMargin,
+    "q_quantiles" ->
+      """SELECT c_mktsegment,
+        |ROUND(QUANTILE_CONT(c_acctbal, 0.5), 6) AS median_bal,
+        |ROUND(QUANTILE_CONT(c_acctbal, 0.9), 6) AS p90_bal,
+        |COUNT(*) AS n
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q_stats_moments" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |${sqlSum("o_totalprice")} AS sx,
+         |ROUND((${sqlSum("o_totalprice*o_totalprice/1000.0")} * 1000.0
+         |  - ${sqlSum("o_totalprice")} * ${sqlSum("o_totalprice")} / COUNT(*))
+         |  / (COUNT(*) - 1), 2) AS variance
+         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_topn_per_group" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM customer) t WHERE rn <= 3""".stripMargin,
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+        |  PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  AS running_total
+        |FROM orders""".stripMargin,
+    "q_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price,
+        |LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_price
+        |FROM orders""".stripMargin,
+    "q_percent_rank" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal ASC, c_custkey ASC), 6) AS pr,
+        |NTILE(4) OVER (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+        |FROM customer""".stripMargin
+  )
+}
