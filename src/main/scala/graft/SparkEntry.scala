@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import graft.operators.{Dedup, Events, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -11,9 +11,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ Events.queries ++ Dedup.queries ++
+      TextAnalysis.queries ++ Similarity.queries
 
   /** DuckDB-equivalent SQL for each oracle-checkable query. */
   def oracleSql: Map[String, String] =
-    Relational.oracle
+    Relational.oracle ++ Events.oracle ++ Dedup.oracle ++
+      TextAnalysis.oracle ++ Similarity.oracle
 }

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for an LLM training-data pipeline: exact
+  * (content hash), normalized fingerprint, MinHash+LSH banding, SimHash,
+  * and n-gram Jaccard verification of candidate pairs.
+  *
+  * Scale design (100 TB corpus):
+  * - exact/fingerprint dedup is one hash-partitioned groupBy (single
+  *   shuffle on a 128-bit key — uniformly distributed, no skew);
+  * - MinHash signatures are a narrow map (higher-order fold per row,
+  *   no explode/shuffle); LSH banding shuffles once on (band, bucket)
+  *   keys, and candidate pair generation is per-bucket — bounded by
+  *   band width, never a global cross product;
+  * - Jaccard verification joins only on shared *rare* shingles
+  *   (hot shingles are the classic skew source; at scale add a
+  *   document-frequency cap on the shingle join key).
+  */
+object Dedup {
+
+  private val K = 16          // minhash signature length
+  private val Bands = 4       // LSH bands (K/Bands rows per band)
+  private val ShingleN = 3    // minhash shingle width (words)
+  private val JaccardN = 5    // jaccard shingle width (words)
+
+  def qExactDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5($"text")).as("n_unique"))
+  }
+
+  def qFingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy(fingerprint($"text").as("fp"))
+      .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keeper"))
+  }
+
+  /** MinHash signature matrix: K independent min-hashes over 3-word
+    * shingles, as a single narrow projection (no shuffle). */
+  def signatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(tokens($"text"), ShingleN)
+    val sigCols = (0 until K).map(j => minhash(sh, j).as(f"sig_$j%02d"))
+    Tables.documents(s, d).select(($"doc_id" +: sigCols): _*)
+  }
+
+  def qMinhashSig(s: SparkSession, d: String): DataFrame = signatures(s, d)
+
+  /** LSH banding: equal band-signature ⇒ candidate near-duplicate pair.
+    * One shuffle on the (band, bucket-hash) key; the per-bucket self
+    * join is bounded by bucket size. */
+  def qMinhashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sig = signatures(s, d)
+    val bandKeys = (0 until Bands).map { b =>
+      val cols = (b * K / Bands until (b + 1) * K / Bands)
+        .map(j => col(f"sig_$j%02d"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
+    }
+    val banded = sig
+      .select($"doc_id", explode(array(bandKeys: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.bucket".as("bucket"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    // estimated jaccard = fraction of agreeing signature positions
+    val agree = (0 until K)
+      .map(j => when(col(f"sa.sig_$j%02d") === col(f"sb.sig_$j%02d"), 1).otherwise(0))
+      .reduce[Column](_ + _)
+    pairs
+      .join(sig.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sig.as("sb"), $"doc_b" === $"sb.doc_id")
+      .select($"doc_a", $"doc_b", round(agree.cast("double") / K, 6).as("est_jaccard"))
+  }
+
+  /** Per-document 32-bit SimHash and a 8-bit prefix bucket. */
+  def qSimhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        simhash32(tokens($"text")).as("simhash"))
+      .withColumn("bucket", shiftright($"simhash", 24))
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs that share ≥1 rare
+    * 5-word shingle. */
+  def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.documents(s, d)
+      .select($"doc_id",
+        explode(array_distinct(shingles(tokens($"text"), JaccardN))).as("s"))
+    val sz = ds.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pr = ds.as("a")
+      .join(ds.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pr.join(sz.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sz.as("sb"), $"doc_b" === $"sb.doc_id")
+      .select($"doc_a", $"doc_b", $"inter",
+        round($"inter".cast("double") /
+          ($"sa.n" + $"sb.n" - $"inter"), 6).as("jaccard"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_exact_dedup" -> (qExactDedup _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_minhash_sig" -> (qMinhashSig _),
+    "q_minhash_pairs" -> (qMinhashPairs _),
+    "q_simhash" -> (qSimhash _),
+    "q_ngram_jaccard" -> (qNgramJaccard _)
+  )
+
+  private val tokCte =
+    "tok AS (SELECT doc_id, string_split(text,' ') AS t FROM documents)"
+  private def shingleExpr(n: Int) =
+    s"list_transform(generate_series(1, greatest(len(t)-${n - 1}, 1)), " +
+      s"i -> array_to_string(t[i:i+${n - 1}], ' '))"
+
+  val oracle: Map[String, String] = Map(
+    "q_exact_dedup" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |COUNT(DISTINCT md5(text)) AS n_unique
+        |FROM documents GROUP BY source""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp,
+        |COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_minhash_sig" -> {
+      val sigs = (0 until K).map(j =>
+        s"list_aggregate(list_transform(sh, x -> md5('$j|' || x)), 'min') AS sig_${"%02d".format(j)}")
+      s"""WITH $tokCte,
+         |shl AS (SELECT doc_id, ${shingleExpr(ShingleN)} AS sh FROM tok)
+         |SELECT doc_id, ${sigs.mkString(",\n")}
+         |FROM shl""".stripMargin
+    },
+    "q_simhash" ->
+      """WITH tw AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w),1,8)) AS BIGINT) AS hv FROM tw),
+        |bits AS (SELECT doc_id, b,
+        |  SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0,31)) AS b) GROUP BY 1,2)
+        |SELECT doc_id,
+        |CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash,
+        |CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) >> 24 AS bucket
+        |FROM bits GROUP BY doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH $tokCte,
+         |sh AS (SELECT doc_id, unnest(${shingleExpr(JaccardN)}) AS s FROM tok),
+         |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+         |SELECT doc_a, doc_b, inter,
+         |ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+         |FROM pr JOIN sz sa ON sa.doc_id = doc_a
+         |JOIN sz sb ON sb.doc_id = doc_b""".stripMargin
+  )
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Det._
+
+/** Event-log analytics: time-window aggregation, gap sessionization,
+  * funnels, semi-structured extraction. These are the batch twins of
+  * the Structured Streaming jobs in [[graft.streaming.StreamingOps]];
+  * both are pure key-partitioned plans (shuffle only on user_id /
+  * window key), so the same shapes scale to a 100 TB event log.
+  *
+  * The events table carries TIMESTAMP(NANOS) which Spark's parquet
+  * reader rejects; we read it as nanosecond longs
+  * (spark.sql.legacy.parquet.nanosAsLong) and floor-divide to micros —
+  * exactly what DuckDB's reader does, so timestamps compare equal.
+  */
+object Events {
+
+  /** events with `ts` as a micros-precision timestamp (+ `ts_us` long). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.events(s, d)
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+
+  def qTumblingHourly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+  }
+
+  /** Gap-based sessionization (30-minute inactivity gap): running count
+    * of gap-breaks per user = session id; then per-user session stats. */
+  def qSessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+    val gapUs = 30L * 60 * 1000000
+    events(s, d)
+      .withColumn("prev_us", lag($"ts_us", 1).over(byUser))
+      .withColumn("is_new",
+        when($"prev_us".isNull || $"ts_us" - $"prev_us" > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum($"is_new").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id")
+      .agg(max($"session_id").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Conversion funnel: earliest signup per user, earliest purchase at or
+    * after it, and the conversion lag in microseconds. */
+  def qFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val signup = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id")
+      .agg(min($"ts").as("first_signup"))
+    val purchase = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+    signup
+      .join(purchase, $"user_id" === $"p_user" && $"p_ts" >= $"first_signup", "left")
+      .groupBy($"user_id", $"first_signup")
+      .agg(min($"p_ts").as("first_purchase_after"))
+      .withColumn("conv_us",
+        unix_micros($"first_purchase_after") - unix_micros($"first_signup"))
+  }
+
+  def qEventStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct($"user_id").as("n_users"),
+        davg($"value").as("avg_value"),
+        min($"value").as("min_value"),
+        max($"value").as("max_value"))
+  }
+
+  /** Semi-structured extraction from the JSON `props` column. */
+  def qJsonExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .withColumn("k", regexp_extract($"props", "([0-9]+)", 1).cast("long"))
+      .groupBy($"event_type")
+      .agg(sum($"k").as("sum_k"), max($"k").as("max_k"), count(lit(1)).as("n"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tumbling_hourly" -> (qTumblingHourly _),
+    "q_sessionize" -> (qSessionize _),
+    "q_funnel" -> (qFunnel _),
+    "q_event_stats" -> (qEventStats _),
+    "q_json_extract" -> (qJsonExtract _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_tumbling_hourly" ->
+      s"""SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+         |COUNT(*) AS n, ${sqlSum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |  LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id,
+        |  CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM g)
+        |SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+        |COUNT(*) AS n_events
+        |FROM m GROUP BY user_id""".stripMargin,
+    "q_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, MIN(ts) AS first_signup FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT s.user_id, s.first_signup,
+        |MIN(p.ts) AS first_purchase_after,
+        |epoch_us(MIN(p.ts)) - epoch_us(s.first_signup) AS conv_us
+        |FROM s LEFT JOIN events p
+        |ON p.user_id = s.user_id AND p.event_type = 'purchase'
+        |AND p.ts >= s.first_signup
+        |GROUP BY s.user_id, s.first_signup""".stripMargin,
+    "q_event_stats" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |COUNT(DISTINCT user_id) AS n_users,
+         |${sqlAvg("value")} AS avg_value,
+         |MIN(value) AS min_value, MAX(value) AS max_value
+         |FROM events GROUP BY event_type""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type,
+        |CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
+        |CAST(MAX(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS max_k,
+        |COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin
+  )
+}

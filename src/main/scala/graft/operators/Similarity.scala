@@ -1,0 +1,139 @@
+package graft.operators
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-d).
+  *
+  * Two paths:
+  * - brute force: broadcast the (bounded) query set against the corpus —
+  *   linear in corpus size, embarrassingly parallel, the correctness
+  *   baseline;
+  * - LSH (random signed projections): bucket both sides once, search
+  *   within buckets — the 100 TB path, where a full cross product is
+  *   impossible. Hyperplanes are derived from md5 so plans are
+  *   deterministic across runs/executors.
+  */
+object Similarity {
+
+  private val NQueries = 20 // bounded query set for knn demos
+  private val K = 5         // neighbors per query
+  private val Planes = 8    // LSH projections → 256 buckets
+  private val Dims = 64
+
+  def qEmbeddingStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .groupBy($"label")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(round(norm($"embedding"), 9)), 9).as("avg_norm"),
+        round(avg(element_at($"embedding", 1).cast("double")), 9).as("avg_first"))
+  }
+
+  /** Brute-force top-K cosine neighbors for queries vec_id < NQueries. */
+  def qKnnBrute(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val scored = broadcast(q)
+      .join(emb, $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosine($"qv", $"embedding").as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"neighbor_id", $"rank".cast("long").as("rank"),
+        round($"cos", 6).as("cos"))
+  }
+
+  /** Embedding-space near-duplicate pairs (cosine above threshold).
+    * Brute pairwise here; at scale run the same predicate per LSH
+    * bucket (see [[lshBuckets]]) instead of the full cross product. */
+  def qEmbedNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        cosine($"a.embedding", $"b.embedding").as("cos"))
+      .filter($"cos" > 0.4)
+      .select($"vec_a", $"vec_b", round($"cos", 6).as("cos"))
+  }
+
+  /** Deterministic ±1 hyperplane matrix from md5((plane, dim)). */
+  private[graft] def planes: Array[Array[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(Planes, Dims) { (p, i) =>
+      val h = md.digest(s"$p|$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1.0 else -1.0
+    }
+  }
+
+  /** Signed-projection LSH bucket id for an embedding column. */
+  private[graft] def bucketOf(v: Column): Column = {
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit(_)): _*)
+      when(dot(v, planeCol) > 0.0, 1L << p).otherwise(0L)
+    }.reduce[Column](_ + _)
+  }
+
+  /** ANN via LSH buckets: top-K within the query's bucket only.
+    * Misses across bucket boundaries are the recall tradeoff; the
+    * ScalaTest suite measures recall against qKnnBrute. */
+  def qAnnLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", bucketOf($"embedding").as("bucket"))
+    val q = emb.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"bucket")
+    val scored = broadcast(q)
+      .join(emb, Seq("bucket"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosine($"qv", $"embedding").as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"neighbor_id", $"rank".cast("long").as("rank"),
+        round($"cos", 6).as("cos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_stats" -> (qEmbeddingStats _),
+    "q_knn_brute" -> (qKnnBrute _),
+    "q_embed_neardup" -> (qEmbedNearDup _),
+    "q_ann_lsh" -> (qAnnLsh _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_embedding_stats" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT label, COUNT(*) AS n,
+        |ROUND(AVG(ROUND(sqrt(list_sum(list_transform(v, x -> x*x))), 9)), 9) AS avg_norm,
+        |ROUND(AVG(v[1]), 9) AS avg_first
+        |FROM e GROUP BY label""".stripMargin,
+    "q_knn_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT query_id, neighbor_id, rank, cos FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rank,
+        |  ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos
+        |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 20) t
+        |WHERE rank <= 5""".stripMargin,
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) > 0.4""".stripMargin
+  )
+}

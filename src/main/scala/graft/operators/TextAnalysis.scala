@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` corpus: token counting,
+  * quality scoring, marker-ngram language ID. All narrow maps +
+  * a single group-agg — linear at 100 TB.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a")
+
+  // Marker vocabularies for the language-ID heuristic. With synthetic
+  // shared-vocabulary documents the discriminative power is limited —
+  // the point is the operator shape: per-language marker scoring +
+  // deterministic arg-max, expressible identically in the oracle.
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "fast", "query"),
+    "de" -> Seq("group", "window", "order"),
+    "fr" -> Seq("table", "part", "line"))
+
+  def qTokenCount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("ntok", size(tokens($"text")).cast("long"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"ntok").as("sum_tokens"),
+        (sum($"ntok").cast("double") / count(lit(1))).as("avg_tokens"))
+  }
+
+  def qTextQuality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    Tables.documents(s, d)
+      .withColumn("ntok", size(toks).cast("long"))
+      .select(
+        $"doc_id", $"ntok",
+        // chars-per-word over single-space text: (len - (ntok-1)) / ntok
+        round((length($"text") - $"ntok" + 1).cast("double") / $"ntok", 6)
+          .as("avg_word_len"),
+        round(markerCount(toks, stopwords).cast("double") / $"ntok", 6)
+          .as("stopword_ratio"))
+  }
+
+  def qLangId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val scored = Tables.documents(s, d)
+      .withColumn("s_en", markerCount(toks, markers(0)._2))
+      .withColumn("s_de", markerCount(toks, markers(1)._2))
+      .withColumn("s_fr", markerCount(toks, markers(2)._2))
+    scored
+      .withColumn("predicted",
+        when($"s_en" >= $"s_de" && $"s_en" >= $"s_fr", "en")
+          .when($"s_de" >= $"s_fr", "de")
+          .otherwise("fr"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_count" -> (qTokenCount _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_lang_id" -> (qLangId _)
+  )
+
+  private def sqlMarkers(ms: Seq[String]): String =
+    ms.map(m => s"'$m'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "q_token_count" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS sum_tokens,
+        |CAST(SUM(len(string_split(text,' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS ntok,
+         |  string_split(text,' ') AS toks FROM documents)
+         |SELECT doc_id, ntok,
+         |ROUND(CAST(length(text) - ntok + 1 AS DOUBLE) / ntok, 6) AS avg_word_len,
+         |ROUND(CAST(len(list_filter(toks,
+         |  x -> x IN (${sqlMarkers(stopwords)}))) AS DOUBLE) / ntok, 6)
+         |  AS stopword_ratio
+         |FROM t""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH t AS (SELECT lang, string_split(text,' ') AS toks FROM documents),
+         |sc AS (SELECT lang,
+         |  len(list_filter(toks, x -> x IN (${sqlMarkers(markers(0)._2)}))) AS s_en,
+         |  len(list_filter(toks, x -> x IN (${sqlMarkers(markers(1)._2)}))) AS s_de,
+         |  len(list_filter(toks, x -> x IN (${sqlMarkers(markers(2)._2)}))) AS s_fr
+         |  FROM t)
+         |SELECT lang,
+         |CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |     WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted,
+         |COUNT(*) AS n
+         |FROM sc GROUP BY 1, 2""".stripMargin
+  )
+}

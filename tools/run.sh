@@ -1,0 +1,19 @@
+#!/bin/bash
+# Run a main class directly against compiled classes + Spark jars,
+# bypassing sbt's log-prefixing and JVM spin-up. Compile first:
+#   sbt -batch compile
+# Usage: tools/run.sh <MainClass> [args...]
+set -e
+cd "$(dirname "$0")/.."
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  "$@"
