@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the embedding hot path.
+  *
+  * The higher-order-function formulation in [[VectorFunctions]] is
+  * oracle-exact but interpreted (~30 µs per 64-dim cosine): at 100 TB a
+  * pairwise similarity scan would be dominated by expression-eval
+  * overhead, not FLOPs. These expressions generate a tight fused Java
+  * loop inside whole-stage codegen — same sequential left-to-right
+  * double accumulation as the HOF versions, so results are bitwise
+  * identical and remain DuckDB-comparable.
+  */
+object VectorExpressions {
+
+  /** Fused cosine similarity over two Array[Float] columns. */
+  case class CosineSimFloat(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_sim_f"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble
+        val yi = y.getFloat(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""
+           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double dot = 0.0, na = 0.0, nb = 0.0;
+           |for (int i = 0; i < n; i++) {
+           |  double x = (double) $a.getFloat(i);
+           |  double y = (double) $b.getFloat(i);
+           |  dot += x * y; na += x * x; nb += y * y;
+           |}
+           |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         """.stripMargin)
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Signed-random-projection LSH bucket id: bit p of the result is set
+    * iff embedding · planes(p) > 0. One fused loop instead of P
+    * higher-order dot products. */
+  case class SignedProjBuckets(child: Expression, planes: Array[Array[Double]])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(FloatType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "signed_proj_buckets"
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      var bucket = 0L
+      var p = 0
+      while (p < planes.length) {
+        val plane = planes(p)
+        val n = math.min(v.numElements(), plane.length)
+        var dot = 0.0; var i = 0
+        while (i < n) { dot += v.getFloat(i).toDouble * plane(i); i += 1 }
+        if (dot > 0.0) bucket |= 1L << p
+        p += 1
+      }
+      bucket
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"""
+           |long bucket = 0L;
+           |for (int p = 0; p < $planesRef.length; p++) {
+           |  double[] plane = $planesRef[p];
+           |  int n = java.lang.Math.min($v.numElements(), plane.length);
+           |  double dot = 0.0;
+           |  for (int i = 0; i < n; i++) dot += ((double) $v.getFloat(i)) * plane[i];
+           |  if (dot > 0.0) bucket |= 1L << p;
+           |}
+           |${ev.value} = bucket;
+         """.stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def cosineFast(a: Column, b: Column): Column =
+    Bridge.column(CosineSimFloat(
+      Bridge.expression(a), Bridge.expression(b)))
+
+  def signedProjBuckets(v: Column, planes: Array[Array[Double]]): Column =
+    Bridge.column(SignedProjBuckets(Bridge.expression(v), planes))
+}

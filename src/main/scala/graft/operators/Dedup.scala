@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.MinHash
+import graft.functions.MinHash.minhashSigs
 import graft.functions.TextFunctions._
 
 /** Deduplication operators for an LLM training-data pipeline: exact
@@ -43,13 +45,16 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keeper"))
   }
 
-  /** MinHash signature matrix: K independent min-hashes over 3-word
-    * shingles, as a single narrow projection (no shuffle). */
+  /** MinHash signature matrix: K universal-hash mins over 3-word
+    * shingles, one md5 per shingle (see [[MinHash]]), as a single
+    * narrow projection (no shuffle). */
   def signatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = shingles(tokens($"text"), ShingleN)
-    val sigCols = (0 until K).map(j => minhash(sh, j).as(f"sig_$j%02d"))
-    Tables.documents(s, d).select(($"doc_id" +: sigCols): _*)
+    Tables.documents(s, d)
+      .select($"doc_id", minhashSigs(sh, K).as("sig"))
+      .select(($"doc_id" +:
+        (0 until K).map(j => element_at($"sig", j + 1).as(f"sig_$j%02d"))): _*)
   }
 
   def qMinhashSig(s: SparkSession, d: String): DataFrame = signatures(s, d)
@@ -138,7 +143,7 @@ object Dedup {
         |FROM documents GROUP BY 1""".stripMargin,
     "q_minhash_sig" -> {
       val sigs = (0 until K).map(j =>
-        s"list_aggregate(list_transform(sh, x -> md5('$j|' || x)), 'min') AS sig_${"%02d".format(j)}")
+        s"${MinHash.sqlSig("sh", j)} AS sig_${"%02d".format(j)}")
       s"""WITH $tokCte,
          |shl AS (SELECT doc_id, ${shingleExpr(ShingleN)} AS sh FROM tok)
          |SELECT doc_id, ${sigs.mkString(",\n")}

@@ -5,7 +5,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.VectorFunctions._
+import graft.functions.VectorExpressions.{cosineFast, signedProjBuckets}
+import graft.functions.VectorFunctions.norm
 
 /** Similarity search over the `embeddings` table (Array[Float], 64-d).
   *
@@ -44,7 +45,7 @@ object Similarity {
     val scored = broadcast(q)
       .join(emb, $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
-        cosine($"qv", $"embedding").as("cos"))
+        cosineFast($"qv", $"embedding").as("cos"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -61,7 +62,7 @@ object Similarity {
     val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
     e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-        cosine($"a.embedding", $"b.embedding").as("cos"))
+        cosineFast($"a.embedding", $"b.embedding").as("cos"))
       .filter($"cos" > 0.4)
       .select($"vec_a", $"vec_b", round($"cos", 6).as("cos"))
   }
@@ -75,13 +76,9 @@ object Similarity {
     }
   }
 
-  /** Signed-projection LSH bucket id for an embedding column. */
-  private[graft] def bucketOf(v: Column): Column = {
-    planes.zipWithIndex.map { case (plane, p) =>
-      val planeCol = array(plane.map(lit(_)): _*)
-      when(dot(v, planeCol) > 0.0, 1L << p).otherwise(0L)
-    }.reduce[Column](_ + _)
-  }
+  /** Signed-projection LSH bucket id for an embedding column (one
+    * fused codegen loop over all planes). */
+  private[graft] def bucketOf(v: Column): Column = signedProjBuckets(v, planes)
 
   /** ANN via LSH buckets: top-K within the query's bucket only.
     * Misses across bucket boundaries are the recall tradeoff; the
@@ -96,7 +93,7 @@ object Similarity {
       .join(emb, Seq("bucket"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
-        cosine($"qv", $"embedding").as("cos"))
+        cosineFast($"qv", $"embedding").as("cos"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
     scored
       .withColumn("rank", row_number().over(w))
