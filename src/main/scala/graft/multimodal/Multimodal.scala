@@ -1,0 +1,84 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column support: image/audio/video assets ride through the
+  * engine as opaque `binary` columns plus a typed metadata struct.
+  *
+  * The container has no codec libraries, so asset bytes are derived
+  * deterministically from the documents corpus (UTF-8 bytes of `text`)
+  * and the "header parse" reads real bytes of that payload — the
+  * DataFrame plumbing (binary columns, struct metadata, per-kind
+  * dispatch, aggregation) is exactly what a production ingest does,
+  * with the codec behind [[AssetPipeline.decode]] stubbed.
+  *
+  * Everything here is a narrow map + one group-agg: linear at 100 TB,
+  * with the binary payload never shuffled except by explicit key.
+  */
+object Multimodal {
+
+  /** documents → assets: binary payload + kind + parsed typed metadata.
+    * Header fields are derived from the first payload bytes with plain
+    * integer arithmetic so the DuckDB oracle can reproduce them. */
+  def assets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val b1 = ascii(substring($"text", 1, 1))
+    val b2 = ascii(substring($"text", 2, 1))
+    Tables.documents(s, d)
+      .select(
+        $"doc_id".as("asset_id"),
+        $"text".cast("binary").as("data"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod($"doc_id", lit(3)) + 1).cast("int")).as("kind"),
+        length($"text".cast("binary")).cast("long").as("n_bytes"),
+        b1.as("b1"), b2.as("b2"))
+      .withColumn("meta", struct(
+        when($"kind" === "image", (lit(64) * (pmod($"b1", lit(8)) + 1)).cast("long")).as("width"),
+        when($"kind" === "image", (lit(64) * (pmod($"b2", lit(8)) + 1)).cast("long")).as("height"),
+        when($"kind" === "audio", (lit(8000) * (pmod($"b1", lit(6)) + 1)).cast("long")).as("sample_rate"),
+        when($"kind" === "video", (pmod($"b2", lit(240)) + 1).cast("long")).as("n_frames")))
+      .drop("b1", "b2")
+  }
+
+  /** Per-kind asset inventory over the typed metadata. */
+  def qMultimodalMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    assets(s, d)
+      .groupBy($"kind")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum($"n_bytes").as("total_bytes"),
+        sum($"meta.width" * $"meta.height").as("sum_pixels"),
+        sum($"meta.sample_rate").as("sum_sample_rate"),
+        sum($"meta.n_frames").as("sum_frames"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_meta" -> (qMultimodalMeta _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |  ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  ascii(substr(text,1,1)) AS b1, ascii(substr(text,2,1)) AS b2
+        |  FROM documents),
+        |m AS (
+        |  SELECT kind, n_bytes,
+        |  CASE WHEN kind = 'image' THEN CAST(64 * ((b1 % 8) + 1) AS BIGINT) END AS width,
+        |  CASE WHEN kind = 'image' THEN CAST(64 * ((b2 % 8) + 1) AS BIGINT) END AS height,
+        |  CASE WHEN kind = 'audio' THEN CAST(8000 * ((b1 % 6) + 1) AS BIGINT) END AS sample_rate,
+        |  CASE WHEN kind = 'video' THEN CAST((b2 % 240) + 1 AS BIGINT) END AS n_frames
+        |  FROM a)
+        |SELECT kind, COUNT(*) AS n_assets,
+        |CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |CAST(SUM(width * height) AS BIGINT) AS sum_pixels,
+        |CAST(SUM(sample_rate) AS BIGINT) AS sum_sample_rate,
+        |CAST(SUM(n_frames) AS BIGINT) AS sum_frames
+        |FROM m GROUP BY kind""".stripMargin
+  )
+}

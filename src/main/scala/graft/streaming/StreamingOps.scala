@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event on the stream (mirrors the batch `events` table). */
+case class Ev(eventId: Long, ts: Timestamp, userId: Long,
+              eventType: String, value: Double)
+
+/** Closed session emitted by streaming sessionization. */
+case class SessionOut(userId: Long, startUs: Long, endUs: Long, nEvents: Long)
+
+private case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
+
+/** Structured Streaming twins of the batch event operators in
+  * [[graft.operators.Events]]. Each takes a (possibly streaming)
+  * events frame — e.g. a MemoryStream in tests, Kafka/file sources in
+  * production — and returns an unstarted streaming DataFrame/Dataset.
+  *
+  * Scale notes: all state is keyed (window × type, or user) and
+  * bounded by watermarks/timeouts, so state store size is O(active
+  * keys), never O(history). The shuffle key matches the batch twin,
+  * so the same partitioning holds on a 1000-executor cluster.
+  */
+object StreamingOps {
+
+  /** Watermarked tumbling-window counts per event type — the streaming
+    * twin of `q_tumbling_hourly`. Late rows beyond the watermark are
+    * dropped; closed windows are emitted once (Append mode works). */
+  def windowedCounts(events: DataFrame,
+                     windowLen: String = "1 hour",
+                     watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("eventType"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("eventType"),
+        col("n"), col("sum_value"))
+
+  /** Gap-based sessionization with per-user state + event-time timeout —
+    * the streaming twin of `q_sessionize`. Emits a session once the gap
+    * passes (via a later event or watermark timeout). */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+
+    def onUser(userId: Long, evs: Iterator[Ev],
+               state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(SessionOut(userId, s.startUs, s.lastUs, s.nEvents))
+      }
+      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+      var closed = List.empty[SessionOut]
+      var cur = state.getOption
+      for (e <- sorted) {
+        val us = e.ts.getTime * 1000
+        cur match {
+          case Some(s) if us - s.lastUs <= gapUs =>
+            cur = Some(s.copy(lastUs = us, nEvents = s.nEvents + 1))
+          case Some(s) =>
+            closed ::= SessionOut(userId, s.startUs, s.lastUs, s.nEvents)
+            cur = Some(SessionState(us, us, 1))
+          case None =>
+            cur = Some(SessionState(us, us, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.lastUs / 1000 + gapMinutes.toLong * 60 * 1000)
+      }
+      closed.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(onUser)
+  }
+
+  /** Streaming exact dedup on event id, with state bounded by the
+    * watermark — the streaming twin of exact dedup. */
+  def dedup(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("eventId")
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.{Asset, AssetMeta, AssetPipeline, Frame, Multimodal}
+
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("asset ingest preserves every document with a typed kind") {
+    val a = AssetPipeline.ingest(spark, sf).cache()
+    assert(a.count() === 500)
+    val kinds = a.select("kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds === Set("image", "audio", "video"))
+    // payload round-trips: bytes are the document text
+    assert(a.head().data.length > 0)
+  }
+
+  test("video frame sampling emits evenly spaced frames, k max") {
+    import spark.implicits._
+    assert(AssetPipeline.frameIndices(2, 4) === Seq(0, 1))
+    assert(AssetPipeline.frameIndices(240, 4) === Seq(0, 60, 120, 180))
+    val frames = AssetPipeline.sampleFrames(AssetPipeline.ingest(spark, sf), 3)
+    val perAsset = frames.groupByKey(_.assetId).count().collect()
+    assert(perAsset.nonEmpty && perAsset.forall(_._2 <= 3))
+  }
+
+  test("decode is deterministic and resize preserves value range") {
+    val a = Asset(7L, "video", "hello world".getBytes,
+      AssetMeta(None, None, None, Some(10L)))
+    val f1 = AssetPipeline.decode(a, 2)
+    val f2 = AssetPipeline.decode(a, 2)
+    assert(f1.pixels.toSeq === f2.pixels.toSeq)
+    val r = AssetPipeline.resize(f1, 16, 16)
+    assert(r.width === 16 && r.height === 16 && r.pixels.length === 256)
+    assert(r.pixels.toSet.subsetOf(f1.pixels.toSet))
+  }
+
+  test("frame features are bounded brightness stats") {
+    val frames = AssetPipeline.sampleFrames(AssetPipeline.ingest(spark, sf), 2)
+    val feats = AssetPipeline.frameFeatures(frames).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { case (_, _, mean, mn, mx) =>
+      assert(mn >= 0 && mx <= 255 && mean >= mn && mean <= mx)
+    }
+  }
+
+  test("multimodal metadata query partitions bytes by kind") {
+    val rows = Multimodal.qMultimodalMeta(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet === Set("image", "audio", "video"))
+    assert(rows.map(_.getLong(1)).sum === 500)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{Ev, StreamingOps}
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000)
+
+  private def ev(id: Long, min: Long, user: Long = 1,
+                 typ: String = "click", v: Double = 1.0): Ev =
+    Ev(id, ts(min), user, typ, v)
+
+  test("watermarked tumbling window counts match the batch shape") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](spark)
+    val q = StreamingOps.windowedCounts(in.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(ev(1, 10), ev(2, 20), ev(3, 70), ev(4, 80, typ = "view"))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select($"window_start", $"eventType", $"n").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2))).toSet
+      assert(rows === Set((0L, "click", 2L), (60L, "click", 1L), (60L, "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes sessions on gap or timeout") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](spark)
+    val q = StreamingOps.sessionize(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 9 min apart (one session), then a 60-min gap.
+      // Start at minute 1: an event AT the initial watermark (epoch 0)
+      // would be dropped as late.
+      in.addData(ev(1, 1), ev(2, 10))
+      q.processAllAvailable()
+      in.addData(ev(3, 70))
+      q.processAllAvailable()
+      // push watermark far ahead so the open session times out
+      in.addData(ev(9, 500, user = 99))
+      q.processAllAvailable()
+      in.addData(ev(10, 600, user = 99))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").as[graft.streaming.SessionOut]
+        .collect().filter(_.userId == 1).sortBy(_.startUs)
+      assert(sessions.length === 2)
+      assert(sessions(0).nEvents === 2 && sessions(0).startUs === 60000000L)
+      assert(sessions(1).nEvents === 1 && sessions(1).startUs === 70L * 60000000L)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated event ids within the watermark") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](spark)
+    val q = StreamingOps.dedup(in.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("dd").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 0), ev(1, 1), ev(2, 2), ev(2, 2), ev(3, 3))
+      q.processAllAvailable()
+      assert(spark.table("dd").select("eventId").collect().map(_.getLong(0)).sorted
+        === Array(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}

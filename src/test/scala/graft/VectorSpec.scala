@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{MinHash, VectorFunctions}
+import graft.functions.VectorExpressions.cosineFast
+import graft.operators.Similarity
+
+class VectorSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("codegen cosine is bitwise-identical to the HOF formulation") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf).limit(50)
+    val pairs = e.as("a").crossJoin(e.as("b"))
+      .select(
+        cosineFast($"a.embedding", $"b.embedding").as("fast"),
+        VectorFunctions.cosine($"a.embedding", $"b.embedding").as("hof"))
+    assert(pairs.filter($"fast" =!= $"hof").count() === 0)
+  }
+
+  test("LSH bucket ids are stable and within 2^Planes") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", Similarity.bucketOf($"embedding").as("b"))
+    val mm = e.agg(min($"b"), max($"b")).head()
+    assert(mm.getLong(0) >= 0L && mm.getLong(1) < 256L)
+    // deterministic across evaluations
+    assert(e.collect().toSet === e.collect().toSet)
+  }
+
+  test("ANN-reported cosines agree with brute force for shared pairs") {
+    import spark.implicits._
+    val brute = Similarity.qKnnBrute(spark, sf)
+      .select($"query_id", $"neighbor_id", $"cos".as("bcos"))
+    val ann = Similarity.qAnnLsh(spark, sf)
+      .select($"query_id", $"neighbor_id", $"cos".as("acos"))
+    val joined = ann.join(brute, Seq("query_id", "neighbor_id"))
+    assert(joined.count() > 0) // recall > 0 on deterministic data
+    assert(joined.filter($"acos" =!= $"bcos").count() === 0)
+  }
+
+  test("minhash universal-hash constants stay in range") {
+    (0 until 64).foreach { j =>
+      assert(MinHash.aj(j) >= 1 && MinHash.aj(j) < MinHash.M)
+      assert(MinHash.bj(j) >= 0 && MinHash.bj(j) < MinHash.M)
+    }
+  }
+
+  test("minhash signature agreement estimates jaccard similarity") {
+    import spark.implicits._
+    // identical docs must agree on every signature position
+    val sig = graft.operators.Dedup.signatures(spark, sf)
+    val cols = sig.columns.filter(_.startsWith("sig_"))
+    val self = sig.as("a").join(sig.as("b"), $"a.doc_id" === $"b.doc_id")
+    val agree = cols.map(c => when(col(s"a.$c") === col(s"b.$c"), 1).otherwise(0))
+      .reduce((x, y) => x + y)
+    assert(self.select(agree.as("k")).filter($"k" =!= cols.length).count() === 0)
+  }
+}
