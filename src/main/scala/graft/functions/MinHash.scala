@@ -27,21 +27,49 @@ object MinHash {
   def aj(j: Int): Long = (j * 2654435761L) % (M - 1) + 1
   def bj(j: Int): Long = (j * 1013904223L) % M
 
-  /** All K signature mins in one pass over the shingle array. */
-  def sigs(arr: ArrayData, k: Int): ArrayData = {
+  /** 60-bit md5 prefix (15 hex digits, big-endian first 8 bytes >>> 4). */
+  private def md5Top60(h: Array[Byte]): Long = {
+    var top = 0L
+    var b = 0
+    while (b < 8) { top = (top << 8) | (h(b) & 0xffL); b += 1 }
+    top >>> 4
+  }
+
+  /** Word-n-gram shingle hashes in one pass: shingle i is tokens
+    * i..i+n-1 joined by a single space (exactly
+    * `concat_ws(' ', slice(toks, i, n))`), hashed to its 60-bit md5
+    * prefix. No intermediate shingle-string arrays. */
+  def shingleHashes(arr: ArrayData, n: Int): ArrayData = {
     val md = MessageDigest.getInstance("MD5")
+    val len = arr.numElements()
+    val count = math.max(len - n + 1, 1)
+    val out = new Array[Long](count)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      val end = math.min(i + n, len)
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(arr.getUTF8String(j).toString)
+        j += 1
+      }
+      out(i) = md5Top60(md.digest(sb.toString.getBytes("UTF-8")))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** All K signature mins in one pass over pre-hashed shingles. */
+  def sigs(arr: ArrayData, k: Int): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
     val as = Array.tabulate(k)(aj)
     val bs = Array.tabulate(k)(bj)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val h = md.digest(arr.getUTF8String(i).getBytes)
-      // first 15 hex digits == big-endian first 8 bytes >>> 4 (60 bits)
-      var top = 0L
-      var b = 0
-      while (b < 8) { top = (top << 8) | (h(b) & 0xffL); b += 1 }
-      val x = (top >>> 4) % M
+      val x = arr.getLong(i) % M
       var j = 0
       while (j < k) {
         val v = (as(j) * x + bs(j)) % M
@@ -53,10 +81,28 @@ object MinHash {
     new GenericArrayData(mins)
   }
 
-  /** Array[Long] of the K signature values for a shingle-array column. */
-  case class MinHashSigs(child: Expression, k: Int)
+  /** tokens → Array[Long] of 60-bit word-shingle hashes. */
+  case class ShingleHash60(child: Expression, n: Int)
       extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hash60"
+
+    override protected def nullSafeEval(a: Any): Any =
+      shingleHashes(a.asInstanceOf[ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.MinHash.shingleHashes($c, $n);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Array[Long] of the K signature values over pre-hashed shingles. */
+  case class MinHashSigs(child: Expression, k: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(LongType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_sigs"
 
@@ -71,8 +117,60 @@ object MinHash {
       copy(child = newChild)
   }
 
-  def minhashSigs(shingleCol: Column, k: Int): Column =
-    Bridge.column(MinHashSigs(Bridge.expression(shingleCol), k))
+  def shingleHash60(toks: Column, n: Int): Column =
+    Bridge.column(ShingleHash60(Bridge.expression(toks), n))
+
+  def minhashSigs(shingleHashCol: Column, k: Int): Column =
+    Bridge.column(MinHashSigs(Bridge.expression(shingleHashCol), k))
+
+  /** 32-bit SimHash over a token array: bit b is set iff the b-th bits
+    * of the per-token hashes win a ±1 majority vote. Token hash = first
+    * 32 bits of md5, the same value as DuckDB
+    * `CAST(('0x' || substr(md5(t),1,8)) AS BIGINT)`. */
+  def simhash(arr: ArrayData): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](32)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = md.digest(arr.getUTF8String(i).getBytes)
+      // first 8 hex digits == big-endian first 4 bytes (unsigned)
+      val x = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      var b = 0
+      while (b < 32) {
+        if (((x >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) { if (votes(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
+  /** Codegen'd one-pass SimHash expression (md5 per token computed
+    * once; 32 bit-votes in a tight loop). */
+  case class SimHash32(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash32"
+
+    override protected def nullSafeEval(a: Any): Any =
+      simhash(a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.MinHash.simhash($c);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def simhash32(toks: Column): Column =
+    Bridge.column(SimHash32(Bridge.expression(toks)))
 
   /** DuckDB SQL for signature j over a list-of-shingles expression. */
   def sqlSig(sh: String, j: Int): String =

@@ -44,19 +44,8 @@ object TextFunctions {
   def minhash(shingleCol: Column, seed: Int): Column =
     array_min(transform(shingleCol, x => md5(concat(lit(s"$seed|"), x))))
 
-  /** 32-bit token hash from the md5 hex prefix — reproducible in DuckDB
-    * as `CAST(('0x' || substr(md5(t),1,8)) AS BIGINT)`. */
-  def tokenHash32(t: Column): Column =
-    conv(substring(md5(t), 1, 8), 16, 10).cast("long")
-
-  /** SimHash over the token multiset: bit b of the result is set iff
-    * the b-th bits of the token hashes win a weighted majority vote. */
-  def simhash32(toks: Column): Column = {
-    val hashes = transform(toks, t => tokenHash32(t))
-    (0 until 32).map { b =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce[Column](_ + _)
-  }
+  /** 60-bit shingle/token hash from the md5 hex prefix — reproducible
+    * in DuckDB as `CAST(('0x' || substr(md5(t),1,15)) AS BIGINT)`. */
+  def tokenHash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 }

@@ -50,7 +50,7 @@ object Dedup {
     * narrow projection (no shuffle). */
   def signatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(tokens($"text"), ShingleN)
+    val sh = MinHash.shingleHash60(tokens($"text"), ShingleN)
     Tables.documents(s, d)
       .select($"doc_id", minhashSigs(sh, K).as("sig"))
       .select(($"doc_id" +:
@@ -60,33 +60,34 @@ object Dedup {
   def qMinhashSig(s: SparkSession, d: String): DataFrame = signatures(s, d)
 
   /** LSH banding: equal band-signature ⇒ candidate near-duplicate pair.
-    * One shuffle on the (band, bucket-hash) key; the per-bucket self
-    * join is bounded by bucket size. */
+    * The full signature array rides through the (band, bucket) shuffle
+    * (128 B/row), so the estimated jaccard is computed directly on the
+    * joined pair — one self-join total, no joins back to the signature
+    * table. Per-bucket pair generation is bounded by bucket size. */
   def qMinhashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sig = signatures(s, d)
+    val rows = K / Bands
+    val sh = MinHash.shingleHash60(tokens($"text"), ShingleN)
+    val sig = Tables.documents(s, d)
+      .select($"doc_id", minhashSigs(sh, K).as("sig"))
     val bandKeys = (0 until Bands).map { b =>
-      val cols = (b * K / Bands until (b + 1) * K / Bands)
-        .map(j => col(f"sig_$j%02d"))
-      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
+      struct(lit(b).as("band"),
+        md5(array_join(transform(
+          slice($"sig", b * rows + 1, rows), x => x.cast("string")), "|")).as("bucket"))
     }
     val banded = sig
-      .select($"doc_id", explode(array(bandKeys: _*)).as("bk"))
-      .select($"doc_id", $"bk.band".as("band"), $"bk.bucket".as("bucket"))
-    val pairs = banded.as("a")
+      .select($"doc_id", $"sig", explode(array(bandKeys: _*)).as("bk"))
+      .select($"doc_id", $"sig", $"bk.band".as("band"), $"bk.bucket".as("bucket"))
+    val agree = aggregate(
+      zip_with($"a.sig", $"b.sig", (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    banded.as("a")
       .join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
           $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        round(agree.cast("double") / K, 6).as("est_jaccard"))
       .distinct()
-    // estimated jaccard = fraction of agreeing signature positions
-    val agree = (0 until K)
-      .map(j => when(col(f"sa.sig_$j%02d") === col(f"sb.sig_$j%02d"), 1).otherwise(0))
-      .reduce[Column](_ + _)
-    pairs
-      .join(sig.as("sa"), $"doc_a" === $"sa.doc_id")
-      .join(sig.as("sb"), $"doc_b" === $"sb.doc_id")
-      .select($"doc_a", $"doc_b", round(agree.cast("double") / K, 6).as("est_jaccard"))
   }
 
   /** Per-document 32-bit SimHash and a 8-bit prefix bucket. */
@@ -94,27 +95,28 @@ object Dedup {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id",
-        simhash32(tokens($"text")).as("simhash"))
+        MinHash.simhash32(tokens($"text")).as("simhash"))
       .withColumn("bucket", shiftright($"simhash", 24))
   }
 
-  /** Exact n-gram Jaccard over candidate pairs that share ≥1 rare
-    * 5-word shingle. */
+  /** Exact n-gram Jaccard over candidate pairs that share ≥1
+    * 5-word shingle. The join key is the 60-bit md5 prefix of the
+    * shingle, not the string: an 8-byte shuffle key instead of ~30
+    * chars, with collision odds ~n²/2⁶¹ (immaterial, and identical
+    * on the oracle side if mirrored). */
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ds = Tables.documents(s, d)
       .select($"doc_id",
-        explode(array_distinct(shingles(tokens($"text"), JaccardN))).as("s"))
-    val sz = ds.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val pr = ds.as("a")
+        array_distinct(MinHash.shingleHash60(tokens($"text"), JaccardN)).as("shs"))
+      .select($"doc_id", size($"shs").cast("long").as("n"), explode($"shs").as("s"))
+    ds.as("a")
       .join(ds.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.n".as("na"), $"b.n".as("nb"))
       .agg(count(lit(1)).as("inter"))
-    pr.join(sz.as("sa"), $"doc_a" === $"sa.doc_id")
-      .join(sz.as("sb"), $"doc_b" === $"sb.doc_id")
       .select($"doc_a", $"doc_b", $"inter",
-        round($"inter".cast("double") /
-          ($"sa.n" + $"sb.n" - $"inter"), 6).as("jaccard"))
+        round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 6).as("jaccard"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
