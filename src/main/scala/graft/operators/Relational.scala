@@ -218,6 +218,36 @@ object Relational {
         round(($"sxx_k" * 1000.0 - $"sx" * $"sx" / $"n") / ($"n" - 1), 2).as("variance"))
   }
 
+  /** Hive LATERAL VIEW explode: one row per (order, lineitem-ish token).
+    * Here: explode the words of o_comment-like priority text — shaped as
+    * explode over a computed array with the parent row retained. */
+  def qLateralExplode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select($"o_orderkey", explode(split($"o_orderpriority", "-")).as("pri_tok"))
+      .groupBy($"pri_tok")
+      .agg(count(lit(1)).as("n"), countDistinct($"o_orderkey").as("n_orders"))
+  }
+
+  /** collect_set-style aggregation with deterministic ordering. */
+  def qCollectSet(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.nation(s, d)
+      .groupBy($"n_regionkey")
+      .agg(array_join(array_sort(collect_set($"n_name")), ",").as("nations"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Global total order with unique tie-break — the ORDER BY surface.
+    * Spark range-partitions on the sort key (sampled bounds), so the
+    * sort is distributed, never a single-node gather. */
+  def qGlobalSort(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.supplier(s, d)
+      .orderBy($"s_acctbal".desc, $"s_suppkey".asc)
+      .select($"s_suppkey", $"s_name", $"s_acctbal")
+  }
+
   // ---- window functions -------------------------------------------------
 
   def qTopNPerGroup(s: SparkSession, d: String): DataFrame = {
@@ -280,6 +310,9 @@ object Relational {
     "q_in_subquery" -> (qInSubquery _),
     "q_quantiles" -> (qQuantiles _),
     "q_stats_moments" -> (qStatsMoments _),
+    "q_lateral_explode" -> (qLateralExplode _),
+    "q_collect_set" -> (qCollectSet _),
+    "q_global_sort" -> (qGlobalSort _),
     "q_topn_per_group" -> (qTopNPerGroup _),
     "q_running_total" -> (qRunningTotal _),
     "q_lag_lead" -> (qLagLead _),
@@ -396,6 +429,18 @@ object Relational {
          |  - ${sqlSum("o_totalprice")} * ${sqlSum("o_totalprice")} / COUNT(*))
          |  / (COUNT(*) - 1), 2) AS variance
          |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_lateral_explode" ->
+      """SELECT pri_tok, COUNT(*) AS n, COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM (SELECT o_orderkey, unnest(string_split(o_orderpriority, '-')) AS pri_tok
+        |  FROM orders) GROUP BY pri_tok""".stripMargin,
+    "q_collect_set" ->
+      """SELECT n_regionkey,
+        |array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
+        |COUNT(*) AS n
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+    "q_global_sort" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |ORDER BY s_acctbal DESC, s_suppkey ASC""".stripMargin,
     "q_topn_per_group" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
         |  SELECT c_mktsegment, c_custkey, c_acctbal,

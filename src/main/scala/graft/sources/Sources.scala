@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface: the text/CSV/JSON/parquet formats a Hadoop-era
+  * analytics stack ingests, plus the layout-aware writers (partitioned
+  * and bucketed parquet) that make 100 TB scans cheap.
+  *
+  * Readers always take an explicit schema — at scale, schema inference
+  * is a full extra pass over the data and non-deterministic under
+  * sampling; an explicit StructType is one metadata read.
+  */
+object Sources {
+
+  /** CSV with explicit schema, header, and malformed-row tolerance
+    * (PERMISSIVE keeps bad rows as nulls rather than failing the job). */
+  def csv(s: SparkSession, path: String, schema: StructType,
+          header: Boolean = true, delimiter: String = ","): DataFrame =
+    s.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** JSON-lines with explicit schema (one object per line — splittable,
+    * unlike multiline JSON). */
+  def jsonLines(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).json(path)
+
+  /** Raw text lines (one `value` column). */
+  def text(s: SparkSession, path: String): DataFrame = s.read.text(path)
+
+  def parquet(s: SparkSession, path: String): DataFrame = s.read.parquet(path)
+
+  /** Hive-style partitioned parquet: directory per partition value, so
+    * partition-pruned queries touch only matching directories. Keep
+    * partition columns low-cardinality (date, region — never a key). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted table: co-locates rows by join/agg key at write
+    * time, so later equi-joins and groupBys on that key skip the
+    * shuffle entirely (both sides bucketed → zero-exchange join). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Skew
+import graft.sources.Sources
+
+class SourcesSkewSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("csv and json-lines round-trip with explicit schema") {
+    import spark.implicits._
+    val dir = tmp("src")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/t.csv"),
+      "id,name\n1,alpha\n2,beta\nbad,gamma\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/t.jsonl"),
+      """{"id":1,"name":"alpha"}""" + "\n" + """{"id":2,"name":"beta"}""" + "\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val c = Sources.csv(spark, s"$dir/t.csv", schema)
+    assert(c.count() === 3) // permissive: bad row kept with null id
+    assert(c.filter($"id".isNull).count() === 1)
+    val j = Sources.jsonLines(spark, s"$dir/t.jsonl", schema)
+    assert(j.as[(Long, String)].collect().toSet === Set((1L, "alpha"), (2L, "beta")))
+  }
+
+  test("partitioned write prunes directories on read") {
+    import spark.implicits._
+    val dir = tmp("part")
+    Tables.nation(spark, sf)
+      .transform(df => { Sources.writePartitioned(df, dir, Seq("n_regionkey")); df })
+    val back = Sources.parquet(spark, dir).filter($"n_regionkey" === 0)
+    assert(back.count() > 0)
+    // partition pruning: only the matching directory is listed
+    val plan = back.queryExecution.executedPlan.toString
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("n_regionkey=")))
+  }
+
+  test("salted join matches plain join results") {
+    import spark.implicits._
+    val big = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val small = Tables.customer(spark, sf)
+      .select($"c_custkey".as("o_custkey"), $"c_name")
+    val plain = big.join(small, Seq("o_custkey"))
+    val salted = Skew.saltedJoin(big, small, "o_custkey", salts = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.agg(sum($"o_totalprice")).head().getDouble(0)
+      === plain.agg(sum($"o_totalprice")).head().getDouble(0))
+  }
+
+  test("salted sum equals direct sum") {
+    import spark.implicits._
+    val df = Tables.orders(spark, sf)
+    val direct = df.groupBy($"o_custkey").agg(sum($"o_totalprice").as("s"))
+    val salted = Skew.saltedSum(df, "o_custkey", $"o_totalprice", salts = 8)
+    val joined = direct.join(salted, Seq("o_custkey"))
+    assert(joined.filter(abs($"s" - $"sum_value") > 1e-6).count() === 0)
+  }
+
+  test("key histogram reports descending shares") {
+    val h = Skew.keyHistogram(Tables.orders(spark, sf), "o_orderpriority", 5).collect()
+    assert(h.nonEmpty)
+    assert(h.map(_.getLong(1)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+}
