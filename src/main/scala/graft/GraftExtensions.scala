@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.MinHash.{MinHashSigs, ShingleHash60, SimHash32}
+import graft.functions.VectorExpressions.CosineSimFloat
+
+/** SparkSessionExtensions plugin exposing graft's custom Catalyst
+  * expressions to SQL (`spark.sql("SELECT cosine_sim(a, b) ...")`).
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)` — no library import needed
+  * on the query side, so pure-SQL users (JDBC, notebooks) get the
+  * same codegen'd hot-path functions as the Scala API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - fused cosine similarity over float arrays"),
+      (args: Seq[Expression]) => CosineSimFloat(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hash60"),
+      info("shingle_hash60", "shingle_hash60(tokens, n) - 60-bit md5 word-shingle hashes"),
+      (args: Seq[Expression]) =>
+        ShingleHash60(args(0), intArg(args(1), "shingle width"))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      info("minhash_sigs", "minhash_sigs(shingle_hashes, k) - K universal-hash minima"),
+      (args: Seq[Expression]) =>
+        MinHashSigs(args(0), intArg(args(1), "signature length"))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash32"),
+      info("simhash32", "simhash32(tokens) - 32-bit majority-vote SimHash"),
+      (args: Seq[Expression]) => SimHash32(args(0))))
+  }
+}

@@ -102,9 +102,59 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Index (1-based, 0 = empty) of the max-cosine centroid, ties to the
+    * lowest index — the IVF coarse-quantizer assignment, one fused loop
+    * over all centroids. Centroids are a bounded model parameter
+    * (collected once, like k-means centers), shipped to executors via
+    * the codegen reference table. */
+  case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(FloatType))
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "nearest_centroid"
+
+    override protected def nullSafeEval(a: Any): Any =
+      VectorExpressions.nearestCentroidEval(a.asInstanceOf[ArrayData], centroids)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.functions.VectorExpressions.nearestCentroidJava($v, $cRef);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def nearestCentroidEval(v: ArrayData, centroids: Array[Array[Float]]): Int =
+    nearestCentroidJava(v, centroids)
+
+  // Called from generated code; argmax of cosine, 1-based, ties → lowest.
+  def nearestCentroidJava(v: ArrayData, centroids: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val ct = centroids(c)
+      val n = math.min(v.numElements(), ct.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = v.getFloat(i).toDouble; val y = ct(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (cos > bestCos) { bestCos = cos; best = c + 1 }
+      c += 1
+    }
+    best
+  }
+
   def cosineFast(a: Column, b: Column): Column =
     Bridge.column(CosineSimFloat(
       Bridge.expression(a), Bridge.expression(b)))
+
+  def nearestCentroid(v: Column, centroids: Array[Array[Float]]): Column =
+    Bridge.column(NearestCentroid(Bridge.expression(v), centroids))
 
   def signedProjBuckets(v: Column, planes: Array[Array[Double]]): Column =
     Bridge.column(SignedProjBuckets(Bridge.expression(v), planes))

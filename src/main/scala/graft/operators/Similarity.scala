@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.VectorExpressions.{cosineFast, signedProjBuckets}
+import graft.functions.VectorExpressions.{cosineFast, nearestCentroid, signedProjBuckets}
 import graft.functions.VectorFunctions.norm
 
 /** Similarity search over the `embeddings` table (Array[Float], 64-d).
@@ -102,11 +102,54 @@ object Similarity {
         round($"cos", 6).as("cos"))
   }
 
+  private val Cells = 16    // IVF coarse-quantizer cells
+  private val NProbe = 2    // cells probed per query
+
+  /** IVF-style ANN: the corpus is coarse-quantized to the nearest of
+    * [[Cells]] centroid vectors (a NARROW map via the codegen
+    * [[graft.functions.VectorExpressions.NearestCentroid]] — no
+    * shuffle), and each query searches only its [[NProbe]] best cells.
+    * Centroids here are the first [[Cells]] corpus vectors; at scale
+    * they come from a k-means sample job, and the search shape is
+    * unchanged. Cell sizes are ~N/Cells, so probed work is
+    * ~NProbe/Cells of the corpus instead of all of it. */
+  def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    // bounded model parameter: Cells × Dims floats, like k-means centers
+    val centroids: Array[Array[Float]] = emb.filter($"vec_id" < Cells)
+      .orderBy($"vec_id").select($"embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val corpus = emb.select($"vec_id", $"embedding",
+      nearestCentroid($"embedding", centroids).as("cell"))
+    val centDf = emb.filter($"vec_id" < Cells)
+      .select(($"vec_id" + 1).cast("int").as("cell"), $"embedding".as("cv"))
+    val wProbe = Window.partitionBy($"query_id").orderBy($"ccos".desc, $"cell".asc)
+    val queryCells = emb.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("ccos", cosineFast($"qv", $"cv"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter($"pr" <= NProbe)
+      .select($"query_id", $"qv", $"cell")
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    broadcast(queryCells)
+      .join(corpus, Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosineFast($"qv", $"embedding").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"neighbor_id", $"rank".cast("long").as("rank"),
+        round($"cos", 6).as("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embedding_stats" -> (qEmbeddingStats _),
     "q_knn_brute" -> (qKnnBrute _),
     "q_embed_neardup" -> (qEmbedNearDup _),
-    "q_ann_lsh" -> (qAnnLsh _)
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _)
   )
 
   val oracle: Map[String, String] = Map(

@@ -88,4 +88,25 @@ object StreamingOps {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("eventId")
+
+  /** Sliding (overlapping) windows: each event lands in
+    * windowLen/slide windows. State per (window × type) key, bounded
+    * by the watermark. */
+  def slidingCounts(events: DataFrame,
+                    windowLen: String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("eventType"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("eventType"), col("n"))
+
+  /** Stream–static enrichment join: the static side is planned per
+    * micro-batch (broadcast when small), so dimension updates are
+    * picked up without restarting the stream. No state is kept — a
+    * stream×static inner join is stateless. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(dim, Seq(key))
 }

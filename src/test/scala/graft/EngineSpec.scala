@@ -13,7 +13,7 @@ class EngineSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
-    assert(q -- o === Set("q_minhash_pairs", "q_ann_lsh"))
+    assert(q -- o === Set("q_minhash_pairs", "q_ann_lsh", "q_ann_ivf"))
   }
 
   test("every declared query executes and yields a schema at sf0.001") {

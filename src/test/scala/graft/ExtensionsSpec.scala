@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class ExtensionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("SQL functions registered via SparkSessionExtensions work end-to-end") {
+    // A separate session with the extensions installed.
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      s2.read.parquet(s"$sf/embeddings.parquet").createOrReplaceTempView("emb")
+      s2.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("docs")
+      val cos = s2.sql(
+        """SELECT a.vec_id, cosine_sim(a.embedding, b.embedding) AS c
+          |FROM emb a JOIN emb b ON b.vec_id = a.vec_id + 1
+          |WHERE a.vec_id < 5""".stripMargin).collect()
+      assert(cos.length === 5)
+      assert(cos.forall(r => math.abs(r.getDouble(1)) <= 1.0))
+      val mh = s2.sql(
+        """SELECT doc_id,
+          |  minhash_sigs(shingle_hash60(split(text, ' '), 3), 16) AS sig,
+          |  simhash32(split(text, ' ')) AS sh
+          |FROM docs WHERE doc_id < 3""".stripMargin).collect()
+      assert(mh.length === 3)
+      assert(mh.forall(_.getSeq[Long](1).length === 16))
+    } finally s2.close()
+  }
+
+  test("IVF ANN returns valid ranked neighbors with positive recall") {
+    import spark.implicits._
+    val ivf = Similarity.qAnnIvf(spark, sf)
+      .select($"query_id", $"neighbor_id", $"cos".as("icos"))
+    val brute = Similarity.qKnnBrute(spark, sf)
+      .select($"query_id", $"neighbor_id", $"cos".as("bcos"))
+    val shared = ivf.join(brute, Seq("query_id", "neighbor_id")).cache()
+    assert(shared.count() > 0)
+    assert(shared.filter($"icos" =!= $"bcos").count() === 0)
+    // every query produces at most K results
+    val perQ = Similarity.qAnnIvf(spark, sf).groupBy($"query_id").count().collect()
+    assert(perQ.forall(_.getLong(1) <= 5))
+  }
+}

@@ -57,6 +57,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows emit one row per covering window") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](spark)
+    val q = StreamingOps.slidingCounts(in.toDF(), "1 hour", "30 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("sw").outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(ev(1, 45)) // covers windows starting at 0 and 30
+      q.processAllAvailable()
+      val starts = spark.table("sw").collect()
+        .map(_.getTimestamp(0).getTime / 60000).sorted
+      assert(starts.toSeq === Seq(0L, 30L))
+    } finally q.stop()
+  }
+
+  test("stream-static enrich joins each event to its dimension row") {
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("userId", "tier")
+    val in = MemoryStream[Ev](spark)
+    val q = StreamingOps.enrich(in.toDF(), dim, "userId")
+      .writeStream.format("memory").queryName("en").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 1, user = 1), ev(2, 2, user = 2), ev(3, 3, user = 77))
+      q.processAllAvailable()
+      val rows = spark.table("en").select($"eventId", $"tier").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows === Set((1L, "gold"), (2L, "silver"))) // user 77 has no dim row
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated event ids within the watermark") {
     import spark.implicits._
     val in = MemoryStream[Ev](spark)
