@@ -11,8 +11,11 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Cores to use locally; the driver exports SPARK_GRAFT_CPUS. */
-  def cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+  /** Cores to use locally; the driver exports SPARK_GRAFT_CPUS. Falls
+    * back to the machine's core count (capped at 32) rather than a
+    * tiny constant. */
+  def cpus: Int = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+    .getOrElse(math.min(Runtime.getRuntime.availableProcessors, 32))
 
   def builder(appName: String = "graft", cores: Int = cpus): SparkSession.Builder =
     SparkSession.builder()

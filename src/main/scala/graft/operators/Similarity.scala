@@ -102,6 +102,23 @@ object Similarity {
         round($"cos", 6).as("cos"))
   }
 
+  /** LSH-bucketed near-duplicate pairs: the 100 TB path for
+    * [[qEmbedNearDup]]'s semantics. Pairs are generated only within a
+    * bucket (~N/2^Planes rows each), so work is Σ bucketᵢ² instead of
+    * N² — recall is traded per-plane (pairs split across a hyperplane
+    * are missed; lower [[Planes]] or OR multiple tables to recover). */
+  def nearDupLsh(s: SparkSession, d: String, threshold: Double = 0.4): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", bucketOf($"embedding").as("bucket"))
+    e.as("a").join(e.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        cosineFast($"a.embedding", $"b.embedding").as("cos"))
+      .filter($"cos" > threshold)
+      .select($"vec_a", $"vec_b", round($"cos", 6).as("cos"))
+  }
+
   private val Cells = 16    // IVF coarse-quantizer cells
   private val NProbe = 2    // cells probed per query
 

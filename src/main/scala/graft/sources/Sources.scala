@@ -45,10 +45,12 @@ object Sources {
     * time, so later equi-joins and groupBys on that key skip the
     * shuffle entirely (both sides bucketed → zero-exchange join). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    nBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode)
+                    nBuckets: Int, mode: SaveMode = SaveMode.Overwrite,
+                    path: Option[String] = None): Unit = {
+    val w = df.write.mode(mode)
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

@@ -63,6 +63,34 @@ class SourcesSkewSpec extends AnyFunSuite {
     assert(joined.filter(abs($"s" - $"sum_value") > 1e-6).count() === 0)
   }
 
+  test("bucketed tables join with zero shuffle exchanges") {
+    import spark.implicits._
+    val wh = tmp("wh")
+    Sources.writeBucketed(
+      Tables.orders(spark, sf).select($"o_custkey", $"o_orderkey", $"o_totalprice"),
+      "orders_b", "o_custkey", 4, path = Some(s"$wh/orders_b"))
+    Sources.writeBucketed(
+      Tables.customer(spark, sf).select($"c_custkey", $"c_name"),
+      "cust_b", "c_custkey", 4, path = Some(s"$wh/cust_b"))
+    val j = spark.table("orders_b")
+      .join(spark.table("cust_b"), $"o_custkey" === $"c_custkey")
+    j.count() // materialize so AQE finalizes the plan
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+  }
+
+  test("LSH near-dup pairs are a subset of brute-force pairs with equal cosines") {
+    import spark.implicits._
+    val brute = graft.operators.Similarity.qEmbedNearDup(spark, sf)
+      .select($"vec_a", $"vec_b", $"cos".as("bcos"))
+    val lsh = graft.operators.Similarity.nearDupLsh(spark, sf)
+    assert(lsh.count() > 0)
+    val joined = lsh.join(brute, Seq("vec_a", "vec_b"))
+    assert(joined.count() === lsh.count()) // subset
+    assert(joined.filter($"cos" =!= $"bcos").count() === 0)
+  }
+
   test("key histogram reports descending shares") {
     val h = Skew.keyHistogram(Tables.orders(spark, sf), "o_orderpriority", 5).collect()
     assert(h.nonEmpty)
