@@ -21,6 +21,8 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // graft's SQL functions + custom operator strategies.
+      .withExtensions(new GraftExtensions)
       // Shuffle partitions sized to parallelism, not the 200 default.
       .config("spark.sql.shuffle.partitions", cores.toString)
       // AQE: runtime coalescing, skew-join splitting, plan re-opt.

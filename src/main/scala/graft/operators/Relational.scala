@@ -260,6 +260,22 @@ object Relational {
       .select($"c_mktsegment", $"c_custkey", $"c_acctbal", $"rn".cast("long").as("rn"))
   }
 
+  /** Same result as [[qTopNPerGroup]], computed by graft's custom
+    * [[graft.plans.TopKPerGroupNode]] operator: bounded per-partition
+    * heaps + a K·groups-row shuffle instead of a full window sort.
+    * The rank is recovered afterwards on the already-reduced rows. */
+  def qTopNCustom(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.customer(s, d)
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal")
+    val top = graft.plans.TopK.perGroup(base, 3,
+      Seq($"c_mktsegment"), Seq($"c_acctbal".desc, $"c_custkey".asc))
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    top.withColumn("rn", row_number().over(w))
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal", $"rn".cast("long").as("rn"))
+  }
+
   def qRunningTotal(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"o_custkey")
@@ -314,6 +330,7 @@ object Relational {
     "q_collect_set" -> (qCollectSet _),
     "q_global_sort" -> (qGlobalSort _),
     "q_topn_per_group" -> (qTopNPerGroup _),
+    "q_topn_custom" -> (qTopNCustom _),
     "q_running_total" -> (qRunningTotal _),
     "q_lag_lead" -> (qLagLead _),
     "q_percent_rank" -> (qPercentRank _)
@@ -441,6 +458,12 @@ object Relational {
     "q_global_sort" ->
       """SELECT s_suppkey, s_name, s_acctbal FROM supplier
         |ORDER BY s_acctbal DESC, s_suppkey ASC""".stripMargin,
+    "q_topn_custom" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM customer) t WHERE rn <= 3""".stripMargin,
     "q_topn_per_group" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
         |  SELECT c_mktsegment, c_custkey, c_acctbal,
