@@ -248,6 +248,22 @@ object Relational {
       .select($"s_suppkey", $"s_name", $"s_acctbal")
   }
 
+  /** Sketch-based aggregates for interactive scale: HyperLogLog++
+    * distinct counts and t-digest-ish percentiles are one pass, fixed
+    * memory, and mergeable across partitions — at 100 TB the exact
+    * versions need a full shuffle of distinct values; these don't.
+    * No SQL oracle (sketch internals are engine-specific); the spec
+    * asserts relative error against the exact values. */
+  def qApproxStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(
+        approx_count_distinct($"o_custkey").as("approx_cust"),
+        countDistinct($"o_custkey").as("exact_cust"),
+        percentile_approx($"o_totalprice", lit(0.5), lit(1000)).as("approx_median"))
+  }
+
   // ---- window functions -------------------------------------------------
 
   def qTopNPerGroup(s: SparkSession, d: String): DataFrame = {
@@ -329,6 +345,7 @@ object Relational {
     "q_lateral_explode" -> (qLateralExplode _),
     "q_collect_set" -> (qCollectSet _),
     "q_global_sort" -> (qGlobalSort _),
+    "q_approx_stats" -> (qApproxStats _),
     "q_topn_per_group" -> (qTopNPerGroup _),
     "q_topn_custom" -> (qTopNCustom _),
     "q_running_total" -> (qRunningTotal _),

@@ -102,6 +102,12 @@ object TopKStrategy extends SparkStrategy {
 object TopK {
   def perGroup(df: DataFrame, k: Int,
                groupCols: Seq[Column], orderCols: Seq[Column]): DataFrame = {
+    // Self-install on sessions built without GraftExtensions, so the
+    // operator works from any SparkSession.
+    val exp = df.sparkSession.experimental
+    if (!exp.extraStrategies.contains(TopKStrategy)) {
+      exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
+    }
     val g = groupCols.map(Bridge.eagerExpression)
     val o = orderCols.map(Bridge.eagerExpression).map {
       case so: SortOrder => so

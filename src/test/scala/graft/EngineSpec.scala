@@ -13,7 +13,18 @@ class EngineSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
-    assert(q -- o === Set("q_minhash_pairs", "q_ann_lsh", "q_ann_ivf"))
+    assert(q -- o === Set("q_minhash_pairs", "q_ann_lsh", "q_ann_ivf", "q_approx_stats"))
+  }
+
+  test("approximate aggregates stay within tolerance of exact values") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = graft.operators.Relational.qApproxStats(spark, sf)
+      .select($"approx_cust", $"exact_cust").collect()
+    rows.foreach { r =>
+      val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+      assert(math.abs(a - e) / e < 0.15, s"approx $a vs exact $e")
+    }
   }
 
   test("every declared query executes and yields a schema at sf0.001") {
