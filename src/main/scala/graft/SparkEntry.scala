@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Events, Relational, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Events, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -13,10 +13,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ Dedup.queries ++
-      TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries
+      TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
+      AsofJoin.queries
 
   /** DuckDB-equivalent SQL for each oracle-checkable query. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Events.oracle ++ Dedup.oracle ++
-      TextAnalysis.oracle ++ Similarity.oracle ++ Multimodal.oracle
+      TextAnalysis.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
+      AsofJoin.oracle
 }

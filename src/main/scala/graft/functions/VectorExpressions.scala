@@ -40,18 +40,24 @@ object VectorExpressions {
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // fresh names: the same expression can be inlined twice into one
+      // generated function (e.g. a collapsed filter + project)
+      val (n, dot, na, nb, i, x, y) = (ctx.freshName("n"), ctx.freshName("dot"),
+        ctx.freshName("na"), ctx.freshName("nb"), ctx.freshName("i"),
+        ctx.freshName("x"), ctx.freshName("y"))
       nullSafeCodeGen(ctx, ev, (a, b) =>
         s"""
-           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double dot = 0.0, na = 0.0, nb = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  double x = (double) $a.getFloat(i);
-           |  double y = (double) $b.getFloat(i);
-           |  dot += x * y; na += x * x; nb += y * y;
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = (double) $a.getFloat($i);
+           |  double $y = (double) $b.getFloat($i);
+           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
            |}
-           |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          """.stripMargin)
+    }
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
@@ -84,17 +90,20 @@ object VectorExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      val (bucket, p, plane, n, dot, i) = (ctx.freshName("bucket"),
+        ctx.freshName("p"), ctx.freshName("plane"), ctx.freshName("n"),
+        ctx.freshName("dot"), ctx.freshName("i"))
       nullSafeCodeGen(ctx, ev, v =>
         s"""
-           |long bucket = 0L;
-           |for (int p = 0; p < $planesRef.length; p++) {
-           |  double[] plane = $planesRef[p];
-           |  int n = java.lang.Math.min($v.numElements(), plane.length);
-           |  double dot = 0.0;
-           |  for (int i = 0; i < n; i++) dot += ((double) $v.getFloat(i)) * plane[i];
-           |  if (dot > 0.0) bucket |= 1L << p;
+           |long $bucket = 0L;
+           |for (int $p = 0; $p < $planesRef.length; $p++) {
+           |  double[] $plane = $planesRef[$p];
+           |  int $n = java.lang.Math.min($v.numElements(), $plane.length);
+           |  double $dot = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) $dot += ((double) $v.getFloat($i)) * $plane[$i];
+           |  if ($dot > 0.0) $bucket |= 1L << $p;
            |}
-           |${ev.value} = bucket;
+           |${ev.value} = $bucket;
          """.stripMargin)
     }
 
