@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Range (interval-containment) join: points `p` against intervals
+  * `[start, end]`, with no equi key.
+  *
+  * The naive plan is a nested-loop join — O(points × intervals), fine
+  * only when one side broadcasts. [[byBucket]] is the 100 TB shape:
+  * quantize time into fixed buckets, explode each interval over the
+  * buckets it spans (bounded by interval-length / bucket-width), and
+  * equi-join on the bucket before the exact containment filter. Each
+  * point lives in exactly one bucket, so no dedup is needed, and the
+  * join is an ordinary shuffled/broadcast hash join on a dense key.
+  */
+object RangeJoin {
+
+  /** Bucketized containment join. Output: all columns of `points` +
+    * all columns of `intervals` for every (point ∈ interval) pair.
+    * `bucketWidth` should be ≥ typical interval length: cost is
+    * O(intervals × span/bucketWidth + matches). */
+  def byBucket(points: DataFrame, intervals: DataFrame,
+               ptCol: String, startCol: String, endCol: String,
+               bucketWidth: Long): DataFrame = {
+    val p = points.withColumn("_bk", floor(col(ptCol) / bucketWidth))
+    val iv = intervals.withColumn("_bk",
+      explode(sequence(floor(col(startCol) / bucketWidth),
+        floor(col(endCol) / bucketWidth))))
+    p.join(iv, Seq("_bk"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("_bk")
+  }
+
+  /** Which events fall inside each "active window" — the first hour of
+    * activity of the 10 earliest users (windows carry no key, so the
+    * join is pure range containment). */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Events.events(s, d).select($"event_id", $"user_id", $"ts_us")
+    val windows = ev.filter($"user_id" < 10)
+      .groupBy($"user_id".as("w_user"))
+      .agg(min($"ts_us").as("w_start"))
+      .withColumn("w_end", $"w_start" + 3600L * 1000000)
+      .select($"w_user", $"w_start", $"w_end")
+    byBucket(ev, windows, "ts_us", "w_start", "w_end", 3600L * 1000000)
+      .groupBy($"w_user")
+      .agg(count(lit(1)).as("n_events_in_window"),
+        countDistinct($"user_id").as("n_users_in_window"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> (qRangeJoin _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        |w AS (SELECT user_id AS w_user, MIN(ts_us) AS w_start,
+        |  MIN(ts_us) + 3600000000 AS w_end
+        |  FROM e WHERE user_id < 10 GROUP BY 1)
+        |SELECT w_user, COUNT(*) AS n_events_in_window,
+        |COUNT(DISTINCT user_id) AS n_users_in_window
+        |FROM e JOIN w ON e.ts_us >= w.w_start AND e.ts_us <= w.w_end
+        |GROUP BY w_user""".stripMargin
+  )
+}

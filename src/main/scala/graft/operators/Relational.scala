@@ -260,7 +260,6 @@ object Relational {
       .groupBy($"o_orderpriority")
       .agg(
         approx_count_distinct($"o_custkey").as("approx_cust"),
-        countDistinct($"o_custkey").as("exact_cust"),
         percentile_approx($"o_totalprice", lit(0.5), lit(1000)).as("approx_median"))
   }
 

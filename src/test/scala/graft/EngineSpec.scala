@@ -19,7 +19,11 @@ class EngineSpec extends AnyFunSuite {
   test("approximate aggregates stay within tolerance of exact values") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
+    val exact = Tables.orders(spark, sf)
+      .groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("exact_cust"))
     val rows = graft.operators.Relational.qApproxStats(spark, sf)
+      .join(exact, "o_orderpriority")
       .select($"approx_cust", $"exact_cust").collect()
     rows.foreach { r =>
       val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)

@@ -86,6 +86,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming pipeline writes a queryable parquet sink with checkpoint") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sink").toFile.getAbsolutePath
+    val in = MemoryStream[Ev](spark)
+    val q = StreamingOps.dedup(in.toDF(), "30 minutes")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      in.addData(ev(1, 1), ev(1, 2), ev(2, 3))
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$dir/out")
+      assert(back.select("eventId").collect().map(_.getLong(0)).sorted === Array(1L, 2L))
+      // exactly-once bookkeeping exists
+      assert(new java.io.File(s"$dir/ckpt").exists())
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated event ids within the watermark") {
     import spark.implicits._
     val in = MemoryStream[Ev](spark)
