@@ -31,8 +31,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS); read losslessly-enough
-      // as micros-truncated timestamps where supported.
+      // events.parquet carries TIMESTAMP(NANOS): read as nanosecond
+      // longs (graft.operators.Events floor-divides to micros, matching
+      // DuckDB's reader).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.ui.explainMode", "formatted")
       .config("spark.ui.enabled", "false")
 

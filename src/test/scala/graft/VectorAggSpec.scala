@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorAgg, VectorExpressions}
+
+class VectorAggSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("typed vector-mean aggregator matches a manual average") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 4.0f)),
+      (1, Array(10.0f, 0.0f))).toDF("cell", "embedding")
+    val got = VectorAgg.cellCentroids(df, 2).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toList).toMap
+    assert(got(0) === List(2.0f, 3.0f))
+    assert(got(1) === List(10.0f, 0.0f))
+  }
+
+  test("k-means training tightens the assignment objective") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val init: Array[Array[Float]] = emb.filter($"vec_id" < 16)
+      .orderBy($"vec_id").select($"embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val trained = VectorAgg.trainIvfCentroids(emb, 16, 64, iters = 3)
+
+    def objective(cents: Array[Array[Float]]): Double = {
+      // mean cosine of each vector to its assigned centroid (higher = tighter)
+      val assigned = emb.select($"embedding",
+        VectorExpressions.nearestCentroid($"embedding", cents).as("cell"))
+      val centDf = cents.zipWithIndex
+        .map { case (c, i) => (i + 1, c) }.toSeq.toDF("cell", "cv")
+      assigned.join(broadcast(centDf), "cell")
+        .select(VectorExpressions.cosineFast($"embedding", $"cv").as("cos"))
+        .agg(avg($"cos")).head().getDouble(0)
+    }
+    val (before, after) = (objective(init), objective(trained))
+    assert(after >= before - 1e-9, s"objective worsened: $before -> $after")
+    assert(trained.length === 16 && trained.forall(_.length === 64))
+  }
+}

@@ -1,0 +1,34 @@
+// Regenerates PLANS.md: tools/run.sh needs this on the test classpath,
+// so: cp tools/DumpPlans.scala src/test/scala/graft/ && sbt "Test/runMain graft.DumpPlans" && rm ...
+package graft
+
+import java.nio.file.{Files, Paths}
+
+object DumpPlans {
+  val Headline = Seq(
+    "q1_pricing_summary", "q5_region_revenue", "q_minhash_pairs",
+    "q_ngram_jaccard", "q_knn_brute", "q_topn_custom", "q_asof_join",
+    "q_range_join")
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.getOrCreate("plans")
+    val d = "/root/testdata/sf0.1"
+    val sb = new StringBuilder
+    sb.append("# PLANS — formatted physical plans of headline queries (sf0.1)\n\n")
+    sb.append("Regenerate with `graft.DumpPlans`. What to look for: " +
+      "`PushedFilters`/`ReadSchema` on every scan (pushdown + pruning), " +
+      "`BroadcastHashJoin` on dimension joins, partial→final HashAggregate " +
+      "pairs, and `TopKPerGroup` partial/final around a K·groups-row " +
+      "exchange.\n")
+    for (n <- Headline) {
+      val df = SparkEntry.queries(n)(spark, d)
+      sb.append(s"\n## $n\n\n```\n")
+      sb.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      sb.append("```\n")
+    }
+    Files.writeString(Paths.get("PLANS.md"), sb.toString)
+    println(s"wrote PLANS.md (${sb.length} chars)")
+    spark.stop()
+  }
+}
