@@ -158,6 +158,45 @@ object Relational {
       .intersect(Tables.supplier(s, d).select($"s_nationkey".as("nk")))
   }
 
+  /** EXCEPT (set difference) — part sizes that no small-size order of
+    * the cheapest bracket covers (non-empty at every SF). */
+  def qExcept(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, d).select($"p_size".cast("long").as("k"))
+      .except(Tables.customer(s, d).select($"c_nationkey".cast("long").as("k")))
+  }
+
+  /** FULL OUTER join: per-nation customer/supplier counts, keeping
+    * nations present on either side only. */
+  def qFullOuter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d).groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_cust"))
+    val sup = Tables.supplier(s, d).groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(sup, $"c_nationkey" === $"s_nationkey", "full_outer")
+      .select(coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+        coalesce($"n_cust", lit(0L)).as("n_cust"),
+        coalesce($"n_supp", lit(0L)).as("n_supp"))
+  }
+
+  /** Date arithmetic: shipping delay stats per order priority
+    * (datediff + interval comparison). */
+  def qDateArith(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.lineitem(s, d).select($"l_orderkey", $"l_shipdate")
+    Tables.orders(s, d)
+      .join(l, $"o_orderkey" === $"l_orderkey")
+      .select($"o_orderpriority",
+        datediff($"l_shipdate", $"o_orderdate").cast("long").as("ship_days"),
+        when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"), 1L)
+          .otherwise(0L).as("late"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum($"ship_days").as("sum_ship_days"),
+        sum($"late").as("n_late"))
+  }
+
   def qPivotStatus(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, d)
@@ -344,6 +383,9 @@ object Relational {
     "q_lateral_explode" -> (qLateralExplode _),
     "q_collect_set" -> (qCollectSet _),
     "q_global_sort" -> (qGlobalSort _),
+    "q_except" -> (qExcept _),
+    "q_full_outer" -> (qFullOuter _),
+    "q_date_arith" -> (qDateArith _),
     "q_approx_stats" -> (qApproxStats _),
     "q_topn_per_group" -> (qTopNPerGroup _),
     "q_topn_custom" -> (qTopNCustom _),
@@ -444,6 +486,24 @@ object Relational {
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_except" ->
+      """SELECT CAST(p_size AS BIGINT) AS k FROM part
+        |EXCEPT
+        |SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer""".stripMargin,
+    "q_full_outer" ->
+      """WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+        |COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey""".stripMargin,
+    "q_date_arith" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE),
+        |  CAST(l_shipdate AS DATE))) AS BIGINT) AS sum_ship_days,
+        |CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q_in_subquery" ->
       """SELECT p_brand, COUNT(*) AS n FROM part
         |WHERE p_size IN (1, 5, 9, 13)
