@@ -109,4 +109,27 @@ object StreamingOps {
     * stream×static inner join is stateless. */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, Seq(key))
+
+  /** Minimal upsert client; production = a JDBC/KV connector opened
+    * per partition. Must be serializable: it ships to executors. */
+  trait UpsertClient extends Serializable {
+    def upsert(key: String, value: Double): Unit
+  }
+
+  /** foreachBatch upsert sink: running per-type totals pushed into an
+    * external keyed store — the standard pattern for stores without a
+    * native streaming connector. Update mode emits only changed keys
+    * per micro-batch, and writes run per-partition on executors (the
+    * driver never sees the rows). */
+  def upsertTotals(events: DataFrame, client: UpsertClient) =
+    events
+      .groupBy(col("eventType"))
+      .agg(sum(col("value")).as("total"))
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          it.foreach(r => client.upsert(r.getString(0), r.getDouble(1)))
+        }
+      }
 }

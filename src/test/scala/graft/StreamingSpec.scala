@@ -7,6 +7,13 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.{Ev, StreamingOps}
 
+/** JVM-singleton store: in local mode executors share the JVM, so the
+  * per-partition upserts land here (production: a JDBC/KV client). */
+object TestStore extends StreamingOps.UpsertClient {
+  val m = new scala.collection.concurrent.TrieMap[String, Double]()
+  override def upsert(key: String, value: Double): Unit = m.put(key, value)
+}
+
 class StreamingSpec extends AnyFunSuite {
   import TestSpark._
 
@@ -83,6 +90,22 @@ class StreamingSpec extends AnyFunSuite {
       val rows = spark.table("en").select($"eventId", $"tier").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
       assert(rows === Set((1L, "gold"), (2L, "silver"))) // user 77 has no dim row
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert sink pushes running totals to a keyed store") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](spark)
+    val q = StreamingOps.upsertTotals(in.toDF(), TestStore).start()
+    try {
+      TestStore.m.clear()
+      in.addData(ev(1, 1, v = 2.0), ev(2, 2, v = 3.0))
+      q.processAllAvailable()
+      assert(TestStore.m.get("click") === Some(5.0))
+      in.addData(ev(3, 3, v = 10.0), ev(4, 4, typ = "view", v = 1.0))
+      q.processAllAvailable()
+      assert(TestStore.m.get("click") === Some(15.0))
+      assert(TestStore.m.get("view") === Some(1.0))
     } finally q.stop()
   }
 
