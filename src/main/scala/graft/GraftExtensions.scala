@@ -17,8 +17,8 @@ import graft.functions.VectorExpressions.CosineSimFloat
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
   private def intArg(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -31,21 +31,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
-      info("cosine_sim", "cosine_sim(a, b) - fused cosine similarity over float arrays"),
+      info("cosine_sim"),
       (args: Seq[Expression]) => CosineSimFloat(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("shingle_hash60"),
-      info("shingle_hash60", "shingle_hash60(tokens, n) - 60-bit md5 word-shingle hashes"),
+      info("shingle_hash60"),
       (args: Seq[Expression]) =>
         ShingleHash60(args(0), intArg(args(1), "shingle width"))))
     ext.injectFunction((
       FunctionIdentifier("minhash_sigs"),
-      info("minhash_sigs", "minhash_sigs(shingle_hashes, k) - K universal-hash minima"),
+      info("minhash_sigs"),
       (args: Seq[Expression]) =>
         MinHashSigs(args(0), intArg(args(1), "signature length"))))
     ext.injectFunction((
       FunctionIdentifier("simhash32"),
-      info("simhash32", "simhash32(tokens) - 32-bit majority-vote SimHash"),
+      info("simhash32"),
       (args: Seq[Expression]) => SimHash32(args(0))))
   }
 }

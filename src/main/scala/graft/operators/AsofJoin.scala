@@ -41,7 +41,7 @@ object AsofJoin {
       col(rightTime).as("_t"),
       lit(0).as("_tag"),
       struct(col(rightTime).as("t"), col(payload).as("p")).as("_r"))
-    val unioned = l.select((col(key) +: l.columns.filterNot(_ == key).map(col)): _*)
+    val unioned = l.select(col(key) +: l.columns.filterNot(_ == key).toSeq.map(col): _*)
       .unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
       .orderBy(col("_t").asc, col("_tag").asc)
@@ -49,7 +49,7 @@ object AsofJoin {
     unioned
       .withColumn("_last", max(col("_r")).over(w))
       .filter(col("_tag") === 1)
-      .select(leftCols.map(col) :+
+      .select(leftCols.toSeq.map(col) :+
         col("_last.t").as("asof_time") :+ col("_last.p").as("asof_payload"): _*)
   }
 

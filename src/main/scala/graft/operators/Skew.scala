@@ -25,7 +25,7 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int = 16): DataFrame = {
     val bigS = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
+      pmod(xxhash64(struct(big.columns.toSeq.map(col): _*)), lit(salts)).cast("int"))
     val smallS = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     bigS.join(smallS, Seq(key, "_salt")).drop("_salt")
