@@ -119,7 +119,26 @@ object Dedup {
         round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 6).as("jaccard"))
   }
 
+  /** Chunk-level duplication profile via content-defined chunking
+    * (rolling-hash boundaries, see [[graft.functions.TextChunker]]):
+    * how much of the corpus is made of chunks shared across documents.
+    * Rows-only oracle (the rolling boundary isn't SQL-expressible);
+    * kernel behavior is property-tested. */
+  def qChunkDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        explode(graft.functions.TextChunker.rollingChunks($"text")).as("chunk"))
+      .groupBy($"chunk")
+      .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when($"n_docs" > 1, 1L).otherwise(0L)).as("n_shared_chunks"),
+        sum($"n_occ").as("n_occurrences"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_dedup" -> (qChunkDedup _),
     "q_exact_dedup" -> (qExactDedup _),
     "q_fingerprint" -> (qFingerprint _),
     "q_minhash_sig" -> (qMinhashSig _),

@@ -63,7 +63,24 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
   }
 
+  private val BpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** BPE-ish subword-friendly token counting: letter runs, digit runs
+    * and single punctuation marks count separately (the shape BPE
+    * pre-tokenizers split on), vs bare whitespace tokens. The regex
+    * is kept to a syntax subset Java regex and RE2 (DuckDB) evaluate
+    * identically. */
+  def qTokenRegex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("ntok",
+        size(regexp_extract_all($"text", lit(BpeIshPattern), lit(0))).cast("long"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("sum_bpe_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_regex" -> (qTokenRegex _),
     "q_token_count" -> (qTokenCount _),
     "q_text_quality" -> (qTextQuality _),
     "q_lang_id" -> (qLangId _)
@@ -73,6 +90,11 @@ object TextAnalysis {
     ms.map(m => s"'$m'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_token_regex" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |CAST(SUM(len(regexp_extract_all(text, '$BpeIshPattern'))) AS BIGINT)
+         |  AS sum_bpe_tokens
+         |FROM documents GROUP BY lang""".stripMargin,
     "q_token_count" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS sum_tokens,
