@@ -15,6 +15,11 @@ case class SessionOut(userId: Long, startUs: Long, endUs: Long, nEvents: Long)
 
 private case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
 
+/** First signup→purchase conversion emitted by the streaming funnel. */
+case class Conversion(userId: Long, signupUs: Long, purchaseUs: Long, lagUs: Long)
+
+private case class FunnelState(firstSignupUs: Long, converted: Boolean)
+
 /** Structured Streaming twins of the batch event operators in
   * [[graft.operators.Events]]. Each takes a (possibly streaming)
   * events frame — e.g. a MemoryStream in tests, Kafka/file sources in
@@ -78,6 +83,49 @@ object StreamingOps {
 
     events
       .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(onUser)
+  }
+
+  /** Streaming funnel — the twin of batch `q_funnel`: per-user state
+    * remembers the first signup; the first purchase at or after it
+    * emits one Conversion. State for users who never convert is
+    * dropped by event-time timeout (`horizonMinutes` past their
+    * signup), so state is bounded by the active-user horizon. */
+  def funnel(events: Dataset[Ev], horizonMinutes: Int = 60 * 24): Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+
+    def onUser(userId: Long, evs: Iterator[Ev],
+               state: GroupState[FunnelState]): Iterator[Conversion] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+      var cur = state.getOption
+      var out = List.empty[Conversion]
+      for (e <- sorted) {
+        val us = e.ts.getTime * 1000
+        e.eventType match {
+          case "signup" if cur.isEmpty =>
+            cur = Some(FunnelState(us, converted = false))
+          case "purchase" =>
+            cur match {
+              case Some(st) if !st.converted && us >= st.firstSignupUs =>
+                out ::= Conversion(userId, st.firstSignupUs, us, us - st.firstSignupUs)
+                cur = Some(st.copy(converted = true))
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+      cur.foreach { st =>
+        state.update(st)
+        state.setTimeoutTimestamp(
+          st.firstSignupUs / 1000 + horizonMinutes.toLong * 60 * 1000)
+      }
+      out.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", "30 minutes")
       .groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(onUser)
   }

@@ -93,6 +93,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel emits one conversion per user, across batches") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](spark)
+    val q = StreamingOps.funnel(in.toDS())
+      .writeStream.format("memory").queryName("fn").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 1, typ = "signup"), ev(2, 5, typ = "view"))
+      q.processAllAvailable()
+      assert(spark.table("fn").count() === 0) // no purchase yet
+      in.addData(ev(3, 20, typ = "purchase"), ev(4, 30, typ = "purchase"))
+      q.processAllAvailable()
+      val conv = spark.table("fn").as[graft.streaming.Conversion].collect()
+      assert(conv.length === 1) // second purchase doesn't re-convert
+      assert(conv.head.userId === 1L)
+      assert(conv.head.lagUs === 19L * 60000000L)
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink pushes running totals to a keyed store") {
     import spark.implicits._
     val in = MemoryStream[Ev](spark)
