@@ -18,6 +18,23 @@ class VectorAggSpec extends AnyFunSuite {
     assert(got(1) === List(10.0f, 0.0f))
   }
 
+  test("int8 quantization round-trips within half a quantization step") {
+    import spark.implicits._
+    import graft.functions.Quantize
+    val rows = Tables.embeddings(spark, sf).limit(100)
+      .select($"embedding",
+        Quantize.dequantizeInt8(Quantize.quantizeInt8($"embedding")).as("deq"))
+      .collect()
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](0)
+      val deq = r.getSeq[Double](1)
+      val step = orig.map(x => math.abs(x.toDouble)).max / 127.0
+      orig.zip(deq).foreach { case (o, q) =>
+        assert(math.abs(o - q) <= step / 2 + 1e-9, s"$o vs $q (step $step)")
+      }
+    }
+  }
+
   test("k-means training tightens the assignment objective") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
