@@ -34,6 +34,14 @@ object Sources {
 
   def parquet(s: SparkSession, path: String): DataFrame = s.read.parquet(path)
 
+  /** ORC — the other columnar format of the Hadoop/Hive era; same
+    * pushdown/pruning behavior as parquet under Catalyst. */
+  def orc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
   /** Hive-style partitioned parquet: directory per partition value, so
     * partition-pruned queries touch only matching directories. Keep
     * partition columns low-cardinality (date, region — never a key). */

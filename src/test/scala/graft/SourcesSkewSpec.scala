@@ -30,6 +30,18 @@ class SourcesSkewSpec extends AnyFunSuite {
     assert(j.as[(Long, String)].collect().toSet === Set((1L, "alpha"), (2L, "beta")))
   }
 
+  test("orc round-trips with pushdown intact") {
+    import spark.implicits._
+    val dir = tmp("orc")
+    Sources.writeOrc(Tables.lineitem(spark, sf), s"$dir/li")
+    val back = Sources.orc(spark, s"$dir/li").filter($"l_quantity" > 45.0)
+      .select($"l_orderkey", $"l_quantity")
+    assert(back.count() ===
+      Tables.lineitem(spark, sf).filter($"l_quantity" > 45.0).count())
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_quantity"), scan)
+  }
+
   test("partitioned write prunes directories on read") {
     import spark.implicits._
     val dir = tmp("part")
