@@ -52,9 +52,37 @@ object Sampling {
         min($"doc_id").as("min_doc"))
   }
 
+  /** Mixture rebalancing: downsample every source to the size of the
+    * smallest one (equal-share training mix), deterministically.
+    * Keep-thresholds are `floor(10000·min/total)` against a 10000-ary
+    * hash bucket: integer operands are exact in double and the
+    * division is correctly rounded, so both engines floor the same
+    * value and the boundary is deterministic. One agg + one
+    * broadcast-joined narrow filter: linear at 100 TB. The hash uses
+    * md5 chars 17-31 so mixture keeps are independent of the
+    * split-assignment buckets (chars 1-15). */
+  def qMixtureSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val totals = docs.groupBy($"source").agg(count(lit(1)).as("total"))
+    val minTotal = totals.agg(min($"total").as("min_total"))
+    val thresholds = totals.crossJoin(minTotal)
+      .select($"source", $"total",
+        floor(lit(10000L) * $"min_total" / $"total").as("keep_bps"))
+    val bucket10k = pmod(
+      conv(substring(md5($"doc_id".cast("string")), 17, 15), 16, 10).cast("long"),
+      lit(10000L))
+    docs
+      .join(broadcast(thresholds), "source")
+      .filter(bucket10k < $"keep_bps")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), max($"total").as("n_available"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_assign" -> (qSplitAssign _),
-    "q_quota_sample" -> (qQuotaSample _)
+    "q_quota_sample" -> (qQuotaSample _),
+    "q_mixture_sample" -> (qMixtureSample _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -68,6 +96,17 @@ object Sampling {
         |     WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         |COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM b GROUP BY 1, 2""".stripMargin,
+    "q_mixture_sample" ->
+      """WITH t AS (SELECT source, COUNT(*) AS total FROM documents GROUP BY 1),
+        |th AS (SELECT source, total,
+        |  CAST(FLOOR(10000 * (SELECT MIN(total) FROM t) * 1.0 / total) AS BIGINT)
+        |    AS keep_bps FROM t)
+        |SELECT d.source, COUNT(*) AS n_kept,
+        |CAST(MAX(th.total) AS BIGINT) AS n_available
+        |FROM documents d JOIN th ON d.source = th.source
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),17,15)) AS BIGINT)
+        |  % 10000 < th.keep_bps
+        |GROUP BY d.source""".stripMargin,
     "q_quota_sample" ->
       """WITH r AS (SELECT source, n_chars, doc_id,
         |  ROW_NUMBER() OVER (PARTITION BY source
