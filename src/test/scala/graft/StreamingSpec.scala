@@ -147,6 +147,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("restart from checkpoint neither loses nor duplicates output") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ckpt").toFile.getAbsolutePath
+    val in = MemoryStream[Ev](spark)
+    def start() = StreamingOps.dedup(in.toDF(), "30 minutes")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ck")
+      .outputMode(OutputMode.Append)
+      .start()
+    val q1 = start()
+    in.addData(ev(1, 1), ev(2, 2))
+    q1.processAllAvailable()
+    q1.stop()
+    // second incarnation resumes from the same checkpoint
+    val q2 = start()
+    try {
+      in.addData(ev(2, 3), ev(3, 4)) // 2 is a duplicate from before the restart
+      q2.processAllAvailable()
+      val ids = spark.read.parquet(s"$dir/out")
+        .select("eventId").collect().map(_.getLong(0)).sorted
+      assert(ids === Array(1L, 2L, 3L))
+    } finally q2.stop()
+  }
+
   test("streaming dedup drops repeated event ids within the watermark") {
     import spark.implicits._
     val in = MemoryStream[Ev](spark)
