@@ -106,6 +106,14 @@ object Dedup {
     * on the oracle side if mirrored). */
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    jaccardPairs(s, d)
+      .select($"doc_a", $"doc_b", $"inter",
+        round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 6).as("jaccard"))
+  }
+
+  /** Shared pair pipeline: intersection size + both set sizes. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val ds = Tables.documents(s, d)
       .select($"doc_id",
         array_distinct(MinHash.shingleHash60(tokens($"text"), JaccardN)).as("shs"))
@@ -115,8 +123,6 @@ object Dedup {
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         $"a.n".as("na"), $"b.n".as("nb"))
       .agg(count(lit(1)).as("inter"))
-      .select($"doc_a", $"doc_b", $"inter",
-        round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 6).as("jaccard"))
   }
 
   /** Chunk-level duplication profile via content-defined chunking
@@ -137,7 +143,53 @@ object Dedup {
         sum($"n_occ").as("n_occurrences"))
   }
 
+  /** Connected components by iterative min-label propagation: each
+    * node repeatedly adopts the smallest label among itself and its
+    * neighbors until fixpoint. O(diameter) joins on the edge list —
+    * the standard distributed CC shape (near-dup clusters are tiny and
+    * shallow, so this converges in a few rounds at any corpus size).
+    * Returns (id, label) with label = min doc_id of the component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .cache()
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("label", $"id").cache()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = edges.join(labels, $"src" === $"id")
+        .groupBy($"dst").agg(min($"label").as("nbr"))
+      val next = labels.join(prop, $"id" === $"dst", "left")
+        .select($"id", least($"label", coalesce($"nbr", $"label")).as("label"))
+        .cache()
+      changed = next.as("n")
+        .join(labels.select($"id", $"label".as("old")), "id")
+        .filter($"label" =!= $"old").count() // materializes `next`
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate clusters: exact-jaccard pairs above 0.5 become
+    * edges; components give one canonical (min) doc per cluster.
+    * The threshold is the integer form `3·inter > na+nb` (⇔ jaccard
+    * > 0.5), so the boundary is engine-exact. */
+  def qDupClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = jaccardPairs(s, d)
+      .filter(lit(3) * $"inter" > $"na" + $"nb")
+      .select($"doc_a", $"doc_b")
+    connectedComponents(edges)
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_docs"), max($"id").as("max_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_clusters" -> (qDupClusters _),
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_exact_dedup" -> (qExactDedup _),
     "q_fingerprint" -> (qFingerprint _),
@@ -154,6 +206,28 @@ object Dedup {
       s"i -> array_to_string(t[i:i+${n - 1}], ' '))"
 
   val oracle: Map[String, String] = Map(
+    "q_dup_clusters" -> {
+      val ngram = // same pair pipeline as the q_ngram_jaccard oracle
+        s"""WITH $tokCte,
+           |sh AS (SELECT doc_id, unnest(${shingleExpr(JaccardN)}) AS s FROM tok),
+           |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
+           |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+           |SELECT doc_a, doc_b FROM pr
+           |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+           |WHERE 3 * inter > sa.n + sb.n""".stripMargin
+      s"""WITH RECURSIVE pj AS ($ngram),
+         |e AS (SELECT doc_a AS s, doc_b AS d FROM pj
+         |  UNION SELECT doc_b, doc_a FROM pj),
+         |reach(s, d) AS (
+         |  SELECT s, s FROM e
+         |  UNION SELECT s, d FROM e
+         |  UNION SELECT reach.s, e.d FROM reach JOIN e ON reach.d = e.s),
+         |lab AS (SELECT s AS id, MIN(d) AS label FROM reach GROUP BY s)
+         |SELECT label, COUNT(*) AS n_docs, CAST(MAX(id) AS BIGINT) AS max_doc
+         |FROM lab GROUP BY label""".stripMargin
+    },
     "q_exact_dedup" ->
       """SELECT source, COUNT(*) AS n_docs,
         |COUNT(DISTINCT md5(text)) AS n_unique
