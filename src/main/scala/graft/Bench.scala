@@ -14,11 +14,17 @@ object Bench {
     val spark = GraftSession.getOrCreate("graft-bench")
     // warmup: JIT/codegen + parquet footers for every table
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // SPARK_GRAFT_BENCH_REPS > 1 reports the min of N runs (steadier
+    // numbers when the machine is noisy); default 1 keeps runtime low.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

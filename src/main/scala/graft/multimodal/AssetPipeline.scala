@@ -69,6 +69,32 @@ object AssetPipeline {
     }
   }
 
+  /** Fixed-length audio windows: segment an audio asset's payload into
+    * windowMs-sized sample blocks at its metadata sample rate — the
+    * audio analogue of frame sampling, batched per partition. The
+    * "samples" come from the stub codec; a real decoder swaps in
+    * behind the same shape. */
+  def audioWindows(assets: Dataset[Asset], windowMs: Int): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "audio").mapPartitions { it =>
+      it.flatMap { a =>
+        val rate = a.meta.sampleRate.getOrElse(8000L).toInt
+        val perWindow = math.max(rate * windowMs / 1000, 1)
+        val n = a.data.length.max(1)
+        val nWindows = math.max(n / perWindow, 1)
+        (0 until math.min(nWindows, 16)).map { w =>
+          val px = new Array[Byte](perWindow)
+          var i = 0
+          while (i < perWindow) {
+            px(i) = a.data((w * perWindow + i) % n)
+            i += 1
+          }
+          Frame(a.assetId, w, perWindow, 1, px)
+        }
+      }
+    }
+  }
+
   /** Nearest-neighbour stride resize (pure array math — runs identically
     * on real decoded pixels). */
   def resize(f: Frame, ow: Int, oh: Int): Frame = {

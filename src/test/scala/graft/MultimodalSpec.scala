@@ -35,6 +35,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.pixels.toSet.subsetOf(f1.pixels.toSet))
   }
 
+  test("audio windowing yields fixed-size sample blocks per asset") {
+    import spark.implicits._
+    val wins = AssetPipeline.audioWindows(AssetPipeline.ingest(spark, sf), 2)
+    val rows = wins.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.assetId).foreach { case (_, fs) =>
+      assert(fs.map(_.width).distinct.length === 1) // same rate → same block size
+      assert(fs.forall(f => f.pixels.length === f.width))
+    }
+  }
+
   test("frame features are bounded brightness stats") {
     val frames = AssetPipeline.sampleFrames(AssetPipeline.ingest(spark, sf), 2)
     val feats = AssetPipeline.frameFeatures(frames).collect()

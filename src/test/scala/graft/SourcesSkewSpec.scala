@@ -49,9 +49,11 @@ class SourcesSkewSpec extends AnyFunSuite {
       .transform(df => { Sources.writePartitioned(df, dir, Seq("n_regionkey")); df })
     val back = Sources.parquet(spark, dir).filter($"n_regionkey" === 0)
     assert(back.count() > 0)
-    // partition pruning: only the matching directory is listed
-    val plan = back.queryExecution.executedPlan.toString
     assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("n_regionkey=")))
+    // partition pruning reaches the scan: the filter appears as a
+    // PartitionFilter, not a data filter
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(n_regionkey"), plan)
   }
 
   test("salted join matches plain join results") {
