@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** One event on the stream (mirrors the batch `events` table). */
 case class Ev(eventId: Long, ts: Timestamp, userId: Long,
@@ -85,6 +85,70 @@ object StreamingOps {
       .withWatermark("ts", s"$gapMinutes minutes")
       .groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(onUser)
+  }
+
+  /** Gap sessionization on the transformWithState API (Spark 4's
+    * successor to flatMapGroupsWithState): explicit named ValueState +
+    * event-time timers, RocksDB-backed. Same semantics as
+    * [[sessionize]]; kept alongside it to cover both state APIs. */
+  class SessionProcessor(gapMinutes: Int)
+      extends StatefulProcessor[Long, Ev, SessionOut] {
+    private val gapUs = gapMinutes.toLong * 60 * 1000000
+    private val gapMs = gapMinutes.toLong * 60 * 1000
+    @transient private var st: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+      var cur = if (st.exists()) Some(st.get()) else None
+      var closed = List.empty[SessionOut]
+      for (e <- sorted) {
+        val us = e.ts.getTime * 1000
+        cur match {
+          case Some(s) if us - s.lastUs <= gapUs =>
+            cur = Some(s.copy(lastUs = us, nEvents = s.nEvents + 1))
+          case Some(s) =>
+            closed ::= SessionOut(userId, s.startUs, s.lastUs, s.nEvents)
+            cur = Some(SessionState(us, us, 1))
+          case None =>
+            cur = Some(SessionState(us, us, 1))
+        }
+      }
+      cur.foreach { s =>
+        st.update(s)
+        getHandle.registerTimer(s.lastUs / 1000 + gapMs)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[SessionOut] = {
+      // stale timers from earlier events in the same session fire too:
+      // only close when the gap has truly passed
+      if (st.exists()) {
+        val s = st.get()
+        if (info.getExpiryTimeInMs() >= s.lastUs / 1000 + gapMs) {
+          st.clear()
+          return Iterator(SessionOut(userId, s.startUs, s.lastUs, s.nEvents))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** [[sessionize]] on the transformWithState API. Requires the
+    * RocksDB state store provider. */
+  def sessionizeTws(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.userId)
+      .transformWithState(new SessionProcessor(gapMinutes),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Streaming funnel — the twin of batch `q_funnel`: per-user state

@@ -93,6 +93,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sessionization matches the classic API semantics") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Ev](spark)
+    val q = StreamingOps.sessionizeTws(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("tws").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 1), ev(2, 10))
+      q.processAllAvailable()
+      in.addData(ev(3, 70))
+      q.processAllAvailable()
+      in.addData(ev(9, 500, user = 99))
+      q.processAllAvailable()
+      in.addData(ev(10, 600, user = 99))
+      q.processAllAvailable()
+      val sessions = spark.table("tws").as[graft.streaming.SessionOut]
+        .collect().filter(_.userId == 1).sortBy(_.startUs)
+      assert(sessions.length === 2)
+      assert(sessions(0).nEvents === 2 && sessions(0).startUs === 60000000L)
+      assert(sessions(1).nEvents === 1 && sessions(1).startUs === 70L * 60000000L)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming funnel emits one conversion per user, across batches") {
     import spark.implicits._
     val in = MemoryStream[Ev](spark)
