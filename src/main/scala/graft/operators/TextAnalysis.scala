@@ -44,7 +44,11 @@ object TextAnalysis {
         round((length($"text") - $"ntok" + 1).cast("double") / $"ntok", 6)
           .as("avg_word_len"),
         round(markerCount(toks, stopwords).cast("double") / $"ntok", 6)
-          .as("stopword_ratio"))
+          .as("stopword_ratio"),
+        // non-alphanumeric, non-space share of all characters
+        round((length($"text") -
+          length(regexp_replace($"text", "[^a-zA-Z0-9 ]", ""))).cast("double") /
+          greatest(length($"text"), lit(1)), 6).as("punct_ratio"))
   }
 
   def qLangId(s: SparkSession, d: String): DataFrame = {
@@ -108,7 +112,10 @@ object TextAnalysis {
          |ROUND(CAST(length(text) - ntok + 1 AS DOUBLE) / ntok, 6) AS avg_word_len,
          |ROUND(CAST(len(list_filter(toks,
          |  x -> x IN (${sqlMarkers(stopwords)}))) AS DOUBLE) / ntok, 6)
-         |  AS stopword_ratio
+         |  AS stopword_ratio,
+         |ROUND(CAST(length(text) -
+         |  length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) /
+         |  GREATEST(length(text), 1), 6) AS punct_ratio
          |FROM t""".stripMargin,
     "q_lang_id" ->
       s"""WITH t AS (SELECT lang, string_split(text,' ') AS toks FROM documents),
