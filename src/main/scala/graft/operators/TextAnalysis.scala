@@ -67,6 +67,41 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
   }
 
+  // Character-trigram profiles per language for the n-gram language-ID
+  // variant: the operator scores each document by how many of its char
+  // trigrams appear in each profile (classic Cavnar-Trenkle shape).
+  // Profiles here are fixed literals derived from the marker
+  // vocabulary; production profiles come from training frequencies.
+  private val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "he ", "fas", "ast", "que", "uer", "ery"),
+    "de" -> Seq("gro", "rou", "oup", "win", "ind", "ord", "rde"),
+    "fr" -> Seq("tab", "abl", "ble", "par", "art", "lin", "ine"))
+
+  /** Char-trigram language ID: score = |{trigrams(text)} ∩ profile|,
+    * deterministic arg-max. A narrow map: trigram extraction and
+    * profile membership are per-row expressions. */
+  def qLangNgram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def tri(text: Column): Column =
+      array_distinct(transform(
+        sequence(lit(1), greatest(length(text) - 2, lit(1))),
+        i => text.substr(i, lit(3))))
+    val t = tri($"text")
+    def score(profile: Seq[String]): Column =
+      size(filter(t, g => g.isInCollection(profile)))
+    val scored = Tables.documents(s, d)
+      .withColumn("s_en", score(trigramProfiles(0)._2))
+      .withColumn("s_de", score(trigramProfiles(1)._2))
+      .withColumn("s_fr", score(trigramProfiles(2)._2))
+    scored
+      .withColumn("predicted",
+        when($"s_en" >= $"s_de" && $"s_en" >= $"s_fr", "en")
+          .when($"s_de" >= $"s_fr", "de")
+          .otherwise("fr"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n"))
+  }
+
   private val BpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
   /** BPE-ish subword-friendly token counting: letter runs, digit runs
@@ -84,6 +119,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_ngram" -> (qLangNgram _),
     "q_token_regex" -> (qTokenRegex _),
     "q_token_count" -> (qTokenCount _),
     "q_text_quality" -> (qTextQuality _),
@@ -94,6 +130,21 @@ object TextAnalysis {
     ms.map(m => s"'$m'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_lang_ngram" ->
+      s"""WITH t AS (SELECT lang,
+         |  list_distinct(list_transform(
+         |    generate_series(1, greatest(length(text)-2, 1)),
+         |    i -> substr(text, i, 3))) AS tg FROM documents),
+         |sc AS (SELECT lang,
+         |  len(list_filter(tg, x -> x IN (${sqlMarkers(trigramProfiles(0)._2)}))) AS s_en,
+         |  len(list_filter(tg, x -> x IN (${sqlMarkers(trigramProfiles(1)._2)}))) AS s_de,
+         |  len(list_filter(tg, x -> x IN (${sqlMarkers(trigramProfiles(2)._2)}))) AS s_fr
+         |  FROM t)
+         |SELECT lang,
+         |CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |     WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted,
+         |COUNT(*) AS n
+         |FROM sc GROUP BY 1, 2""".stripMargin,
     "q_token_regex" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          |CAST(SUM(len(regexp_extract_all(text, '$BpeIshPattern'))) AS BIGINT)
