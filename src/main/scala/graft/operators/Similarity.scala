@@ -102,6 +102,33 @@ object Similarity {
         round($"cos", 6).as("cos"))
   }
 
+  /** Multi-probe LSH ANN: each query also probes the [[Planes]]
+    * buckets at Hamming distance 1 from its own (flip one hyperplane
+    * bit), recovering most neighbors lost across a single boundary for
+    * (Planes+1)× probe cost — still ~(Planes+1)/2^Planes of the corpus,
+    * nowhere near a scan. The classic recall/cost knob. */
+  def qAnnMultiProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", bucketOf($"embedding").as("bucket"))
+    val probes = (0 until Planes).map(p => $"bucket".bitwiseXOR(lit(1L << p)))
+    val q = emb.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"),
+        explode(array(($"bucket" +: probes): _*)).as("bucket"))
+    val scored = broadcast(q)
+      .join(emb, Seq("bucket"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosineFast($"qv", $"embedding").as("cos"))
+      .distinct()
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"neighbor_id", $"rank".cast("long").as("rank"),
+        round($"cos", 6).as("cos"))
+  }
+
   /** LSH-bucketed near-duplicate pairs: the 100 TB path for
     * [[qEmbedNearDup]]'s semantics. Pairs are generated only within a
     * bucket (~N/2^Planes rows each), so work is Σ bucketᵢ² instead of
@@ -166,6 +193,7 @@ object Similarity {
     "q_knn_brute" -> (qKnnBrute _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_multiprobe" -> (qAnnMultiProbe _),
     "q_ann_ivf" -> (qAnnIvf _)
   )
 

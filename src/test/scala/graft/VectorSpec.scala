@@ -40,6 +40,21 @@ class VectorSpec extends AnyFunSuite {
     assert(joined.filter($"acos" =!= $"bcos").count() === 0)
   }
 
+  test("multi-probe LSH recall dominates single-bucket recall") {
+    import spark.implicits._
+    val brute = Similarity.qKnnBrute(spark, sf)
+      .select($"query_id", $"neighbor_id")
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val hits = df.select($"query_id", $"neighbor_id")
+        .join(brute, Seq("query_id", "neighbor_id")).count()
+      hits.toDouble / brute.count()
+    }
+    val single = recall(Similarity.qAnnLsh(spark, sf))
+    val multi = recall(Similarity.qAnnMultiProbe(spark, sf))
+    assert(multi >= single, s"multi-probe $multi < single $single")
+    assert(multi > 0)
+  }
+
   test("minhash universal-hash constants stay in range") {
     (0 until 64).foreach { j =>
       assert(MinHash.aj(j) >= 1 && MinHash.aj(j) < MinHash.M)
