@@ -77,18 +77,16 @@ object TextAnalysis {
     "de" -> Seq("gro", "rou", "oup", "win", "ind", "ord", "rde"),
     "fr" -> Seq("tab", "abl", "ble", "par", "art", "lin", "ine"))
 
-  /** Char-trigram language ID: score = |{trigrams(text)} ∩ profile|,
-    * deterministic arg-max. A narrow map: trigram extraction and
-    * profile membership are per-row expressions. */
+  /** Char-trigram language ID: score = |{trigrams(text)} ∩ profile| =
+    * number of profile trigrams contained in the text (profiles are
+    * duplicate-free), deterministic arg-max. Expressed as a handful of
+    * codegen'd `contains` probes — no array materialization at all,
+    * so the scan stays in whole-stage codegen. */
   def qLangNgram(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    def tri(text: Column): Column =
-      array_distinct(transform(
-        sequence(lit(1), greatest(length(text) - 2, lit(1))),
-        i => text.substr(i, lit(3))))
-    val t = tri($"text")
     def score(profile: Seq[String]): Column =
-      size(filter(t, g => g.isInCollection(profile)))
+      profile.map(p => when($"text".contains(p), 1).otherwise(0))
+        .reduce[Column](_ + _)
     val scored = Tables.documents(s, d)
       .withColumn("s_en", score(trigramProfiles(0)._2))
       .withColumn("s_de", score(trigramProfiles(1)._2))
@@ -130,21 +128,21 @@ object TextAnalysis {
     ms.map(m => s"'$m'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
-    "q_lang_ngram" ->
-      s"""WITH t AS (SELECT lang,
-         |  list_distinct(list_transform(
-         |    generate_series(1, greatest(length(text)-2, 1)),
-         |    i -> substr(text, i, 3))) AS tg FROM documents),
-         |sc AS (SELECT lang,
-         |  len(list_filter(tg, x -> x IN (${sqlMarkers(trigramProfiles(0)._2)}))) AS s_en,
-         |  len(list_filter(tg, x -> x IN (${sqlMarkers(trigramProfiles(1)._2)}))) AS s_de,
-         |  len(list_filter(tg, x -> x IN (${sqlMarkers(trigramProfiles(2)._2)}))) AS s_fr
-         |  FROM t)
+    "q_lang_ngram" -> {
+      def sqlScore(profile: Seq[String]): String =
+        profile.map(p => s"(CASE WHEN contains(text, '$p') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+      s"""WITH sc AS (SELECT lang,
+         |  ${sqlScore(trigramProfiles(0)._2)} AS s_en,
+         |  ${sqlScore(trigramProfiles(1)._2)} AS s_de,
+         |  ${sqlScore(trigramProfiles(2)._2)} AS s_fr
+         |  FROM documents)
          |SELECT lang,
          |CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
          |     WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted,
          |COUNT(*) AS n
-         |FROM sc GROUP BY 1, 2""".stripMargin,
+         |FROM sc GROUP BY 1, 2""".stripMargin
+    },
     "q_token_regex" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          |CAST(SUM(len(regexp_extract_all(text, '$BpeIshPattern'))) AS BIGINT)
