@@ -17,15 +17,6 @@ object TextFunctions {
   /** Whitespace tokens. Mirrors DuckDB `string_split(text, ' ')`. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles as space-joined strings.
-    * Mirrors DuckDB
-    * `list_transform(generate_series(1, greatest(len(t)-(n-1),1)),
-    *    i -> array_to_string(t[i:i+n-1], ' '))`. */
-  def shingles(toks: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
-
   /** Canonical text normalization for fingerprinting: lowercase, strip
     * everything but [a-z0-9 ]. */
   def normalize(text: Column): Column =
@@ -38,14 +29,11 @@ object TextFunctions {
   def markerCount(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(markers)))
 
-  /** One MinHash signature value: lexicographic min of seeded md5 over
-    * the shingle set. Identical formula in DuckDB:
-    * `list_aggregate(list_transform(sh, x -> md5('<seed>|' || x)), 'min')`. */
-  def minhash(shingleCol: Column, seed: Int): Column =
-    array_min(transform(shingleCol, x => md5(concat(lit(s"$seed|"), x))))
-
-  /** 60-bit shingle/token hash from the md5 hex prefix — reproducible
-    * in DuckDB as `CAST(('0x' || substr(md5(t),1,15)) AS BIGINT)`. */
-  def tokenHash60(t: Column): Column =
-    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+  /** 60-bit integer from 15 hex chars of md5(x) starting at 1-based hex
+    * position `startHex` — the engine's standard oracle-reproducible
+    * hash: `CAST(('0x' || substr(md5(x), startHex, 15)) AS BIGINT)`.
+    * Different startHex values give independent hash streams from one
+    * md5 evaluation. */
+  def md5Prefix60(c: Column, startHex: Int = 1): Column =
+    conv(substring(md5(c), startHex, 15), 16, 10).cast("long")
 }

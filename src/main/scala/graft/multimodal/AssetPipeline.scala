@@ -42,10 +42,11 @@ object AssetPipeline {
     val w = a.meta.width.getOrElse(64L).toInt
     val h = a.meta.height.getOrElse(64L).toInt
     val px = new Array[Byte](w * h)
-    val n = a.data.length.max(1)
+    val n = a.data.length
     var i = 0
     while (i < px.length) {
-      px(i) = (((a.data(i % n) & 0xff) + 31 * frameIdx + i / w) & 0xff).toByte
+      val b = if (n == 0) 0 else a.data(i % n) & 0xff
+      px(i) = ((b + 31 * frameIdx + i / w) & 0xff).toByte
       i += 1
     }
     Frame(a.assetId, frameIdx, w, h, px)
@@ -80,13 +81,13 @@ object AssetPipeline {
       it.flatMap { a =>
         val rate = a.meta.sampleRate.getOrElse(8000L).toInt
         val perWindow = math.max(rate * windowMs / 1000, 1)
-        val n = a.data.length.max(1)
+        val n = a.data.length
         val nWindows = math.max(n / perWindow, 1)
         (0 until math.min(nWindows, 16)).map { w =>
           val px = new Array[Byte](perWindow)
           var i = 0
           while (i < perWindow) {
-            px(i) = a.data((w * perWindow + i) % n)
+            px(i) = if (n == 0) 0 else a.data((w * perWindow + i) % n)
             i += 1
           }
           Frame(a.assetId, w, perWindow, 1, px)

@@ -171,6 +171,10 @@ object Dedup {
       labels = next
       i += 1
     }
+    edges.unpersist()
+    if (changed > 0) System.err.println(
+      s"[graft] connectedComponents: not converged after $maxIter iterations " +
+        s"($changed labels still changing) — raise maxIter for deep chains")
     labels
   }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.TextFunctions
 
 /** Deterministic sampling / splitting for training-data curation.
   *
@@ -17,7 +18,7 @@ object Sampling {
 
   /** Deterministic bucket in [0, 100) from the id's md5. */
   private def pctBucket(id: org.apache.spark.sql.Column) =
-    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"), lit(100L))
+    pmod(TextFunctions.md5Prefix60(id.cast("string")), lit(100L))
 
   /** Hash-based train/val/test split (80/10/10): stable under reruns,
     * retries, and repartitioning. */
@@ -70,7 +71,7 @@ object Sampling {
       .select($"source", $"total",
         floor(lit(10000L) * $"min_total" / $"total").as("keep_bps"))
     val bucket10k = pmod(
-      conv(substring(md5($"doc_id".cast("string")), 17, 15), 16, 10).cast("long"),
+      TextFunctions.md5Prefix60($"doc_id".cast("string"), startHex = 17),
       lit(10000L))
     docs
       .join(broadcast(thresholds), "source")

@@ -20,12 +20,15 @@ object Skew {
     * key finds its match. One shuffle, hot keys spread over `salts`
     * partitions. Row multiplication is on the SMALL side only.
     *
-    * The salt is derived from a hash of the whole row rather than
-    * rand() so plans stay deterministic and retries are safe. */
+    * The salt mixes a row hash with a per-partition row counter so
+    * byte-identical duplicate rows of a hot key (the classic skew
+    * input) still spread across salts. Which salt a row gets can vary
+    * across retries, but the join RESULT is salt-invariant. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int = 16): DataFrame = {
     val bigS = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.toSeq.map(col): _*)), lit(salts)).cast("int"))
+      pmod(xxhash64(struct(big.columns.toSeq.map(col): _*))
+        + monotonically_increasing_id(), lit(salts)).cast("int"))
     val smallS = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     bigS.join(smallS, Seq(key, "_salt")).drop("_salt")

@@ -18,7 +18,8 @@ private case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
 /** First signup→purchase conversion emitted by the streaming funnel. */
 case class Conversion(userId: Long, signupUs: Long, purchaseUs: Long, lagUs: Long)
 
-private case class FunnelState(firstSignupUs: Long, converted: Boolean)
+private case class FunnelState(firstSignupUs: Long,
+                               pendingPurchaseUs: Long, converted: Boolean)
 
 /** Structured Streaming twins of the batch event operators in
   * [[graft.operators.Events]]. Each takes a (possibly streaming)
@@ -65,8 +66,11 @@ object StreamingOps {
       for (e <- sorted) {
         val us = e.ts.getTime * 1000
         cur match {
+          // a late (out-of-order but in-watermark) event extends the
+          // session boundaries, never regresses them
           case Some(s) if us - s.lastUs <= gapUs =>
-            cur = Some(s.copy(lastUs = us, nEvents = s.nEvents + 1))
+            cur = Some(SessionState(math.min(s.startUs, us),
+              math.max(s.lastUs, us), s.nEvents + 1))
           case Some(s) =>
             closed ::= SessionOut(userId, s.startUs, s.lastUs, s.nEvents)
             cur = Some(SessionState(us, us, 1))
@@ -109,8 +113,11 @@ object StreamingOps {
       for (e <- sorted) {
         val us = e.ts.getTime * 1000
         cur match {
+          // a late (out-of-order but in-watermark) event extends the
+          // session boundaries, never regresses them
           case Some(s) if us - s.lastUs <= gapUs =>
-            cur = Some(s.copy(lastUs = us, nEvents = s.nEvents + 1))
+            cur = Some(SessionState(math.min(s.startUs, us),
+              math.max(s.lastUs, us), s.nEvents + 1))
           case Some(s) =>
             closed ::= SessionOut(userId, s.startUs, s.lastUs, s.nEvents)
             cur = Some(SessionState(us, us, 1))
@@ -152,39 +159,52 @@ object StreamingOps {
   }
 
   /** Streaming funnel — the twin of batch `q_funnel`: per-user state
-    * remembers the first signup; the first purchase at or after it
-    * emits one Conversion. State for users who never convert is
-    * dropped by event-time timeout (`horizonMinutes` past their
-    * signup), so state is bounded by the active-user horizon. */
+    * tracks the earliest signup AND the earliest pending purchase, so
+    * cross-batch arrival order doesn't matter (a purchase arriving
+    * before its user's late signup still converts once the signup
+    * lands; a late earlier signup lowers firstSignupUs before
+    * conversion). Residual divergence from batch: a purchase
+    * timestamped before the final firstSignupUs never converts, as in
+    * batch; only its replacement purchase must arrive after the
+    * signup. State for users who never convert is dropped by
+    * event-time timeout (`horizonMinutes` past first activity). */
   def funnel(events: Dataset[Ev], horizonMinutes: Int = 60 * 24): Dataset[Conversion] = {
     import events.sparkSession.implicits._
+    val none = -1L
 
     def onUser(userId: Long, evs: Iterator[Ev],
                state: GroupState[FunnelState]): Iterator[Conversion] = {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
-      var cur = state.getOption
-      var out = List.empty[Conversion]
+      var st = state.getOption.getOrElse(FunnelState(none, none, converted = false))
       for (e <- sorted) {
         val us = e.ts.getTime * 1000
         e.eventType match {
-          case "signup" if cur.isEmpty =>
-            cur = Some(FunnelState(us, converted = false))
-          case "purchase" =>
-            cur match {
-              case Some(st) if !st.converted && us >= st.firstSignupUs =>
-                out ::= Conversion(userId, st.firstSignupUs, us, us - st.firstSignupUs)
-                cur = Some(st.copy(converted = true))
-              case _ =>
-            }
+          case "signup" if !st.converted =>
+            st = st.copy(firstSignupUs =
+              if (st.firstSignupUs == none) us else math.min(st.firstSignupUs, us))
+          case "purchase" if !st.converted =>
+            st = st.copy(pendingPurchaseUs =
+              if (st.pendingPurchaseUs == none) us else math.min(st.pendingPurchaseUs, us))
           case _ =>
         }
       }
-      cur.foreach { st =>
-        state.update(st)
-        state.setTimeoutTimestamp(
-          st.firstSignupUs / 1000 + horizonMinutes.toLong * 60 * 1000)
+      var out = List.empty[Conversion]
+      if (!st.converted && st.firstSignupUs != none && st.pendingPurchaseUs != none) {
+        if (st.pendingPurchaseUs >= st.firstSignupUs) {
+          out ::= Conversion(userId, st.firstSignupUs, st.pendingPurchaseUs,
+            st.pendingPurchaseUs - st.firstSignupUs)
+          st = st.copy(converted = true, pendingPurchaseUs = none)
+        } else {
+          // a purchase before the signup can never convert; drop it so
+          // a later purchase can
+          st = st.copy(pendingPurchaseUs = none)
+        }
       }
+      state.update(st)
+      val anchorUs =
+        if (st.firstSignupUs != none) st.firstSignupUs else st.pendingPurchaseUs.max(0L)
+      state.setTimeoutTimestamp(anchorUs / 1000 + horizonMinutes.toLong * 60 * 1000)
       out.reverseIterator
     }
 

@@ -24,6 +24,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(perAsset.nonEmpty && perAsset.forall(_._2 <= 3))
   }
 
+  test("decode and audio windowing survive empty payloads") {
+    val empty = Asset(1L, "video", Array.emptyByteArray,
+      AssetMeta(Some(64L), Some(64L), None, Some(4L)))
+    val f = AssetPipeline.decode(empty, 0)
+    assert(f.pixels.length === 64 * 64)
+    import spark.implicits._
+    val ds = Seq(empty.copy(kind = "audio",
+      meta = AssetMeta(None, None, Some(8000L), None))).toDS()
+    assert(AssetPipeline.audioWindows(ds, 2).collect().nonEmpty)
+  }
+
   test("decode is deterministic and resize preserves value range") {
     val a = Asset(7L, "video", "hello world".getBytes,
       AssetMeta(None, None, None, Some(10L)))

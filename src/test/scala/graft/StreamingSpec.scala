@@ -93,6 +93,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late in-watermark event never regresses session boundaries") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](spark)
+    val q = StreamingOps.sessionize(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("late").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 100))
+      q.processAllAvailable()
+      in.addData(ev(2, 85)) // late but within the 30-min watermark
+      q.processAllAvailable()
+      // close the session by timeout
+      in.addData(ev(8, 500, user = 99)); q.processAllAvailable()
+      in.addData(ev(9, 600, user = 99)); q.processAllAvailable()
+      val s = spark.table("late").as[graft.streaming.SessionOut]
+        .collect().filter(_.userId == 1)
+      assert(s.length === 1)
+      assert(s.head.startUs === 85L * 60000000L) // extended backwards
+      assert(s.head.endUs === 100L * 60000000L)  // not regressed
+      assert(s.head.nEvents === 2)
+    } finally q.stop()
+  }
+
+  test("funnel converts when the purchase arrives before a late signup") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](spark)
+    val q = StreamingOps.funnel(in.toDS())
+      .writeStream.format("memory").queryName("fn2").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 100, typ = "purchase"))
+      q.processAllAvailable()
+      in.addData(ev(2, 90, typ = "signup")) // arrives later, timestamped earlier
+      q.processAllAvailable()
+      val conv = spark.table("fn2").as[graft.streaming.Conversion].collect()
+      assert(conv.length === 1)
+      assert(conv.head.lagUs === 10L * 60000000L)
+    } finally q.stop()
+  }
+
   test("transformWithState sessionization matches the classic API semantics") {
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")

@@ -55,6 +55,17 @@ class TopKSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.plans.TopKRewrite.ConfKey)
   }
 
+  test("empty group key computes global top-k") {
+    import spark.implicits._
+    val top = TopK.perGroup(
+      Tables.customer(spark, sf).select($"c_custkey", $"c_acctbal"),
+      3, Seq(), Seq($"c_acctbal".desc, $"c_custkey".asc))
+    val want = Tables.customer(spark, sf)
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc).limit(3)
+      .select($"c_custkey", $"c_acctbal").collect().toSet
+    assert(top.collect().toSet === want)
+  }
+
   test("top-k with expression group key and multi-column ordering") {
     import spark.implicits._
     val top = TopK.perGroup(
