@@ -90,7 +90,22 @@ object Events {
       .agg(sum($"k").as("sum_k"), max($"k").as("max_k"), count(lit(1)).as("n"))
   }
 
+  /** Sessionization via Spark's native session_window operator (merging
+    * gap-based windows inside the aggregation itself) — the built-in
+    * complement to the manual lag/running-sum formulation in
+    * [[qSessionize]], and the same operator Structured Streaming uses
+    * for streaming session windows. */
+  def qSessionWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", unix_micros($"w.start").as("session_start_us"),
+        $"n_events")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_window" -> (qSessionWindow _),
     "q_tumbling_hourly" -> (qTumblingHourly _),
     "q_sessionize" -> (qSessionize _),
     "q_funnel" -> (qFunnel _),
@@ -99,6 +114,18 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_session_window" ->
+      """WITH g AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |  LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev
+        |  FROM events),
+        |m AS (SELECT user_id, ts_us,
+        |  SUM(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us ASC ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events
+        |FROM m GROUP BY user_id, sid""".stripMargin,
     "q_tumbling_hourly" ->
       s"""SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
          |COUNT(*) AS n, ${sqlSum("value")} AS sum_value

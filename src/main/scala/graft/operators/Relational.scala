@@ -221,6 +221,20 @@ object Relational {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Explicit GROUPING SETS (beyond rollup/cube) with grouping_id to
+    * disambiguate the aggregation level of each output row. */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  COUNT(*) AS n
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |""".stripMargin)
+  }
+
   def qInSubquery(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val hot = Tables.lineitem(s, d).filter($"l_quantity" > 45.0)
@@ -377,6 +391,7 @@ object Relational {
     "q_pivot_status" -> (qPivotStatus _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_in_subquery" -> (qInSubquery _),
     "q_quantiles" -> (qQuantiles _),
     "q_stats_moments" -> (qStatsMoments _),
@@ -504,6 +519,12 @@ object Relational {
         |  THEN 1 ELSE 0 END) AS BIGINT) AS n_late
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
     "q_in_subquery" ->
       """SELECT p_brand, COUNT(*) AS n FROM part
         |WHERE p_size IN (1, 5, 9, 13)
