@@ -42,6 +42,25 @@ object Sources {
                mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).orc(path)
 
+  /** Small-file compaction: rewrite a parquet dataset into files of
+    * roughly `targetFileMB` each. Thousands of tiny files (the residue
+    * of fine-grained streaming/ingest batches) dominate 100 TB scan
+    * time through open/footer overhead and task scheduling; compaction
+    * is the periodic maintenance job that fixes it. Uses coalesce when
+    * shrinking (no shuffle) and repartition when growing. */
+  def compact(s: SparkSession, inPath: String, outPath: String,
+              targetFileMB: Int = 256): Unit = {
+    val df = s.read.parquet(inPath)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = math.max(
+      (bytes / (targetFileMB.toLong << 20)).toLong, 1L).toInt
+    val current = df.rdd.getNumPartitions
+    val out = if (target < current) df.coalesce(target)
+              else if (target > current) df.repartition(target)
+              else df
+    out.write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
+
   /** Hive-style partitioned parquet: directory per partition value, so
     * partition-pruned queries touch only matching directories. Keep
     * partition columns low-cardinality (date, region — never a key). */

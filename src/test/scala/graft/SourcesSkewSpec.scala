@@ -56,6 +56,21 @@ class SourcesSkewSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(n_regionkey"), plan)
   }
 
+  test("compaction collapses many small files into few, losslessly") {
+    import spark.implicits._
+    val dir = tmp("compact")
+    // fragment lineitem into many tiny files
+    Tables.lineitem(spark, sf).repartition(64).write.parquet(s"$dir/frag")
+    assert(new java.io.File(s"$dir/frag").listFiles()
+      .count(_.getName.endsWith(".parquet")) === 64)
+    Sources.compact(spark, s"$dir/frag", s"$dir/out", targetFileMB = 256)
+    val outFiles = new java.io.File(s"$dir/out").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(outFiles < 8, s"expected few files, got $outFiles")
+    assert(spark.read.parquet(s"$dir/out").count() ===
+      Tables.lineitem(spark, sf).count())
+  }
+
   test("salted join matches plain join results") {
     import spark.implicits._
     val big = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey", $"o_totalprice")
