@@ -14,7 +14,7 @@ import graft.functions.TextFunctions._
   * Scale design (100 TB corpus):
   * - exact/fingerprint dedup is one hash-partitioned groupBy (single
   *   shuffle on a 128-bit key — uniformly distributed, no skew);
-  * - MinHash signatures are a narrow map (higher-order fold per row,
+  * - MinHash signatures are a narrow map (one codegen pass per row,
   *   no explode/shuffle); LSH banding shuffles once on (band, bucket)
   *   keys, and candidate pair generation is per-bucket — bounded by
   *   band width, never a global cross product;
