@@ -31,11 +31,17 @@ object AsofJoin {
   def join(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String, payload: String): DataFrame = {
     val leftCols = left.columns
+    // Null placeholder typed as the EXACT struct<t,p> built on the right
+    // side below — same field names, so unionByName merges the two
+    // branches into one identical struct type regardless of the right
+    // table's own column names.
+    val rStruct = right
+      .select(struct(col(rightTime).as("t"), col(payload).as("p")))
+      .schema.fields.head.dataType
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_tag", lit(1))
-      .withColumn("_r", lit(null).cast(
-        right.select(struct(col(rightTime), col(payload))).schema.fields.head.dataType))
+      .withColumn("_r", lit(null).cast(rStruct))
     val r = right.select(
       col(key),
       col(rightTime).as("_t"),

@@ -19,9 +19,11 @@ import graft.functions.Det._
   */
 object Events {
 
-  /** events with `ts` as a micros-precision timestamp (+ `ts_us` long). */
+  /** events with `ts` as a micros-precision timestamp (+ `ts_us` long).
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set once at
+    * session build time in [[graft.GraftSession]] — never mutated here
+    * (a per-query `conf.set` would be a session-global side effect). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.events(s, d)
       .withColumn("ts_us", expr("ts DIV 1000"))
       .withColumn("ts", timestamp_micros(col("ts_us")))

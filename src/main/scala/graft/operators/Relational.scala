@@ -258,17 +258,24 @@ object Relational {
 
   /** stddev/variance from exact decimal moments — order-independent,
     * unlike the built-in streaming (Welford) implementations which are
-    * partitioning-dependent in their last few FP bits. */
+    * partitioning-dependent in their last few FP bits.
+    *
+    * The squared term is computed entirely in DECIMAL: cast the 2-dp
+    * price to DECIMAL(18,2) first, square in decimal arithmetic
+    * (exact at 4 dp), sum exactly, and convert to double once at the
+    * end. Squaring in double and casting the product would round twice
+    * and can disagree with the oracle on cast boundaries. */
   def qStatsMoments(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val p2 = $"o_totalprice".cast("decimal(18,2)")
     Tables.orders(s, d)
       .groupBy($"o_orderstatus")
       .agg(
         count(lit(1)).as("n"),
         dsum($"o_totalprice").as("sx"),
-        dsum($"o_totalprice" * $"o_totalprice" / 1000.0).as("sxx_k"))
+        sum(p2 * p2).cast("double").as("sxx"))
       .select($"o_orderstatus", $"n", $"sx",
-        round(($"sxx_k" * 1000.0 - $"sx" * $"sx" / $"n") / ($"n" - 1), 2).as("variance"))
+        round(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1), 2).as("variance"))
   }
 
   /** Hive LATERAL VIEW explode: one row per (order, lineitem-ish token).
@@ -539,7 +546,8 @@ object Relational {
     "q_stats_moments" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,
          |${sqlSum("o_totalprice")} AS sx,
-         |ROUND((${sqlSum("o_totalprice*o_totalprice/1000.0")} * 1000.0
+         |ROUND((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+         |    * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
          |  - ${sqlSum("o_totalprice")} * ${sqlSum("o_totalprice")} / COUNT(*))
          |  / (COUNT(*) - 1), 2) AS variance
          |FROM orders GROUP BY o_orderstatus""".stripMargin,

@@ -26,14 +26,20 @@ object Similarity {
   private val Planes = 8    // LSH projections → 256 buckets
   private val Dims = 64
 
+  /** Per-label vector stats. Averages are decimal-exact sums (scale 12)
+    * of 9-dp-rounded terms divided by the count — order-independent, so
+    * the bit-exact gate holds under any partitioning (a raw double avg
+    * would depend on Spark's partial-merge order). */
   def qEmbeddingStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    import graft.functions.Det.dsum12
     Tables.embeddings(s, d)
       .groupBy($"label")
       .agg(
         count(lit(1)).as("n"),
-        round(avg(round(norm($"embedding"), 9)), 9).as("avg_norm"),
-        round(avg(element_at($"embedding", 1).cast("double")), 9).as("avg_first"))
+        round(dsum12(round(norm($"embedding"), 9)) / count(lit(1)), 9).as("avg_norm"),
+        round(dsum12(round(element_at($"embedding", 1).cast("double"), 9)) /
+          count(lit(1)), 9).as("avg_first"))
   }
 
   /** Brute-force top-K cosine neighbors for queries vec_id < NQueries. */
@@ -198,12 +204,15 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
-    "q_embedding_stats" ->
-      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT label, COUNT(*) AS n,
-        |ROUND(AVG(ROUND(sqrt(list_sum(list_transform(v, x -> x*x))), 9)), 9) AS avg_norm,
-        |ROUND(AVG(v[1]), 9) AS avg_first
-        |FROM e GROUP BY label""".stripMargin,
+    "q_embedding_stats" -> {
+      import graft.functions.Det.sqlSum12
+      s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT label, COUNT(*) AS n,
+         |ROUND(${sqlSum12("ROUND(sqrt(list_sum(list_transform(v, x -> x*x))), 9)")}
+         |  / COUNT(*), 9) AS avg_norm,
+         |ROUND(${sqlSum12("ROUND(v[1], 9)")} / COUNT(*), 9) AS avg_first
+         |FROM e GROUP BY label""".stripMargin
+    },
     "q_knn_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT query_id, neighbor_id, rank, cos FROM (

@@ -60,7 +60,13 @@ object StreamingOps {
         state.remove()
         return Iterator(SessionOut(userId, s.startUs, s.lastUs, s.nEvents))
       }
-      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+      // flatMapGroupsWithState does NOT drop rows older than the
+      // watermark; without this filter an arbitrarily late event could
+      // rewind startUs after the session was already emitted, diverging
+      // from the batch twin.
+      val wmMs = state.getCurrentWatermarkMs()
+      val sorted = evs.filter(_.ts.getTime >= wmMs)
+        .toSeq.sortBy(e => (e.ts.getTime, e.eventId))
       var closed = List.empty[SessionOut]
       var cur = state.getOption
       for (e <- sorted) {
@@ -107,7 +113,11 @@ object StreamingOps {
 
     override def handleInputRows(userId: Long, rows: Iterator[Ev],
                                  tv: TimerValues): Iterator[SessionOut] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+      // transformWithState also delivers below-watermark rows; drop them
+      // so late events can't rewind already-emitted sessions.
+      val wmMs = tv.getCurrentWatermarkInMs()
+      val sorted = rows.filter(_.ts.getTime >= wmMs)
+        .toSeq.sortBy(e => (e.ts.getTime, e.eventId))
       var cur = if (st.exists()) Some(st.get()) else None
       var closed = List.empty[SessionOut]
       for (e <- sorted) {
@@ -175,7 +185,11 @@ object StreamingOps {
     def onUser(userId: Long, evs: Iterator[Ev],
                state: GroupState[FunnelState]): Iterator[Conversion] = {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+      // drop below-watermark rows: a late signup must not rewind
+      // firstSignupUs after a conversion was already emitted
+      val wmMs = state.getCurrentWatermarkMs()
+      val sorted = evs.filter(_.ts.getTime >= wmMs)
+        .toSeq.sortBy(e => (e.ts.getTime, e.eventId))
       var st = state.getOption.getOrElse(FunnelState(none, none, converted = false))
       for (e <- sorted) {
         val us = e.ts.getTime * 1000
