@@ -248,6 +248,23 @@ object Dedup {
          |SELECT doc_id, ${sigs.mkString(",\n")}
          |FROM shl""".stripMargin
     },
+    "q_minhash_pairs" -> {
+      val rows = K / Bands
+      val sigList = (0 until K).map(j => MinHash.sqlSig("sh", j)).mkString(", ")
+      s"""WITH $tokCte,
+         |shl AS (SELECT doc_id, ${shingleExpr(ShingleN)} AS sh FROM tok),
+         |sig AS (SELECT doc_id, [$sigList] AS sig FROM shl),
+         |banded AS (SELECT doc_id, sig, pb AS band,
+         |  md5(array_to_string(sig[pb*$rows+1 : pb*$rows+$rows], '|')) AS bucket
+         |  FROM sig CROSS JOIN
+         |    (SELECT unnest([${(0 until Bands).mkString(", ")}]) AS pb))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |ROUND(CAST(list_sum(list_transform(generate_series(1, $K),
+         |  i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $K, 6)
+         |  AS est_jaccard
+         |FROM banded a JOIN banded b
+         |ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
+    },
     "q_simhash" ->
       """WITH tw AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
         |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w),1,8)) AS BIGINT) AS hv FROM tw),

@@ -73,13 +73,32 @@ object Similarity {
       .select($"vec_a", $"vec_b", round($"cos", 6).as("cos"))
   }
 
-  /** Deterministic ±1 hyperplane matrix from md5((plane, dim)). */
-  private[graft] def planes: Array[Array[Double]] = {
+  /** Deterministic ±1 hyperplane matrix from md5((plane, dim)). The
+    * global plane index space is shared across LSH tables: table t uses
+    * planes t·Planes … t·Planes+Planes-1, so every table is independent
+    * yet reproducible on any engine (the oracle regenerates the same
+    * signs from the same md5 bytes). */
+  private[graft] def planesFor(table: Int): Array[Array[Double]] = {
     val md = MessageDigest.getInstance("MD5")
     Array.tabulate(Planes, Dims) { (p, i) =>
-      val h = md.digest(s"$p|$i".getBytes("UTF-8"))
+      val h = md.digest(s"${table * Planes + p}|$i".getBytes("UTF-8"))
       if ((h(0) & 1) == 1) 1.0 else -1.0
     }
+  }
+
+  private[graft] def planes: Array[Array[Double]] = planesFor(0)
+
+  /** DuckDB mirror of [[bucketOf]] for table `t` over a DOUBLE[] column:
+    * per plane, the signed sequential sum of ±v[i] (exactly the codegen
+    * loop's left-to-right double adds, since multiplying by ±1.0 is
+    * exact), compared > 0.0 and weighted 2^p. */
+  private def sqlBucketExpr(v: String, table: Int): String = {
+    val ps = planesFor(table)
+    (0 until Planes).map { p =>
+      val terms = (0 until Dims)
+        .map(i => (if (ps(p)(i) > 0) "+" else "-") + s"$v[${i + 1}]").mkString
+      s"(CASE WHEN (${terms.stripPrefix("+")}) > 0.0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
   }
 
   /** Signed-projection LSH bucket id for an embedding column (one
@@ -135,22 +154,40 @@ object Similarity {
         round($"cos", 6).as("cos"))
   }
 
+  private val NdTables = 4 // OR-construction tables for near-dup LSH
+
   /** LSH-bucketed near-duplicate pairs: the 100 TB path for
-    * [[qEmbedNearDup]]'s semantics. Pairs are generated only within a
-    * bucket (~N/2^Planes rows each), so work is Σ bucketᵢ² instead of
-    * N² — recall is traded per-plane (pairs split across a hyperplane
-    * are missed; lower [[Planes]] or OR multiple tables to recover). */
-  def nearDupLsh(s: SparkSession, d: String, threshold: Double = 0.4): DataFrame = {
+    * [[qEmbedNearDup]]'s semantics, and the oracle-checked
+    * `q_neardup_lsh` entry. OR-construction over [[NdTables]]
+    * independent 8-plane tables: a pair is a candidate if it collides
+    * in ANY table, which recovers true near-duplicates (cos→1 collides
+    * per table w.p. (1-θ/π)^Planes → 1) while keeping candidate volume
+    * at T·Σ bucketᵢ² ≈ T·N²/2^Planes instead of N². One explode (T
+    * rows/vector) + one (table, bucket) shuffle; the embedding rides
+    * the shuffle so cosine is computed directly on the joined pair, and
+    * the final distinct dedups pairs that collide in several tables
+    * (bounded ×T blowup, post-threshold so it's tiny). */
+  def nearDupLsh(s: SparkSession, d: String, threshold: Double = 0.4,
+                 tables: Int = NdTables): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, d)
-      .select($"vec_id", $"embedding", bucketOf($"embedding").as("bucket"))
-    e.as("a").join(e.as("b"),
-        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+    val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val bands = (0 until tables).map(t =>
+      struct(lit(t).as("t"),
+        signedProjBuckets($"embedding", planesFor(t)).as("bucket")))
+    val banded = e
+      .select($"vec_id", $"embedding", explode(array(bands: _*)).as("tb"))
+      .select($"vec_id", $"embedding", $"tb.t".as("t"), $"tb.bucket".as("bucket"))
+    banded.as("a").join(banded.as("b"),
+        $"a.t" === $"b.t" && $"a.bucket" === $"b.bucket" &&
+          $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         cosineFast($"a.embedding", $"b.embedding").as("cos"))
       .filter($"cos" > threshold)
       .select($"vec_a", $"vec_b", round($"cos", 6).as("cos"))
+      .distinct()
   }
+
+  def qNearDupLsh(s: SparkSession, d: String): DataFrame = nearDupLsh(s, d)
 
   private val Cells = 16    // IVF coarse-quantizer cells
   private val NProbe = 2    // cells probed per query
@@ -198,6 +235,7 @@ object Similarity {
     "q_embedding_stats" -> (qEmbeddingStats _),
     "q_knn_brute" -> (qKnnBrute _),
     "q_embed_neardup" -> (qEmbedNearDup _),
+    "q_neardup_lsh" -> (qNearDupLsh _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_multiprobe" -> (qAnnMultiProbe _),
     "q_ann_ivf" -> (qAnnIvf _)
@@ -228,6 +266,67 @@ object Similarity {
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) > 0.4""".stripMargin
+        |WHERE list_cosine_similarity(a.v, b.v) > 0.4""".stripMargin,
+    "q_neardup_lsh" -> {
+      val ctes = (0 until NdTables).map(t =>
+        s"bkt$t AS (SELECT vec_id, v, ${sqlBucketExpr("v", t)} AS bucket FROM e)")
+      val arms = (0 until NdTables).map(t =>
+        s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+           |FROM bkt$t a JOIN bkt$t b
+           |ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE list_cosine_similarity(a.v, b.v) > 0.4""".stripMargin)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${ctes.mkString(",\n")}
+         |${arms.mkString("\nUNION\n")}""".stripMargin
+    },
+    "q_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${sqlBucketExpr("v", 0)} AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < $NQueries)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.vec_id ASC) AS rank,
+         |  ROUND(list_cosine_similarity(q.qv, c.v), 6) AS cos
+         |  FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.query_id) t
+         |WHERE rank <= $K""".stripMargin,
+    "q_ann_multiprobe" -> {
+      val probeList = (0L +: (0 until Planes).map(p => 1L << p)).mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${sqlBucketExpr("v", 0)} AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < $NQueries),
+         |probes AS (SELECT query_id, qv, xor(bucket, pb) AS bucket
+         |  FROM q CROSS JOIN (SELECT unnest([$probeList]) AS pb)),
+         |scored AS (SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+         |  list_cosine_similarity(p.qv, c.v) AS rawcos
+         |  FROM probes p JOIN b c ON p.bucket = c.bucket AND c.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT query_id, neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rawcos DESC, neighbor_id ASC) AS rank,
+         |  ROUND(rawcos, 6) AS cos FROM scored) t
+         |WHERE rank <= $K""".stripMargin
+    },
+    "q_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT CAST(vec_id + 1 AS INT) AS cell, v AS cv FROM e WHERE vec_id < $Cells),
+         |corpus AS (SELECT vec_id, v, cell FROM (
+         |  SELECT e.vec_id, e.v, c.cell,
+         |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell ASC) AS rn
+         |  FROM e CROSS JOIN cent c) t WHERE rn = 1),
+         |qc AS (SELECT query_id, qv, cell FROM (
+         |  SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+         |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell ASC) AS pr
+         |  FROM e CROSS JOIN cent c WHERE e.vec_id < $NQueries) t WHERE pr <= $NProbe)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT qc.query_id, co.vec_id AS neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY qc.query_id
+         |    ORDER BY list_cosine_similarity(qc.qv, co.v) DESC, co.vec_id ASC) AS rank,
+         |  ROUND(list_cosine_similarity(qc.qv, co.v), 6) AS cos
+         |  FROM qc JOIN corpus co ON co.cell = qc.cell AND co.vec_id <> qc.query_id) t
+         |WHERE rank <= $K""".stripMargin
   )
 }

@@ -13,8 +13,7 @@ class EngineSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
-    assert(q -- o === Set("q_minhash_pairs", "q_ann_lsh", "q_ann_ivf",
-      "q_ann_multiprobe", "q_approx_stats", "q_chunk_dedup"))
+    assert(q -- o === Set("q_approx_stats", "q_chunk_dedup"))
   }
 
   test("approximate aggregates stay within tolerance of exact values") {

@@ -55,6 +55,41 @@ class VectorSpec extends AnyFunSuite {
     assert(multi > 0)
   }
 
+  test("LSH near-dup pairs are a subset of brute pairs, identical cosines") {
+    import spark.implicits._
+    val brute = Similarity.qEmbedNearDup(spark, sf)
+      .select($"vec_a", $"vec_b", $"cos".as("bcos"))
+    val lsh = Similarity.qNearDupLsh(spark, sf)
+    val joined = lsh.join(brute, Seq("vec_a", "vec_b"), "left")
+    // every LSH pair exists in brute with the same cosine (no false pairs)
+    assert(joined.filter($"bcos".isNull || $"cos" =!= $"bcos").count() === 0)
+  }
+
+  test("LSH near-dup recovers planted exact duplicates with full recall") {
+    import spark.implicits._
+    // exact duplicates have θ=0, so every plane agrees in every table:
+    // recall on them is 1.0 by construction, not probabilistically
+    val base = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val n = base.count()
+    val planted = base.filter($"vec_id" < 10)
+      .select(($"vec_id" + n).as("vec_id"), $"embedding")
+    val corpus = base.unionByName(planted)
+    val bands = (0 until 4).map(t =>
+      struct(lit(t).as("t"),
+        graft.functions.VectorExpressions
+          .signedProjBuckets($"embedding", Similarity.planesFor(t)).as("bucket")))
+    val banded = corpus
+      .select($"vec_id", $"embedding", explode(array(bands: _*)).as("tb"))
+      .select($"vec_id", $"embedding", $"tb.t".as("t"), $"tb.bucket".as("bucket"))
+    val pairs = banded.as("a").join(banded.as("b"),
+        $"a.t" === $"b.t" && $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
+      .distinct()
+    val recovered = pairs
+      .filter($"vec_b" === $"vec_a" + n && $"vec_a" < 10).count()
+    assert(recovered === 10L, s"only $recovered/10 planted duplicates recovered")
+  }
+
   test("minhash universal-hash constants stay in range") {
     (0 until 64).foreach { j =>
       assert(MinHash.aj(j) >= 1 && MinHash.aj(j) < MinHash.M)
