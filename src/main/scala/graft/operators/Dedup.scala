@@ -18,9 +18,10 @@ import graft.functions.TextFunctions._
   *   no explode/shuffle); LSH banding shuffles once on (band, bucket)
   *   keys, and candidate pair generation is per-bucket — bounded by
   *   band width, never a global cross product;
-  * - Jaccard verification joins only on shared *rare* shingles
-  *   (hot shingles are the classic skew source; at scale add a
-  *   document-frequency cap on the shingle join key).
+  * - Jaccard verification joins only on shared *rare* shingles: the
+  *   [[DfCap]] document-frequency cap drops ubiquitous shingles from
+  *   the join key (they carry no Jaccard signal), bounding every join
+  *   bucket at DfCap² — no quadratic hot bucket at corpus scale.
   */
 object Dedup {
 
@@ -111,19 +112,40 @@ object Dedup {
         round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 6).as("jaccard"))
   }
 
-  /** Shared pair pipeline: intersection size + both set sizes. */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val ds = Tables.documents(s, d)
+  /** Max documents a shingle may appear in before it is dropped from
+    * the pair-join key. A ubiquitous shingle ("in the middle of the")
+    * shared by f docs creates an f² hot bucket in the self-join — the
+    * classic quadratic skew killer at corpus scale. Shingles with
+    * df > DfCap carry ~zero Jaccard signal (they don't discriminate),
+    * so dropping them makes `inter` a tight lower bound while bounding
+    * every join bucket at DfCap². Mirrored verbatim in the DuckDB
+    * oracles, so the gate stays bit-exact with the cap ACTIVE. */
+  private[graft] val DfCap = 256
+
+  /** Shared pair pipeline: intersection size + both set sizes. Set
+    * sizes (na/nb) count ALL distinct shingles; only the join is
+    * restricted to shingles rarer than [[DfCap]]. */
+  private[graft] def jaccardPairsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val ds = docs
       .select($"doc_id",
         array_distinct(MinHash.shingleHash60(tokens($"text"), JaccardN)).as("shs"))
       .select($"doc_id", size($"shs").cast("long").as("n"), explode($"shs").as("s"))
-    ds.as("a")
-      .join(ds.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+    // document frequency per shingle hash; ds is distinct per (doc, s)
+    // so count(*) IS the df. The semi-join shuffles on the same key as
+    // the aggregation, so no extra partitioning is introduced.
+    val rare = ds.groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" <= DfCap).select($"s")
+    val dsr = ds.join(rare, Seq("s"), "left_semi")
+    dsr.as("a")
+      .join(dsr.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         $"a.n".as("na"), $"b.n".as("nb"))
       .agg(count(lit(1)).as("inter"))
   }
+
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairsOf(Tables.documents(s, d))
 
   /** Chunk-level duplication profile via content-defined chunking
     * (rolling-hash boundaries, see [[graft.functions.TextChunker]]):
@@ -216,8 +238,10 @@ object Dedup {
            |sh AS (SELECT doc_id, unnest(${shingleExpr(JaccardN)}) AS s FROM tok),
            |ds AS (SELECT DISTINCT doc_id, s FROM sh),
            |sz AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
+           |rare AS (SELECT s FROM ds GROUP BY s HAVING COUNT(*) <= $DfCap),
+           |dsr AS (SELECT ds.doc_id, ds.s FROM ds JOIN rare USING (s)),
            |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-           |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+           |  FROM dsr a JOIN dsr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
            |SELECT doc_a, doc_b FROM pr
            |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
            |WHERE 3 * inter > sa.n + sb.n""".stripMargin
@@ -280,8 +304,10 @@ object Dedup {
          |sh AS (SELECT doc_id, unnest(${shingleExpr(JaccardN)}) AS s FROM tok),
          |ds AS (SELECT DISTINCT doc_id, s FROM sh),
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
+         |rare AS (SELECT s FROM ds GROUP BY s HAVING COUNT(*) <= $DfCap),
+         |dsr AS (SELECT ds.doc_id, ds.s FROM ds JOIN rare USING (s)),
          |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-         |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+         |  FROM dsr a JOIN dsr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
          |SELECT doc_a, doc_b, inter,
          |ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
          |FROM pr JOIN sz sa ON sa.doc_id = doc_a
