@@ -183,14 +183,16 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
                           failOnNonConvergence: Boolean = true): DataFrame = {
     import pairs.sparkSession.implicits._
-    val nodes = pairs.select($"doc_a".as("id"))
-      .union(pairs.select($"doc_b".as("id"))).distinct()
-    // canonical undirected edges (u < v)
+    // canonical undirected edges (u < v), materialized once — nodes are
+    // derived from the checkpoint so the (possibly expensive) upstream
+    // pair pipeline is computed exactly once
     var edges = pairs
       .select(least($"doc_a", $"doc_b").as("u"),
         greatest($"doc_a", $"doc_b").as("v"))
       .filter($"u" =!= $"v").distinct()
       .localCheckpoint()
+    val nodes = edges.select($"u".as("id"))
+      .union(edges.select($"v".as("id"))).distinct()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -212,9 +214,10 @@ object Dedup {
         .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
         .filter($"u" =!= $"v").distinct()
         .localCheckpoint()
-      // fixpoint = edge set unchanged (exact symmetric difference;
-      // both sides are distinct canonical sets, few rounds total)
-      converged = small.except(edges).isEmpty && edges.except(small).isEmpty
+      // fixpoint = edge set unchanged. Both sides are distinct sets, so
+      // equal counts + one-sided emptiness (small ⊆ edges) is an EXACT
+      // set-equality check at half the cost of a symmetric difference.
+      converged = small.count() == edges.count() && small.except(edges).isEmpty
       edges = small
       i += 1
     }

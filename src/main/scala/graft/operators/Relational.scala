@@ -246,6 +246,31 @@ object Relational {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Correlated scalar subquery (TPC-H q17 shape): revenue impact of
+    * lineitems whose quantity is below 20% of their part's average
+    * quantity, for one brand. Catalyst decorrelates such subqueries
+    * into a per-key aggregate + join; we declare that decorrelated
+    * form directly — and apply the semi-join reduction first, so the
+    * per-part aggregate runs over the brand's lineitems only (the
+    * brand filter doesn't change any part's lineitem set, so the
+    * aggregate is identical and the 100 TB scan shrinks ~25×). The
+    * oracle uses the genuine correlated subquery. Threshold is the
+    * integer comparison 5·qty·n < Σqty (quantities are integral), so
+    * the boundary is engine-exact. */
+  def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, d).filter($"p_brand" === "Brand#23")
+    val lp = broadcast(p)
+      .join(Tables.lineitem(s, d), $"p_partkey" === $"l_partkey")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+    val agg = lp.groupBy($"l_partkey".as("agg_pk"))
+      .agg(sum($"l_quantity".cast("long")).as("sum_qty"),
+        count(lit(1)).as("n_li"))
+    lp.join(agg, $"l_partkey" === $"agg_pk")
+      .filter(lit(5) * $"l_quantity".cast("long") * $"n_li" < $"sum_qty")
+      .agg(round(dsum($"l_extendedprice") / 7.0, 2).as("avg_yearly"))
+  }
+
   def qQuantiles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.customer(s, d)
@@ -400,6 +425,7 @@ object Relational {
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_in_subquery" -> (qInSubquery _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
     "q_quantiles" -> (qQuantiles _),
     "q_stats_moments" -> (qStatsMoments _),
     "q_lateral_explode" -> (qLateralExplode _),
@@ -537,6 +563,14 @@ object Relational {
         |WHERE p_size IN (1, 5, 9, 13)
         |AND p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45.0)
         |GROUP BY p_brand""".stripMargin,
+    "q_scalar_subquery" ->
+      s"""SELECT ROUND(${sqlSum("l_extendedprice")} / 7.0, 2) AS avg_yearly
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand = 'Brand#23'
+         |AND 5 * CAST(l_quantity AS BIGINT) *
+         |    (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+         |  < (SELECT CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+         |     FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
     "q_quantiles" ->
       """SELECT c_mktsegment,
         |ROUND(QUANTILE_CONT(c_acctbal, 0.5), 6) AS median_bal,

@@ -68,6 +68,35 @@ object Sources {
                        mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
+  /** INSERT OVERWRITE by partition (Hive dynamic-partition semantics):
+    * replaces ONLY the partitions present in `df`, leaving every other
+    * partition untouched — the batch backfill/upsert primitive (fix
+    * yesterday's date partition without rewriting the 100 TB table).
+    * The mode is scoped to this single write via the DataFrameWriter
+    * option, never a session-conf mutation. */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Hadoop SequenceFile (the classic MR container format), read as a
+    * (key, value) string DataFrame. Splittable via sync markers, so a
+    * huge file still parallelizes per block. Note: the spark-avro
+    * connector is not on this classpath, so Avro is intentionally not
+    * exposed; SequenceFile covers the Hadoop-era container surface
+    * through hadoop-client, which Spark always bundles. */
+  def sequenceFile(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    s.sparkContext.sequenceFile[String, String](path).toDF("key", "value")
+  }
+
+  /** Writes a two-string-column DataFrame as a Text/Text SequenceFile. */
+  def writeSequenceFile(df: DataFrame, path: String): Unit =
+    df.rdd.map(r => (r.getString(0), r.getString(1)))
+      .saveAsSequenceFile(path)
+
   /** Bucketed + sorted table: co-locates rows by join/agg key at write
     * time, so later equi-joins and groupBys on that key skip the
     * shuffle entirely (both sides bucketed → zero-exchange join). */

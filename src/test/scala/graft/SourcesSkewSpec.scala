@@ -71,6 +71,30 @@ class SourcesSkewSpec extends AnyFunSuite {
       Tables.lineitem(spark, sf).count())
   }
 
+  test("dynamic partition overwrite replaces only the written partitions") {
+    import spark.implicits._
+    val dir = tmp("dpo")
+    val base = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("id", "pk", "v")
+    Sources.writePartitioned(base, dir, Seq("pk"))
+    // rewrite ONLY partition b with new contents
+    val patch = Seq((9L, "b", 99L)).toDF("id", "pk", "v")
+    Sources.overwritePartitions(patch, dir, Seq("pk"))
+    val back = Sources.parquet(spark, dir)
+      .select($"id", $"pk", $"v").as[(Long, String, Long)].collect().toSet
+    assert(back === Set((1L, "a", 10L), (2L, "a", 20L), (9L, "b", 99L)))
+  }
+
+  test("sequence file round-trips key/value pairs") {
+    import spark.implicits._
+    val dir = tmp("seq")
+    val kv = Seq(("k1", "v1"), ("k2", "v2"), ("k3", "v3")).toDF("key", "value")
+    Sources.writeSequenceFile(kv, s"$dir/sf")
+    val back = Sources.sequenceFile(spark, s"$dir/sf")
+      .as[(String, String)].collect().toSet
+    assert(back === Set(("k1", "v1"), ("k2", "v2"), ("k3", "v3")))
+  }
+
   test("salted join matches plain join results") {
     import spark.implicits._
     val big = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey", $"o_totalprice")
