@@ -9,6 +9,21 @@ class EngineSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("SURVEY.md §2 rows and SparkEntry.queries match 1:1") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val sect2 = survey.split("\n## ").find(_.startsWith("§2"))
+      .getOrElse(fail("SURVEY.md has no §2 section"))
+    // query names appear in §2 table rows (lines starting with '|')
+    val names = sect2.linesIterator.filter(_.trim.startsWith("|"))
+      .flatMap("""\bq[0-9]?_[a-z0-9_]+""".r.findAllIn(_)).toSet
+    val queries = SparkEntry.queries.keySet
+    assert(names -- queries === Set.empty,
+      "SURVEY §2 names a query that doesn't exist")
+    assert(queries -- names === Set.empty,
+      "SparkEntry has a query SURVEY §2 doesn't list")
+  }
+
   test("every oracle key has a query; rows-only queries are the known set") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
