@@ -81,6 +81,33 @@ object Sources {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Keyed MERGE (upsert) into a partitioned parquet dataset — the
+    * Hive-ACID-MERGE-shaped batch primitive, built from primitives that
+    * scale: rows in `updates` replace target rows with the same key,
+    * new keys are inserted. Only the partitions TOUCHED by `updates`
+    * are read back and rewritten (dynamic partition pruning restricts
+    * the scan; dynamic overwrite restricts the write), so merging a
+    * day's corrections into a 100 TB table costs one partition's IO,
+    * not the table's.
+    *
+    * The merged frame is localCheckpoint'ed before the write because
+    * Spark refuses to overwrite a path it is concurrently reading;
+    * the materialized volume is bounded by the touched partitions.
+    * Assumes a key's partition values never change between versions
+    * (the standard partition-scoped-merge contract — a moved key would
+    * leave its old row in the untouched partition). */
+  def mergeByKey(s: SparkSession, path: String, updates: DataFrame,
+                 key: String, partitionCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    val target = s.read.parquet(path)
+    val touched = updates.select(partitionCols.map(updates.col): _*).distinct()
+    val affected = target.join(broadcast(touched), partitionCols, "left_semi")
+    val kept = affected.join(updates.select(key), Seq(key), "left_anti")
+    val merged = kept.unionByName(updates.select(target.columns.map(updates.col): _*))
+      .localCheckpoint()
+    overwritePartitions(merged, path, partitionCols)
+  }
+
   /** Hadoop SequenceFile (the classic MR container format), read as a
     * (key, value) string DataFrame. Splittable via sync markers, so a
     * huge file still parallelizes per block. Note: the spark-avro

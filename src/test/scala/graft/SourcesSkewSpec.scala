@@ -85,6 +85,24 @@ class SourcesSkewSpec extends AnyFunSuite {
     assert(back === Set((1L, "a", 10L), (2L, "a", 20L), (9L, "b", 99L)))
   }
 
+  test("mergeByKey upserts within touched partitions, inserts new ones") {
+    import spark.implicits._
+    val dir = tmp("merge")
+    val base = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "b", 40L))
+      .toDF("id", "pk", "v")
+    Sources.writePartitioned(base, dir, Seq("pk"))
+    // update id=3 (partition b), insert id=9 (partition b) and id=7 (new partition c)
+    val updates = Seq((3L, "b", 33L), (9L, "b", 99L), (7L, "c", 70L))
+      .toDF("id", "pk", "v")
+    Sources.mergeByKey(spark, dir, updates, "id", Seq("pk"))
+    val back = Sources.parquet(spark, dir)
+      .select($"id", $"pk", $"v").as[(Long, String, Long)].collect().toSet
+    assert(back === Set(
+      (1L, "a", 10L), (2L, "a", 20L),            // partition a untouched
+      (3L, "b", 33L), (4L, "b", 40L), (9L, "b", 99L), // b merged
+      (7L, "c", 70L)))                           // c inserted
+  }
+
   test("sequence file round-trips key/value pairs") {
     import spark.implicits._
     val dir = tmp("seq")
