@@ -158,6 +158,15 @@ object Relational {
       .intersect(Tables.supplier(s, d).select($"s_nationkey".as("nk")))
   }
 
+  /** INTERSECT ALL — multiset intersection (each value kept with its
+    * minimum multiplicity across the two sides), the bag-semantics
+    * counterpart of [[qIntersect]]. */
+  def qIntersectAll(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, d).select($"p_size".cast("long").as("k"))
+      .intersectAll(Tables.customer(s, d).select($"c_nationkey".cast("long").as("k")))
+  }
+
   /** EXCEPT (set difference) — part sizes that no small-size order of
     * the cheapest bracket covers (non-empty at every SF). */
   def qExcept(s: SparkSession, d: String): DataFrame = {
@@ -396,6 +405,36 @@ object Relational {
         lead($"o_totalprice", 1).over(w).as("next_price"))
   }
 
+  /** RANGE-frame window (vs the ROWS frames elsewhere): per customer,
+    * the rolling 30-day spend — every order whose day falls within the
+    * 30 days before the current order's day is in the frame, however
+    * many rows that is. Same-day peers are all included, so the result
+    * is deterministic under any tie order. */
+  def qWindowRange(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val day = datediff($"o_orderdate", to_date(lit("1990-01-01"))).cast("long")
+    val w = Window.partitionBy($"o_custkey").orderBy(day)
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey", day.as("day"),
+        sum($"o_totalprice".cast(Dec)).over(w).cast("double").as("sum_30d"))
+  }
+
+  /** first_value / last_value / nth_value over an explicit
+    * unbounded-both-ways frame (last_value defaults to a
+    * current-row-bounded frame in both engines — the classic trap). */
+  def qFirstLast(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".asc, $"c_custkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(s, d)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal",
+        first($"c_custkey").over(w).as("poorest"),
+        last($"c_custkey").over(w).as("richest"),
+        nth_value($"c_custkey", 2).over(w).as("second_poorest"))
+  }
+
   def qPercentRank(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"c_nationkey")
@@ -420,6 +459,9 @@ object Relational {
     "q_date_trunc_month" -> (qDateTruncMonth _),
     "q_union_all" -> (qUnionAll _),
     "q_intersect" -> (qIntersect _),
+    "q_intersect_all" -> (qIntersectAll _),
+    "q_window_range" -> (qWindowRange _),
+    "q_first_last" -> (qFirstLast _),
     "q_pivot_status" -> (qPivotStatus _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
@@ -521,6 +563,27 @@ object Relational {
       """SELECT c_nationkey AS nk FROM customer
         |INTERSECT
         |SELECT s_nationkey AS nk FROM supplier""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT CAST(p_size AS BIGINT) AS k FROM part
+        |INTERSECT ALL
+        |SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+        |  PARTITION BY o_custkey
+        |  ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_30d
+        |FROM orders""".stripMargin,
+    "q_first_last" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |FIRST_VALUE(c_custkey) OVER w AS poorest,
+        |LAST_VALUE(c_custkey) OVER w AS richest,
+        |NTH_VALUE(c_custkey, 2) OVER w AS second_poorest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal ASC, c_custkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "q_pivot_status" ->
       """SELECT o_orderpriority,
         |COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,

@@ -80,10 +80,40 @@ object Sampling {
       .agg(count(lit(1)).as("n_kept"), max($"total").as("n_available"))
   }
 
+  /** Temperature-weighted mixture sampling — the LLM data-mixing knob:
+    * each source's share of the sample is ∝ n^α with α = 0.5, so small
+    * sources are upweighted relative to proportional sampling without
+    * ever dominating (α=1 → proportional, α=0 → equal share). Weights
+    * are 9dp-rounded sqrts summed through DECIMAL(38,12), so the
+    * floor'd per-source targets are engine-exact; selection within a
+    * source is md5-ordered (deterministic, retry-stable). One agg +
+    * one window + one broadcast join: linear at 100 TB. */
+  def qTemperatureSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Det.dsum12
+    val SampleN = 50
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+    val wsum = counts.agg(dsum12(round(sqrt($"n"), 9)).as("wsum"))
+    val targets = counts.crossJoin(broadcast(wsum))
+      .select($"source",
+        greatest(floor(round(sqrt($"n"), 9) / $"wsum" * SampleN), lit(1L))
+          .as("target"))
+    val w = Window.partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")).asc, $"doc_id".asc)
+    docs.withColumn("rn", row_number().over(w))
+      .join(broadcast(targets), "source")
+      .filter($"rn" <= $"target")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_sampled"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_assign" -> (qSplitAssign _),
     "q_quota_sample" -> (qQuotaSample _),
-    "q_mixture_sample" -> (qMixtureSample _)
+    "q_mixture_sample" -> (qMixtureSample _),
+    "q_temperature_sample" -> (qTemperatureSample _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -108,6 +138,22 @@ object Sampling {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),17,15)) AS BIGINT)
         |  % 10000 < th.keep_bps
         |GROUP BY d.source""".stripMargin,
+    "q_temperature_sample" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+        |ws AS (SELECT CAST(SUM(CAST(ROUND(sqrt(n), 9) AS DECIMAL(38,12)))
+        |  AS DOUBLE) AS wsum FROM c),
+        |t AS (SELECT source,
+        |  GREATEST(CAST(FLOOR(ROUND(sqrt(n), 9) / wsum * 50) AS BIGINT), 1)
+        |    AS target
+        |  FROM c CROSS JOIN ws),
+        |r AS (SELECT source, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM documents)
+        |SELECT r.source, COUNT(*) AS n_sampled,
+        |MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM r JOIN t ON r.source = t.source
+        |WHERE rn <= t.target GROUP BY r.source""".stripMargin,
     "q_quota_sample" ->
       """WITH r AS (SELECT source, n_chars, doc_id,
         |  ROW_NUMBER() OVER (PARTITION BY source

@@ -231,15 +231,55 @@ object Similarity {
         round($"cos", 6).as("cos"))
   }
 
+  /** Recall@K of the LSH ANN path against brute force, AS DATA — the
+    * quality knob measured inside the engine (run it per corpus drop to
+    * decide whether Planes needs retuning). Left join so queries with
+    * zero recovered neighbors still report. */
+  def qAnnRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val brute = qKnnBrute(s, d).select($"query_id", $"neighbor_id")
+    val lsh = qAnnLsh(s, d).select($"query_id", $"neighbor_id")
+      .withColumn("hit", lit(1L))
+    brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(sum(coalesce($"hit", lit(0L))).as("hits"))
+      .select($"query_id", $"hits",
+        round($"hits" / lit(K.toDouble), 6).as("recall"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embedding_stats" -> (qEmbeddingStats _),
     "q_knn_brute" -> (qKnnBrute _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_neardup_lsh" -> (qNearDupLsh _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_recall" -> (qAnnRecall _),
     "q_ann_multiprobe" -> (qAnnMultiProbe _),
     "q_ann_ivf" -> (qAnnIvf _)
   )
+
+  private lazy val knnBruteSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT query_id, neighbor_id, rank, cos FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |    ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rank,
+      |  ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos
+      |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 20) t
+      |WHERE rank <= 5""".stripMargin
+
+  private lazy val annLshSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${sqlBucketExpr("v", 0)} AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < $NQueries)
+       |SELECT query_id, neighbor_id, rank, cos FROM (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |  ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |    ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.vec_id ASC) AS rank,
+       |  ROUND(list_cosine_similarity(q.qv, c.v), 6) AS cos
+       |  FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.query_id) t
+       |WHERE rank <= $K""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_embedding_stats" -> {
@@ -251,16 +291,18 @@ object Similarity {
          |ROUND(${sqlSum12("ROUND(v[1], 9)")} / COUNT(*), 9) AS avg_first
          |FROM e GROUP BY label""".stripMargin
     },
-    "q_knn_brute" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT query_id, neighbor_id, rank, cos FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
-        |    ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rank,
-        |  ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos
-        |  FROM e q JOIN e c ON c.vec_id <> q.vec_id
-        |  WHERE q.vec_id < 20) t
-        |WHERE rank <= 5""".stripMargin,
+    "q_knn_brute" -> knnBruteSql,
+    "q_ann_recall" ->
+      s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($knnBruteSql) kb),
+         |lshq AS (SELECT query_id, neighbor_id FROM ($annLshSql) al)
+         |SELECT b.query_id,
+         |CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS hits,
+         |ROUND(CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |  AS BIGINT) / ${K.toDouble}, 6) AS recall
+         |FROM brute b LEFT JOIN lshq l
+         |ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+         |GROUP BY b.query_id""".stripMargin,
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -280,17 +322,7 @@ object Similarity {
          |${ctes.mkString(",\n")}
          |${arms.mkString("\nUNION\n")}""".stripMargin
     },
-    "q_ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, ${sqlBucketExpr("v", 0)} AS bucket FROM e),
-         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < $NQueries)
-         |SELECT query_id, neighbor_id, rank, cos FROM (
-         |  SELECT q.query_id, c.vec_id AS neighbor_id,
-         |  ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |    ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.vec_id ASC) AS rank,
-         |  ROUND(list_cosine_similarity(q.qv, c.v), 6) AS cos
-         |  FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.query_id) t
-         |WHERE rank <= $K""".stripMargin,
+    "q_ann_lsh" -> annLshSql,
     "q_ann_multiprobe" -> {
       val probeList = (0L +: (0 until Planes).map(p => 1L << p)).mkString(", ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -256,6 +256,31 @@ object StreamingOps {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, Seq(key))
 
+  /** Stream–stream interval join: each purchase matched to the same
+    * user's signups in the `withinMinutes` before it. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark derives a finite state-retention window per side — join
+    * state is O(events within the interval), never O(history). This is
+    * the stateful two-stream surface that [[enrich]] (stream×static)
+    * cannot cover: both inputs arrive out of order and late. */
+  def intervalJoin(signups: Dataset[Ev], purchases: Dataset[Ev],
+                   withinMinutes: Int = 60): DataFrame = {
+    val s = signups
+      .select(col("userId").as("s_user"), col("ts").as("s_ts"),
+        col("eventId").as("signup_event"))
+      .withWatermark("s_ts", s"$withinMinutes minutes")
+    val p = purchases
+      .select(col("userId").as("p_user"), col("ts").as("p_ts"),
+        col("eventId").as("purchase_event"), col("value"))
+      .withWatermark("p_ts", s"$withinMinutes minutes")
+    p.join(s, expr(
+      s"""s_user = p_user AND
+         |s_ts <= p_ts AND
+         |s_ts >= p_ts - INTERVAL $withinMinutes MINUTES""".stripMargin))
+      .select(col("p_user").as("userId"), col("signup_event"),
+        col("purchase_event"), col("s_ts"), col("p_ts"), col("value"))
+  }
+
   /** Minimal upsert client; production = a JDBC/KV connector opened
     * per partition. Must be serializable: it ships to executors. */
   trait UpsertClient extends Serializable {

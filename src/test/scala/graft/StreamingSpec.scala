@@ -23,6 +23,35 @@ class StreamingSpec extends AnyFunSuite {
                  typ: String = "click", v: Double = 1.0): Ev =
     Ev(id, ts(min), user, typ, v)
 
+
+  test("stream-stream interval join matches purchases to in-window signups") {
+    import spark.implicits._
+    val signups = MemoryStream[Ev](spark)
+    val purchases = MemoryStream[Ev](spark)
+    val q = StreamingOps.intervalJoin(signups.toDS(), purchases.toDS(), 60)
+      .writeStream.format("memory").queryName("sj").outputMode(OutputMode.Append).start()
+    try {
+      // signup at min 10; purchases at min 40 (in window) and min 200
+      // (outside the 60-min interval); user 2 purchase with no signup
+      signups.addData(ev(1, 10, typ = "signup"))
+      purchases.addData(ev(2, 40, typ = "purchase", v = 9.0),
+        ev(3, 200, typ = "purchase"), ev(4, 50, user = 2, typ = "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("sj")
+        .select($"userId", $"signup_event", $"purchase_event").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(rows === Set((1L, 1L, 2L)))
+      // a late-but-in-interval signup joins a buffered earlier purchase:
+      // purchase at 220 arrives first, its signup at 170 arrives later
+      signups.addData(ev(5, 170, typ = "signup"))
+      purchases.addData(ev(6, 220, typ = "purchase"))
+      q.processAllAvailable()
+      val rows2 = spark.table("sj")
+        .select($"signup_event", $"purchase_event").as[(Long, Long)].collect().toSet
+      assert(rows2.contains((5L, 6L)))
+    } finally q.stop()
+  }
+
   test("watermarked tumbling window counts match the batch shape") {
     import spark.implicits._
     val in = MemoryStream[Ev](spark)
