@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.operators.{AsofJoin, Dedup, Events, RangeJoin, Relational, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Curate, Dedup, Events, RangeJoin, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -14,11 +14,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
-      AsofJoin.queries ++ RangeJoin.queries ++ Sampling.queries
+      AsofJoin.queries ++ RangeJoin.queries ++ Sampling.queries ++
+      Curate.queries
 
   /** DuckDB-equivalent SQL for each oracle-checkable query. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Events.oracle ++ Dedup.oracle ++
       TextAnalysis.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
-      AsofJoin.oracle ++ RangeJoin.oracle ++ Sampling.oracle
+      AsofJoin.oracle ++ RangeJoin.oracle ++ Sampling.oracle ++
+      Curate.oracle
 }

@@ -92,6 +92,20 @@ object Events {
       .agg(sum($"k").as("sum_k"), max($"k").as("max_k"), count(lit(1)).as("n"))
   }
 
+  /** JSON-path extraction with a real JSON parser (get_json_object /
+    * json_extract), not the regex shortcut of [[qJsonExtract]] — the
+    * honest semi-structured surface: quotes, nesting and escapes are
+    * handled, and a malformed document yields NULL, never a bogus
+    * match. */
+  def qJsonPath(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(count($"k").as("n_with_k"), sum($"k").as("sum_k"),
+        countDistinct($"k").as("n_distinct_k"))
+  }
+
   /** Sessionization via Spark's native session_window operator (merging
     * gap-based windows inside the aggregation itself) — the built-in
     * complement to the manual lag/running-sum formulation in
@@ -112,7 +126,8 @@ object Events {
     "q_sessionize" -> (qSessionize _),
     "q_funnel" -> (qFunnel _),
     "q_event_stats" -> (qEventStats _),
-    "q_json_extract" -> (qJsonExtract _)
+    "q_json_extract" -> (qJsonExtract _),
+    "q_json_path" -> (qJsonPath _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -163,6 +178,13 @@ object Events {
          |${sqlAvg("value")} AS avg_value,
          |MIN(value) AS min_value, MAX(value) AS max_value
          |FROM events GROUP BY event_type""".stripMargin,
+    "q_json_path" ->
+      """WITH j AS (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, COUNT(k) AS n_with_k,
+        |CAST(SUM(k) AS BIGINT) AS sum_k,
+        |COUNT(DISTINCT k) AS n_distinct_k
+        |FROM j GROUP BY event_type""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type,
         |CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
