@@ -55,11 +55,36 @@ object Multimodal {
         sum($"meta.n_frames").as("sum_frames"))
   }
 
+  /** Exact duplicate detection on the BINARY payload (md5 over bytes,
+    * not text) — the multimodal twin of document dedup: re-crawled or
+    * re-encoded-identical assets collapse before any decode work is
+    * spent on them. One hash-partitioned groupBy, linear at 100 TB. */
+  def qAssetDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    assets(s, d)
+      .groupBy($"kind")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        countDistinct(md5($"data")).as("n_unique"),
+        countDistinct($"n_bytes").as("n_sizes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multimodal_meta" -> (qMultimodalMeta _)
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_asset_dedup" -> (qAssetDedup _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_asset_dedup" ->
+      """WITH a AS (
+        |  SELECT ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+        |  md5(text) AS h, -- same bytes: the payload IS encode(text)
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT kind, COUNT(*) AS n_assets,
+        |COUNT(DISTINCT h) AS n_unique,
+        |COUNT(DISTINCT n_bytes) AS n_sizes
+        |FROM a GROUP BY kind""".stripMargin,
     "q_multimodal_meta" ->
       """WITH a AS (
         |  SELECT doc_id,
