@@ -92,6 +92,29 @@ object Events {
       .agg(sum($"k").as("sum_k"), max($"k").as("max_k"), count(lit(1)).as("n"))
   }
 
+  /** Weekly cohort retention — the classic event-analytics matrix: for
+    * each signup-week cohort, how many of its users are active 0, 1,
+    * 2… weeks later. Two aggregations (cohort assignment, distinct
+    * user-week activity) joined on user — both shuffles on user_id, so
+    * the plan co-partitions and scales to any event-log size. Week
+    * arithmetic stays on week-start dates (both engines truncate to
+    * Monday), so offsets are exact multiples of 7 days. */
+  def qRetention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val cohort = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id")
+      .agg(min(date_trunc("week", $"ts")).as("cohort_week"))
+    val active = ev
+      .select($"user_id".as("a_user"), date_trunc("week", $"ts").as("week"))
+      .distinct()
+    cohort.join(active, $"user_id" === $"a_user" && $"week" >= $"cohort_week")
+      .select($"user_id", $"cohort_week",
+        (datediff($"week", $"cohort_week") / 7).cast("long").as("week_offset"))
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_active"))
+  }
+
   /** JSON-path extraction with a real JSON parser (get_json_object /
     * json_extract), not the regex shortcut of [[qJsonExtract]] — the
     * honest semi-structured surface: quotes, nesting and escapes are
@@ -127,7 +150,8 @@ object Events {
     "q_funnel" -> (qFunnel _),
     "q_event_stats" -> (qEventStats _),
     "q_json_extract" -> (qJsonExtract _),
-    "q_json_path" -> (qJsonPath _)
+    "q_json_path" -> (qJsonPath _),
+    "q_retention" -> (qRetention _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -178,6 +202,16 @@ object Events {
          |${sqlAvg("value")} AS avg_value,
          |MIN(value) AS min_value, MAX(value) AS max_value
          |FROM events GROUP BY event_type""".stripMargin,
+    "q_retention" ->
+      """WITH c AS (SELECT user_id, MIN(DATE_TRUNC('week', ts)) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS week FROM events)
+        |SELECT c.cohort_week,
+        |CAST(date_diff('day', CAST(c.cohort_week AS DATE), CAST(a.week AS DATE)) / 7
+        |  AS BIGINT) AS week_offset,
+        |COUNT(DISTINCT c.user_id) AS n_active
+        |FROM c JOIN a ON a.user_id = c.user_id AND a.week >= c.cohort_week
+        |GROUP BY 1, 2""".stripMargin,
     "q_json_path" ->
       """WITH j AS (SELECT event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)

@@ -445,6 +445,19 @@ object Relational {
         ntile(4).over(w).cast("long").as("quartile"))
   }
 
+  /** dense_rank + cume_dist over a NON-unique ordering: both depend
+    * only on the ORDER BY value (ties share a rank; peers count
+    * together in cume_dist), so the result is deterministic without a
+    * tie-break key — the one window family where that's true. */
+  def qRankVariants(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"s_nationkey").orderBy($"s_acctbal".asc)
+    Tables.supplier(s, d)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal",
+        dense_rank().over(w).cast("long").as("drank"),
+        round(cume_dist().over(w), 6).as("cd"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_unshipped" -> (q3TopUnshipped _),
@@ -481,7 +494,8 @@ object Relational {
     "q_topn_custom" -> (qTopNCustom _),
     "q_running_total" -> (qRunningTotal _),
     "q_lag_lead" -> (qLagLead _),
-    "q_percent_rank" -> (qPercentRank _)
+    "q_percent_rank" -> (qPercentRank _),
+    "q_rank_variants" -> (qRankVariants _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -686,6 +700,12 @@ object Relational {
         |LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey
         |  ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_price
         |FROM orders""".stripMargin,
+    "q_rank_variants" ->
+      """SELECT s_suppkey, s_nationkey, s_acctbal,
+        |CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
+        |ROUND(CUME_DIST() OVER w, 6) AS cd
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC)""".stripMargin,
     "q_percent_rank" ->
       """SELECT c_custkey, c_nationkey, c_acctbal,
         |ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey

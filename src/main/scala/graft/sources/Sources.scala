@@ -32,6 +32,19 @@ object Sources {
   /** Raw text lines (one `value` column). */
   def text(s: SparkSession, path: String): DataFrame = s.read.text(path)
 
+  /** RegexSerDe-style reader (the Hive log-parsing surface): each line
+    * is parsed with a capture-group regex into named string columns;
+    * non-matching lines yield empty strings, as permissive as the
+    * SerDe. A narrow map over a splittable text scan — linear at any
+    * log size. Cast/convert downstream as needed. */
+  def regexText(s: SparkSession, path: String, pattern: String,
+                cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    s.read.text(path).select(cols.zipWithIndex.map { case (c, i) =>
+      regexp_extract(col("value"), pattern, i + 1).as(c)
+    }: _*)
+  }
+
   def parquet(s: SparkSession, path: String): DataFrame = s.read.parquet(path)
 
   /** ORC — the other columnar format of the Hadoop/Hive era; same

@@ -103,6 +103,20 @@ class SourcesSkewSpec extends AnyFunSuite {
       (7L, "c", 70L)))                           // c inserted
   }
 
+  test("regexText parses log lines into named columns, permissively") {
+    import spark.implicits._
+    val dir = tmp("rex")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.log"),
+      "2026-01-01 GET /index 200\n2026-01-02 POST /api 500\ngarbage line\n")
+    val df = Sources.regexText(spark, s"$dir/a.log",
+      "^(\\S+) (\\S+) (\\S+) ([0-9]+)$", Seq("day", "verb", "path", "code"))
+    val rows = df.as[(String, String, String, String)].collect().toSet
+    assert(rows === Set(
+      ("2026-01-01", "GET", "/index", "200"),
+      ("2026-01-02", "POST", "/api", "500"),
+      ("", "", "", "")))
+  }
+
   test("sequence file round-trips key/value pairs") {
     import spark.implicits._
     val dir = tmp("seq")
