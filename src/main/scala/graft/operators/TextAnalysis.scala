@@ -116,18 +116,79 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("sum_bpe_tokens"))
   }
 
+  /** Lexical diversity (type-token ratio) per source — the vocabulary
+    * richness quality signal: templated/spammy docs repeat tokens and
+    * score low. Ratios are exact rationals rounded to 9 dp, then summed
+    * through DECIMAL(38,12) for an order-independent average. */
+  def qLexicalDiversity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Det.dsum12
+    val toks = tokens($"text")
+    Tables.documents(s, d)
+      .select($"source",
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_types"))
+      .withColumn("ttr", round($"n_types".cast("double") / $"n_tok", 9))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_types").as("sum_types"),
+        round(dsum12($"ttr") / count(lit(1)), 9).as("avg_ttr"))
+  }
+
+  private val TopNgrams = 20
+
+  /** Corpus-level bigram frequency table: the top-[[TopNgrams]] most
+    * frequent word 2-grams — the shape of a contamination / benchmark-
+    * overlap check (look up a benchmark's n-grams in the corpus table).
+    * One explode + one count per gram (map-side partial agg) + a
+    * bounded global top-k with a unique tie-break. */
+  def qTopNgrams(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+    Tables.documents(s, d)
+      .select(explode(grams).as("gram"))
+      .groupBy($"gram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"gram".asc)
+      .limit(TopNgrams)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lang_ngram" -> (qLangNgram _),
     "q_token_regex" -> (qTokenRegex _),
     "q_token_count" -> (qTokenCount _),
     "q_text_quality" -> (qTextQuality _),
-    "q_lang_id" -> (qLangId _)
+    "q_lang_id" -> (qLangId _),
+    "q_lexical_diversity" -> (qLexicalDiversity _),
+    "q_top_ngrams" -> (qTopNgrams _)
   )
 
   private def sqlMarkers(ms: Seq[String]): String =
     ms.map(m => s"'$m'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_lexical_diversity" ->
+      """WITH t AS (SELECT source,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_types
+        |  FROM documents),
+        |r AS (SELECT source, n_types,
+        |  ROUND(CAST(n_types AS DOUBLE) / n_tok, 9) AS ttr FROM t)
+        |SELECT source, COUNT(*) AS n_docs,
+        |CAST(SUM(n_types) AS BIGINT) AS sum_types,
+        |ROUND(CAST(SUM(CAST(ttr AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 9)
+        |  AS avg_ttr
+        |FROM r GROUP BY source""".stripMargin,
+    "q_top_ngrams" ->
+      """WITH tok AS (SELECT string_split(text,' ') AS t FROM documents),
+        |g AS (SELECT unnest(list_transform(
+        |  generate_series(1, greatest(len(t)-1, 1)),
+        |  i -> array_to_string(t[i:i+1], ' '))) AS gram FROM tok)
+        |SELECT gram, COUNT(*) AS n FROM g GROUP BY gram
+        |ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin,
     "q_lang_ngram" -> {
       def sqlScore(profile: Seq[String]): String =
         profile.map(p => s"(CASE WHEN contains(text, '$p') THEN 1 ELSE 0 END)")
