@@ -445,6 +445,38 @@ object Relational {
         ntile(4).over(w).cast("long").as("quartile"))
   }
 
+  /** Double aggregation (TPC-H q13 shape): how many customers placed
+    * 0, 1, 2… orders. LEFT OUTER join keeps zero-order customers; the
+    * first aggregation is per customer, the second over the counts —
+    * both shuffle on uniform keys. */
+  def qCustDistribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** Uncorrelated scalar subquery (TPC-H q22 flavor): segment stats of
+    * above-average-balance customers with at least one high-value
+    * order. The scalar average is decimal-exact, so the comparison
+    * boundary is identical on both engines; Spark plans the scalar as
+    * a broadcast. */
+  def qUncorrelatedScalar(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+    val avgBal = c.agg(davg($"c_acctbal").as("avg_bal"))
+    val bigOrders = Tables.orders(s, d).filter($"o_totalprice" > 300000.0)
+    c.join(bigOrders, $"c_custkey" === $"o_custkey", "left_semi")
+      .crossJoin(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("sum_bal"))
+  }
+
   /** dense_rank + cume_dist over a NON-unique ordering: both depend
     * only on the ORDER BY value (ties share a rank; peers count
     * together in cume_dist), so the result is deterministic without a
@@ -495,7 +527,9 @@ object Relational {
     "q_running_total" -> (qRunningTotal _),
     "q_lag_lead" -> (qLagLead _),
     "q_percent_rank" -> (qPercentRank _),
-    "q_rank_variants" -> (qRankVariants _)
+    "q_rank_variants" -> (qRankVariants _),
+    "q_cust_distribution" -> (qCustDistribution _),
+    "q_uncorrelated_scalar" -> (qUncorrelatedScalar _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -700,6 +734,20 @@ object Relational {
         |LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey
         |  ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_price
         |FROM orders""".stripMargin,
+    "q_cust_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_uncorrelated_scalar" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n, ${sqlSum("c_acctbal")} AS sum_bal
+         |FROM customer
+         |WHERE c_acctbal > (SELECT ${sqlAvg("c_acctbal")} FROM customer)
+         |AND EXISTS (SELECT 1 FROM orders
+         |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+         |GROUP BY c_mktsegment""".stripMargin,
     "q_rank_variants" ->
       """SELECT s_suppkey, s_nationkey, s_acctbal,
         |CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
