@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.MinHash.{MinHashSigs, ShingleHash60, SimHash32}
+import graft.functions.MinHash.{MinHashSigs, ShingleHash60, SigAgree, SimHash32}
 import graft.functions.VectorExpressions.CosineSimFloat
 
 /** SparkSessionExtensions plugin exposing graft's custom Catalyst
@@ -47,5 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash32"),
       info("simhash32"),
       (args: Seq[Expression]) => SimHash32(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("sig_agree"),
+      info("sig_agree"),
+      (args: Seq[Expression]) => SigAgree(args(0), args(1))))
   }
 }

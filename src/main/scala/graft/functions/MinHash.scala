@@ -117,6 +117,51 @@ object MinHash {
       copy(child = newChild)
   }
 
+  /** Count of positions where two equal-length signature arrays agree —
+    * the est_jaccard kernel of LSH candidate verification. A fused
+    * codegen loop replacing the interpreted zip_with+aggregate HOF in
+    * the pair hot path: at corpus scale every candidate pair evaluates
+    * this, so expression-eval overhead is the bottleneck, not the K
+    * comparisons. */
+  case class SigAgree(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "sig_agree"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var c = 0
+      var i = 0
+      while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+      c
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val (n, c, i) =
+        (ctx.freshName("n"), ctx.freshName("c"), ctx.freshName("i"))
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $c = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+           |}
+           |${ev.value} = $c;
+         """.stripMargin)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def sigAgree(a: Column, b: Column): Column =
+    Bridge.column(SigAgree(Bridge.expression(a), Bridge.expression(b)))
+
   def shingleHash60(toks: Column, n: Int): Column =
     Bridge.column(ShingleHash60(Bridge.expression(toks), n))
 

@@ -79,9 +79,9 @@ object Dedup {
     val banded = sig
       .select($"doc_id", $"sig", explode(array(bandKeys: _*)).as("bk"))
       .select($"doc_id", $"sig", $"bk.band".as("band"), $"bk.bucket".as("bucket"))
-    val agree = aggregate(
-      zip_with($"a.sig", $"b.sig", (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
+    // fused codegen agreement count — the interpreted zip_with+aggregate
+    // HOF equivalent costs ~µs per pair, which dominates at corpus scale
+    val agree = MinHash.sigAgree($"a.sig", $"b.sig")
     banded.as("a")
       .join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&

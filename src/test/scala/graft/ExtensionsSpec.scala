@@ -33,7 +33,23 @@ class ExtensionsSpec extends AnyFunSuite {
           |FROM docs WHERE doc_id < 3""".stripMargin).collect()
       assert(mh.length === 3)
       assert(mh.forall(_.getSeq[Long](1).length === 16))
-    } finally s2.close()
+      val sa = s2.sql(
+        """WITH s AS (SELECT doc_id,
+          |  minhash_sigs(shingle_hash60(split(text, ' '), 3), 16) AS sig
+          |  FROM docs WHERE doc_id < 4)
+          |SELECT sig_agree(a.sig, b.sig) AS ag, a.doc_id = b.doc_id AS same
+          |FROM s a JOIN s b""".stripMargin).collect()
+      // self-pairs agree on all 16 positions; every count is in [0, 16]
+      assert(sa.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 16))
+      assert(sa.filter(_.getBoolean(1)).forall(_.getInt(0) === 16))
+    } finally {
+      // getOrCreate returns the ALREADY-ACTIVE shared session when one
+      // exists (its extensions come from withExtensions, so the
+      // functions still resolve) — closing it would stop the shared
+      // SparkContext for every later test. Only close a session we
+      // actually created.
+      if (s2 ne spark) s2.close()
+    }
   }
 
   test("IVF ANN returns valid ranked neighbors with positive recall") {

@@ -90,6 +90,20 @@ class VectorSpec extends AnyFunSuite {
     assert(recovered === 10L, s"only $recovered/10 planted duplicates recovered")
   }
 
+  test("codegen sig_agree matches the HOF zip_with formulation") {
+    import spark.implicits._
+    val sh = MinHash.shingleHash60(graft.functions.TextFunctions.tokens($"text"), 3)
+    val sig = Tables.documents(spark, sf)
+      .select($"doc_id", MinHash.minhashSigs(sh, 16).as("sig"))
+    val pairs = sig.as("a").crossJoin(sig.as("b")).limit(2000)
+      .select(
+        MinHash.sigAgree($"a.sig", $"b.sig").as("fast"),
+        aggregate(
+          zip_with($"a.sig", $"b.sig", (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).as("hof"))
+    assert(pairs.filter($"fast" =!= $"hof").count() === 0)
+  }
+
   test("minhash universal-hash constants stay in range") {
     (0 until 64).foreach { j =>
       assert(MinHash.aj(j) >= 1 && MinHash.aj(j) < MinHash.M)
