@@ -247,8 +247,29 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), max($"id").as("max_doc"))
   }
 
+  /** The dedup DECISION the cluster pipeline exists for: per source,
+    * how much of the corpus survives near-dup removal when each cluster
+    * keeps only its canonical (minimum-id) document. Unclustered docs
+    * are kept by definition (left join, null label). */
+  def qDedupKeep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val edges = jaccardPairs(s, d)
+      .filter(lit(3) * $"inter" > $"na" + $"nb")
+      .select($"doc_a", $"doc_b")
+    val labels = connectedComponents(edges)
+    docs.join(labels, docs("doc_id") === labels("id"), "left")
+      .withColumn("keep", $"label".isNull || $"label" === $"doc_id")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"keep", $"n_chars").otherwise(0L)).as("chars_kept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_clusters" -> (qDupClusters _),
+    "q_dedup_keep" -> (qDedupKeep _),
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_exact_dedup" -> (qExactDedup _),
     "q_fingerprint" -> (qFingerprint _),
@@ -264,31 +285,46 @@ object Dedup {
     s"list_transform(generate_series(1, greatest(len(t)-${n - 1}, 1)), " +
       s"i -> array_to_string(t[i:i+${n - 1}], ' '))"
 
+  /** Recursive-CTE prelude computing near-dup components: yields CTEs
+    * up to `lab(id, label)` with label = component-min doc_id — shared
+    * by the q_dup_clusters and q_dedup_keep oracles. */
+  private lazy val ccLabelsCtes: String = {
+    val ngram = // same pair pipeline as the q_ngram_jaccard oracle
+      s"""WITH $tokCte,
+         |sh AS (SELECT doc_id, unnest(${shingleExpr(JaccardN)}) AS s FROM tok),
+         |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
+         |rare AS (SELECT s FROM ds GROUP BY s HAVING COUNT(*) <= $DfCap),
+         |dsr AS (SELECT ds.doc_id, ds.s FROM ds JOIN rare USING (s)),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM dsr a JOIN dsr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+         |SELECT doc_a, doc_b FROM pr
+         |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         |WHERE 3 * inter > sa.n + sb.n""".stripMargin
+    s"""WITH RECURSIVE pj AS ($ngram),
+       |e AS (SELECT doc_a AS s, doc_b AS d FROM pj
+       |  UNION SELECT doc_b, doc_a FROM pj),
+       |reach(s, d) AS (
+       |  SELECT s, s FROM e
+       |  UNION SELECT s, d FROM e
+       |  UNION SELECT reach.s, e.d FROM reach JOIN e ON reach.d = e.s),
+       |lab AS (SELECT s AS id, MIN(d) AS label FROM reach GROUP BY s)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
-    "q_dup_clusters" -> {
-      val ngram = // same pair pipeline as the q_ngram_jaccard oracle
-        s"""WITH $tokCte,
-           |sh AS (SELECT doc_id, unnest(${shingleExpr(JaccardN)}) AS s FROM tok),
-           |ds AS (SELECT DISTINCT doc_id, s FROM sh),
-           |sz AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
-           |rare AS (SELECT s FROM ds GROUP BY s HAVING COUNT(*) <= $DfCap),
-           |dsr AS (SELECT ds.doc_id, ds.s FROM ds JOIN rare USING (s)),
-           |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-           |  FROM dsr a JOIN dsr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
-           |SELECT doc_a, doc_b FROM pr
-           |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-           |WHERE 3 * inter > sa.n + sb.n""".stripMargin
-      s"""WITH RECURSIVE pj AS ($ngram),
-         |e AS (SELECT doc_a AS s, doc_b AS d FROM pj
-         |  UNION SELECT doc_b, doc_a FROM pj),
-         |reach(s, d) AS (
-         |  SELECT s, s FROM e
-         |  UNION SELECT s, d FROM e
-         |  UNION SELECT reach.s, e.d FROM reach JOIN e ON reach.d = e.s),
-         |lab AS (SELECT s AS id, MIN(d) AS label FROM reach GROUP BY s)
+    "q_dup_clusters" ->
+      s"""$ccLabelsCtes
          |SELECT label, COUNT(*) AS n_docs, CAST(MAX(id) AS BIGINT) AS max_doc
-         |FROM lab GROUP BY label""".stripMargin
-    },
+         |FROM lab GROUP BY label""".stripMargin,
+    "q_dedup_keep" ->
+      s"""$ccLabelsCtes
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |CAST(SUM(CASE WHEN lab.label IS NULL OR lab.label = d.doc_id
+         |  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |CAST(SUM(CASE WHEN lab.label IS NULL OR lab.label = d.doc_id
+         |  THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+         |FROM documents d LEFT JOIN lab ON d.doc_id = lab.id
+         |GROUP BY d.source""".stripMargin,
     "q_exact_dedup" ->
       """SELECT source, COUNT(*) AS n_docs,
         |COUNT(DISTINCT md5(text)) AS n_unique
