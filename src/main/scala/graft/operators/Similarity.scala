@@ -200,17 +200,16 @@ object Similarity {
     * they come from a k-means sample job, and the search shape is
     * unchanged. Cell sizes are ~N/Cells, so probed work is
     * ~NProbe/Cells of the corpus instead of all of it. */
-  def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+  /** Shared IVF search body: coarse-quantize the corpus to the given
+    * centroids (narrow codegen map), probe each query's [[NProbe]]
+    * best cells, local top-k. */
+  private def ivfSearch(s: SparkSession, emb: DataFrame,
+                        centroids: Array[Array[Float]]): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
-    // bounded model parameter: Cells × Dims floats, like k-means centers
-    val centroids: Array[Array[Float]] = emb.filter($"vec_id" < Cells)
-      .orderBy($"vec_id").select($"embedding").collect()
-      .map(_.getSeq[Float](0).toArray)
     val corpus = emb.select($"vec_id", $"embedding",
       nearestCentroid($"embedding", centroids).as("cell"))
-    val centDf = emb.filter($"vec_id" < Cells)
-      .select(($"vec_id" + 1).cast("int").as("cell"), $"embedding".as("cv"))
+    val centDf = centroids.zipWithIndex
+      .map { case (v, i) => (i + 1, v) }.toSeq.toDF("cell", "cv")
     val wProbe = Window.partitionBy($"query_id").orderBy($"ccos".desc, $"cell".asc)
     val queryCells = emb.filter($"vec_id" < NQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"))
@@ -229,6 +228,29 @@ object Similarity {
       .filter($"rank" <= K)
       .select($"query_id", $"neighbor_id", $"rank".cast("long").as("rank"),
         round($"cos", 6).as("cos"))
+  }
+
+  def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    // bounded model parameter: Cells × Dims floats, like k-means centers
+    val centroids: Array[Array[Float]] = emb.filter($"vec_id" < Cells)
+      .orderBy($"vec_id").select($"embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    ivfSearch(s, emb, centroids)
+  }
+
+  /** IVF with k-means-TRAINED centroids — the production configuration
+    * ([[qAnnIvf]] pins centroids to the first corpus vectors only so
+    * the DuckDB oracle can mirror them literally). Training is
+    * [[graft.functions.VectorAgg.trainIvfCentroids]]: `iters` narrow
+    * Lloyd passes whose only driver traffic is the Cells × Dims model;
+    * the search shape is identical. */
+  def annIvfTrained(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val centroids = graft.functions.VectorAgg
+      .trainIvfCentroids(emb, Cells, Dims, iters)
+    ivfSearch(s, emb, centroids)
   }
 
   /** Recall@K of the LSH ANN path against brute force, AS DATA — the

@@ -35,6 +35,18 @@ class VectorAggSpec extends AnyFunSuite {
     }
   }
 
+  test("trained-centroid IVF search returns valid ranked results with true cosines") {
+    import spark.implicits._
+    val trained = graft.operators.Similarity.annIvfTrained(spark, sf, iters = 2)
+    val brute = graft.operators.Similarity.qKnnBrute(spark, sf)
+      .select($"query_id", $"neighbor_id", $"cos".as("bcos"))
+    val shared = trained.join(brute, Seq("query_id", "neighbor_id"))
+    assert(shared.count() > 0) // positive recall on deterministic data
+    assert(shared.filter($"cos" =!= $"bcos").count() === 0)
+    val perQ = trained.groupBy($"query_id").count().collect()
+    assert(perQ.forall(_.getLong(1) <= 5))
+  }
+
   test("k-means training tightens the assignment objective") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
