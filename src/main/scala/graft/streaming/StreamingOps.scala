@@ -264,7 +264,8 @@ object StreamingOps {
     * the stateful two-stream surface that [[enrich]] (stream×static)
     * cannot cover: both inputs arrive out of order and late. */
   def intervalJoin(signups: Dataset[Ev], purchases: Dataset[Ev],
-                   withinMinutes: Int = 60): DataFrame = {
+                   withinMinutes: Int = 60,
+                   joinType: String = "inner"): DataFrame = {
     val s = signups
       .select(col("userId").as("s_user"), col("ts").as("s_ts"),
         col("eventId").as("signup_event"))
@@ -276,10 +277,20 @@ object StreamingOps {
     p.join(s, expr(
       s"""s_user = p_user AND
          |s_ts <= p_ts AND
-         |s_ts >= p_ts - INTERVAL $withinMinutes MINUTES""".stripMargin))
+         |s_ts >= p_ts - INTERVAL $withinMinutes MINUTES""".stripMargin),
+      joinType)
       .select(col("p_user").as("userId"), col("signup_event"),
         col("purchase_event"), col("s_ts"), col("p_ts"), col("value"))
   }
+
+  /** LEFT OUTER variant of [[intervalJoin]]: a purchase with no
+    * in-window signup is still emitted (null signup columns) — but
+    * only once the watermark proves no matching signup can arrive,
+    * which is what makes streaming outer joins correct rather than
+    * racy. */
+  def intervalJoinOuter(signups: Dataset[Ev], purchases: Dataset[Ev],
+                        withinMinutes: Int = 60): DataFrame =
+    intervalJoin(signups, purchases, withinMinutes, "left_outer")
 
   /** Minimal upsert client; production = a JDBC/KV connector opened
     * per partition. Must be serializable: it ships to executors. */

@@ -52,6 +52,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+
+  test("outer interval join emits unmatched purchases once the watermark passes") {
+    import spark.implicits._
+    val signups = MemoryStream[Ev](spark)
+    val purchases = MemoryStream[Ev](spark)
+    val q = StreamingOps.intervalJoinOuter(signups.toDS(), purchases.toDS(), 60)
+      .writeStream.format("memory").queryName("soj").outputMode(OutputMode.Append).start()
+    try {
+      // user 1 converts; user 2 purchases with no signup at all
+      signups.addData(ev(1, 10, typ = "signup"))
+      purchases.addData(ev(2, 40, typ = "purchase"),
+        ev(3, 45, user = 2, typ = "purchase"))
+      q.processAllAvailable()
+      // push BOTH watermarks far past 45 + 60-min interval + 60-min
+      // watermark delay, so the unmatched row's state can expire
+      signups.addData(ev(8, 1000, user = 99, typ = "signup"))
+      purchases.addData(ev(9, 1000, user = 99, typ = "purchase"))
+      q.processAllAvailable()
+      // outer results are emitted by a subsequent batch after the
+      // watermark advances; nudge one more microbatch through
+      signups.addData(ev(10, 1010, user = 99, typ = "signup"))
+      purchases.addData(ev(11, 1010, user = 99, typ = "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("soj")
+        .select($"userId", $"purchase_event",
+          $"signup_event".isNull.as("unmatched")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(rows.contains((1L, 2L, false)), rows.toString)   // matched
+      assert(rows.contains((2L, 3L, true)), rows.toString)    // emitted with nulls
+    } finally q.stop()
+  }
+
   test("watermarked tumbling window counts match the batch shape") {
     import spark.implicits._
     val in = MemoryStream[Ev](spark)
