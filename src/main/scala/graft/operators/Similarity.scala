@@ -253,6 +253,31 @@ object Similarity {
     ivfSearch(s, emb, centroids)
   }
 
+  /** Brute KNN over int8-quantized embeddings — the 4×-smaller
+    * memory/shuffle variant of [[qKnnBrute]] (quantize at write time,
+    * search the codes). Library path, no oracle: round() inside the
+    * quantizer is a double→int boundary DuckDB can't be made bit-exact
+    * on; the spec instead measures recall against full precision. */
+  def knnQuantized(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Quantize
+    val emb = Tables.embeddings(s, d).select($"vec_id",
+      Quantize.dequantizeInt8(Quantize.quantizeInt8($"embedding"))
+        .cast("array<float>").as("qemb"))
+    val q = emb.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"qemb".as("qv"))
+    val scored = broadcast(q)
+      .join(emb, $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosineFast($"qv", $"qemb").as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"neighbor_id", $"rank".cast("long").as("rank"),
+        round($"cos", 6).as("cos"))
+  }
+
   /** Recall@K of the LSH ANN path against brute force, AS DATA — the
     * quality knob measured inside the engine (run it per corpus drop to
     * decide whether Planes needs retuning). Left join so queries with

@@ -47,6 +47,14 @@ object Sources {
 
   def parquet(s: SparkSession, path: String): DataFrame = s.read.parquet(path)
 
+  /** Parquet read that skips corrupt files instead of failing the job —
+    * at 100 TB a handful of truncated files from a killed writer is
+    * routine, and one bad file must not kill a million-task scan. Use
+    * for ingest of externally-produced data; keep the strict default
+    * for the engine's own tables (where corruption means a real bug). */
+  def parquetLenient(s: SparkSession, path: String): DataFrame =
+    s.read.option("ignoreCorruptFiles", "true").parquet(path)
+
   /** ORC — the other columnar format of the Hadoop/Hive era; same
     * pushdown/pruning behavior as parquet under Catalyst. */
   def orc(s: SparkSession, path: String): DataFrame = s.read.orc(path)

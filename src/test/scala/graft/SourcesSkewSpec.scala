@@ -103,6 +103,20 @@ class SourcesSkewSpec extends AnyFunSuite {
       (7L, "c", 70L)))                           // c inserted
   }
 
+  test("lenient parquet read survives a corrupt file in the directory") {
+    import spark.implicits._
+    val dir = tmp("lenient") + "/data"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(dir)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part-junk.parquet"),
+      "this is not a parquet file")
+    val back = Sources.parquetLenient(spark, dir)
+    assert(back.count() === 2)
+    // and the strict default indeed fails on the same directory
+    intercept[org.apache.spark.SparkException] {
+      Sources.parquet(spark, dir).count()
+    }
+  }
+
   test("regexText parses log lines into named columns, permissively") {
     import spark.implicits._
     val dir = tmp("rex")

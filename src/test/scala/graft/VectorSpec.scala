@@ -90,6 +90,15 @@ class VectorSpec extends AnyFunSuite {
     assert(recovered === 10L, s"only $recovered/10 planted duplicates recovered")
   }
 
+  test("quantized KNN keeps high recall against full precision") {
+    import spark.implicits._
+    val brute = Similarity.qKnnBrute(spark, sf).select($"query_id", $"neighbor_id")
+    val quant = Similarity.knnQuantized(spark, sf).select($"query_id", $"neighbor_id")
+    val hits = quant.join(brute, Seq("query_id", "neighbor_id")).count()
+    val recall = hits.toDouble / brute.count()
+    assert(recall >= 0.6, s"int8 recall@5 collapsed to $recall")
+  }
+
   test("codegen sig_agree matches the HOF zip_with formulation") {
     import spark.implicits._
     val sh = MinHash.shingleHash60(graft.functions.TextFunctions.tokens($"text"), 3)
