@@ -445,6 +445,38 @@ object Relational {
         ntile(4).over(w).cast("long").as("quartile"))
   }
 
+  /** Chained correlated EXISTS + NOT EXISTS on the same key (TPC-H q21
+    * flavor): orders with a late-shipped lineitem but no bulk lineitem.
+    * Declared as a semi join followed by an anti join — exactly how
+    * Catalyst decorrelates the two subqueries. */
+  def qMultiExists(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.lineitem(s, d)
+    val late = l.filter($"l_shipdate" > ts("1998-06-01")).select($"l_orderkey")
+    val bulk = l.filter($"l_quantity" > 45.0)
+      .select($"l_orderkey".as("b_orderkey"))
+    Tables.orders(s, d)
+      .join(late, $"o_orderkey" === late("l_orderkey"), "left_semi")
+      .join(bulk, $"o_orderkey" === bulk("b_orderkey"), "left_anti")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+  }
+
+  /** The Hive collection-functions surface: build a sorted array per
+    * group, then size / element_at / contains / slice+join over it —
+    * all mirrored by DuckDB list functions. */
+  def qArrayOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.nation(s, d)
+      .groupBy($"n_regionkey")
+      .agg(sort_array(collect_list($"n_name")).as("arr"))
+      .select($"n_regionkey",
+        size($"arr").cast("long").as("n"),
+        element_at($"arr", 1).as("first_nation"),
+        array_contains($"arr", "CHINA").as("has_china"),
+        array_join(slice($"arr", 1, 2), ",").as("first_two"))
+  }
+
   /** Double aggregation (TPC-H q13 shape): how many customers placed
     * 0, 1, 2… orders. LEFT OUTER join keeps zero-order customers; the
     * first aggregation is per customer, the second over the counts —
@@ -529,7 +561,9 @@ object Relational {
     "q_percent_rank" -> (qPercentRank _),
     "q_rank_variants" -> (qRankVariants _),
     "q_cust_distribution" -> (qCustDistribution _),
-    "q_uncorrelated_scalar" -> (qUncorrelatedScalar _)
+    "q_uncorrelated_scalar" -> (qUncorrelatedScalar _),
+    "q_multi_exists" -> (qMultiExists _),
+    "q_array_ops" -> (qArrayOps _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -734,6 +768,24 @@ object Relational {
         |LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey
         |  ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_price
         |FROM orders""".stripMargin,
+    "q_multi_exists" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |${sqlSum("o_totalprice")} AS total
+         |FROM orders
+         |WHERE EXISTS (SELECT 1 FROM lineitem
+         |  WHERE l_orderkey = o_orderkey
+         |  AND l_shipdate > TIMESTAMP '1998-06-01')
+         |AND NOT EXISTS (SELECT 1 FROM lineitem
+         |  WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+         |GROUP BY o_orderpriority""".stripMargin,
+    "q_array_ops" ->
+      """WITH a AS (SELECT n_regionkey,
+        |  list_sort(list(n_name)) AS arr FROM nation GROUP BY 1)
+        |SELECT n_regionkey, CAST(len(arr) AS BIGINT) AS n,
+        |arr[1] AS first_nation,
+        |list_contains(arr, 'CHINA') AS has_china,
+        |array_to_string(arr[1:2], ',') AS first_two
+        |FROM a""".stripMargin,
     "q_cust_distribution" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
