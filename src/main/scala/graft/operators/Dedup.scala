@@ -100,6 +100,23 @@ object Dedup {
       .withColumn("bucket", shiftright($"simhash", 24))
   }
 
+  /** SimHash near-dup candidate pairs: bucket on the 8-bit prefix
+    * (only pairs agreeing on the top bits are candidates — the
+    * simhash analogue of LSH banding), then verify by full 32-bit
+    * Hamming distance ≤ [[SimHammingMax]]. bit_count(xor) is identical
+    * integer arithmetic on both engines, so the pair set is exact. */
+  private val SimHammingMax = 6
+
+  def qSimhashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = qSimhash(s, d)
+    sh.as("a").join(sh.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).cast("long").as("hamming"))
+      .filter($"hamming" <= SimHammingMax)
+  }
+
   /** Exact n-gram Jaccard over candidate pairs that share ≥1
     * 5-word shingle. The join key is the 60-bit md5 prefix of the
     * shingle, not the string: an 8-byte shuffle key instead of ~30
@@ -276,6 +293,7 @@ object Dedup {
     "q_minhash_sig" -> (qMinhashSig _),
     "q_minhash_pairs" -> (qMinhashPairs _),
     "q_simhash" -> (qSimhash _),
+    "q_simhash_pairs" -> (qSimhashPairs _),
     "q_ngram_jaccard" -> (qNgramJaccard _)
   )
 
@@ -310,6 +328,17 @@ object Dedup {
        |  UNION SELECT reach.s, e.d FROM reach JOIN e ON reach.d = e.s),
        |lab AS (SELECT s AS id, MIN(d) AS label FROM reach GROUP BY s)""".stripMargin
   }
+
+  private lazy val simhashSql =
+    """WITH tw AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+      |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w),1,8)) AS BIGINT) AS hv FROM tw),
+      |bits AS (SELECT doc_id, b,
+      |  SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0,31)) AS b) GROUP BY 1,2)
+      |SELECT doc_id,
+      |CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash,
+      |CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) >> 24 AS bucket
+      |FROM bits GROUP BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_dup_clusters" ->
@@ -358,16 +387,13 @@ object Dedup {
          |FROM banded a JOIN banded b
          |ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
     },
-    "q_simhash" ->
-      """WITH tw AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
-        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w),1,8)) AS BIGINT) AS hv FROM tw),
-        |bits AS (SELECT doc_id, b,
-        |  SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0,31)) AS b) GROUP BY 1,2)
-        |SELECT doc_id,
-        |CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash,
-        |CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) >> 24 AS bucket
-        |FROM bits GROUP BY doc_id""".stripMargin,
+    "q_simhash" -> simhashSql,
+    "q_simhash_pairs" ->
+      s"""WITH sh AS ($simhashSql)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH $tokCte,
          |sh AS (SELECT doc_id, unnest(${shingleExpr(JaccardN)}) AS s FROM tok),

@@ -509,6 +509,21 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("sum_bal"))
   }
 
+  /** Centered 3-row moving average (1 preceding, 1 following) of each
+    * customer's order prices — the symmetric-frame smoothing window.
+    * The divisor is the frame's ACTUAL row count (2 at partition
+    * edges), via count over the identical frame. */
+  def qMovingAvg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(-1, 1)
+    Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        round(sum($"o_totalprice".cast(Dec)).over(w).cast("double") /
+          count(lit(1)).over(w), 6).as("mavg3"))
+  }
+
   /** dense_rank + cume_dist over a NON-unique ordering: both depend
     * only on the ORDER BY value (ties share a rank; peers count
     * together in cume_dist), so the result is deterministic without a
@@ -563,7 +578,8 @@ object Relational {
     "q_cust_distribution" -> (qCustDistribution _),
     "q_uncorrelated_scalar" -> (qUncorrelatedScalar _),
     "q_multi_exists" -> (qMultiExists _),
-    "q_array_ops" -> (qArrayOps _)
+    "q_array_ops" -> (qArrayOps _),
+    "q_moving_avg" -> (qMovingAvg _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -768,6 +784,14 @@ object Relational {
         |LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey
         |  ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_price
         |FROM orders""".stripMargin,
+    "q_moving_avg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE)
+        |  / COUNT(*) OVER w, 6) AS mavg3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)""".stripMargin,
     "q_multi_exists" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n,
          |${sqlSum("o_totalprice")} AS total
