@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),

@@ -75,19 +75,41 @@ object AsofJoin {
         $"asof_time".as("signup_us"), $"asof_payload".as("signup_event"))
   }
 
+  /** [[qAsofJoin]] on the dedicated physical operator
+    * ([[graft.plans.AsofJoinExec]]): per-side shuffle + sort and an
+    * O(n) streaming merge, instead of the union-wide sort + running
+    * struct-max. Same semantics, same oracle — the exec earns its own
+    * green correctness row. */
+  def qAsofPhysical(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Events.events(s, d)
+      .select($"event_id", $"user_id", $"event_type", $"ts_us")
+    val signups = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id", $"ts_us")
+      .agg(max($"event_id").as("signup_event"))
+    graft.plans.AsofPhysical
+      .join(ev, signups, "user_id", "ts_us", "ts_us", "signup_event")
+      .select($"event_id", $"user_id", $"ts_us",
+        $"asof_time".as("signup_us"), $"asof_payload".as("signup_event"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asof_join" -> (qAsofJoin _)
+    "q_asof_join" -> (qAsofJoin _),
+    "q_asof_physical" -> (qAsofPhysical _)
   )
 
+  private val asofSql =
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events),
+      |s AS (SELECT user_id, ts_us, MAX(event_id) AS signup_event FROM e
+      |  WHERE event_type = 'signup' GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, e.ts_us,
+      |s.ts_us AS signup_us, s.signup_event
+      |FROM e ASOF LEFT JOIN s
+      |ON e.user_id = s.user_id AND e.ts_us >= s.ts_us""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "q_asof_join" ->
-      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
-        |  FROM events),
-        |s AS (SELECT user_id, ts_us, MAX(event_id) AS signup_event FROM e
-        |  WHERE event_type = 'signup' GROUP BY 1, 2)
-        |SELECT e.event_id, e.user_id, e.ts_us,
-        |s.ts_us AS signup_us, s.signup_event
-        |FROM e ASOF LEFT JOIN s
-        |ON e.user_id = s.user_id AND e.ts_us >= s.ts_us""".stripMargin
+    "q_asof_join" -> asofSql,
+    "q_asof_physical" -> asofSql
   )
 }

@@ -25,6 +25,13 @@ object Bridge {
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.logical
 
+  /** Resolved plan with bound output attributes — custom binary nodes
+    * that embed child attributes in their own expressions need this
+    * (the raw logical plan of a freshly-built frame can be unresolved,
+    * with empty output). */
+  def analyzedPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
