@@ -175,6 +175,14 @@ object Relational {
       .except(Tables.customer(s, d).select($"c_nationkey".cast("long").as("k")))
   }
 
+  /** EXCEPT ALL — multiset difference (each value keeps
+    * max(0, n_left − n_right) copies). */
+  def qExceptAll(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, d).select($"p_size".cast("long").as("k"))
+      .exceptAll(Tables.customer(s, d).select($"c_nationkey".cast("long").as("k")))
+  }
+
   /** FULL OUTER join: per-nation customer/supplier counts, keeping
     * nations present on either side only. */
   def qFullOuter(s: SparkSession, d: String): DataFrame = {
@@ -552,6 +560,7 @@ object Relational {
     "q_union_all" -> (qUnionAll _),
     "q_intersect" -> (qIntersect _),
     "q_intersect_all" -> (qIntersectAll _),
+    "q_except_all" -> (qExceptAll _),
     "q_window_range" -> (qWindowRange _),
     "q_first_last" -> (qFirstLast _),
     "q_pivot_status" -> (qPivotStatus _),
@@ -664,6 +673,10 @@ object Relational {
     "q_intersect_all" ->
       """SELECT CAST(p_size AS BIGINT) AS k FROM part
         |INTERSECT ALL
+        |SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer""".stripMargin,
+    "q_except_all" ->
+      """SELECT CAST(p_size AS BIGINT) AS k FROM part
+        |EXCEPT ALL
         |SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer""".stripMargin,
     "q_window_range" ->
       """SELECT o_custkey, o_orderkey,
