@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.{Ev, StreamingOps}
+import graft.streaming.{Ev, SessionOut, StreamingOps}
 
 /** JVM-singleton store: in local mode executors share the JVM, so the
   * per-partition upserts land here (production: a JDBC/KV client). */
@@ -81,6 +81,44 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
       assert(rows.contains((1L, 2L, false)), rows.toString)   // matched
       assert(rows.contains((2L, 3L, true)), rows.toString)    // emitted with nulls
+    } finally q.stop()
+  }
+
+
+  test("streaming sessionization matches the batch twin on real table data") {
+    import spark.implicits._
+    // every event from the sf0.001 events table, fed through a
+    // MemoryStream in timestamp order (so nothing is watermark-late),
+    // must produce exactly the batch operator's per-user session stats
+    val evs = graft.operators.Events.events(spark, sf)
+      .select($"event_id", $"ts_us", $"user_id", $"event_type", $"value")
+      .collect()
+      .map(r => Ev(r.getLong(0), new Timestamp(r.getLong(1) / 1000),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e.ts.getTime, e.eventId))
+    val in = MemoryStream[Ev](spark)
+    val q = StreamingOps.sessionize(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("parity").outputMode(OutputMode.Append).start()
+    try {
+      evs.grouped(math.max(evs.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // flush: march a sentinel user's events far past every timeout
+      val maxMin = evs.map(_.ts.getTime / 60000).max
+      in.addData(ev(900001L, maxMin + 10000, user = 900001L))
+      q.processAllAvailable()
+      in.addData(ev(900002L, maxMin + 20000, user = 900001L))
+      q.processAllAvailable()
+      val streamed = spark.table("parity").as[SessionOut]
+        .filter(_.userId != 900001L)
+        .collect().groupBy(_.userId)
+        .map { case (u, ss) => (u, ss.length.toLong, ss.map(_.nEvents).sum) }
+        .toSet
+      val batch = graft.operators.Events.qSessionize(spark, sf)
+        .select($"user_id", $"n_sessions", $"n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
     } finally q.stop()
   }
 
