@@ -191,6 +191,12 @@ object StreamingOps {
       val sorted = evs.filter(_.ts.getTime >= wmMs)
         .toSeq.sortBy(e => (e.ts.getTime, e.eventId))
       var st = state.getOption.getOrElse(FunnelState(none, none, converted = false))
+      var out = List.empty[Conversion]
+      // Conversion is decided PER EVENT in time order, not once per
+      // micro-batch: with a batch-level check, a pre-signup purchase in
+      // the same batch would occupy the single pending slot and a valid
+      // later purchase in that batch would be missed (diverging from
+      // the batch twin — caught by the parity test).
       for (e <- sorted) {
         val us = e.ts.getTime * 1000
         e.eventType match {
@@ -198,12 +204,20 @@ object StreamingOps {
             st = st.copy(firstSignupUs =
               if (st.firstSignupUs == none) us else math.min(st.firstSignupUs, us))
           case "purchase" if !st.converted =>
-            st = st.copy(pendingPurchaseUs =
-              if (st.pendingPurchaseUs == none) us else math.min(st.pendingPurchaseUs, us))
+            if (st.firstSignupUs != none && us >= st.firstSignupUs) {
+              out ::= Conversion(userId, st.firstSignupUs, us,
+                us - st.firstSignupUs)
+              st = st.copy(converted = true, pendingPurchaseUs = none)
+            } else {
+              st = st.copy(pendingPurchaseUs =
+                if (st.pendingPurchaseUs == none) us
+                else math.min(st.pendingPurchaseUs, us))
+            }
           case _ =>
         }
       }
-      var out = List.empty[Conversion]
+      // cross-batch case: a purchase buffered before its user's LATE
+      // signup converts once the signup lands at or below it
       if (!st.converted && st.firstSignupUs != none && st.pendingPurchaseUs != none) {
         if (st.pendingPurchaseUs >= st.firstSignupUs) {
           out ::= Conversion(userId, st.firstSignupUs, st.pendingPurchaseUs,

@@ -122,6 +122,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+
+  test("streaming funnel matches the batch twin's conversions on real table data") {
+    import spark.implicits._
+    val evs = graft.operators.Events.events(spark, sf)
+      .select($"event_id", $"ts_us", $"user_id", $"event_type", $"value")
+      .collect()
+      .map(r => Ev(r.getLong(0), new Timestamp(r.getLong(1) / 1000),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e.ts.getTime, e.eventId))
+    val in = MemoryStream[Ev](spark)
+    // horizon beyond the dataset's time span so no state times out early
+    val q = StreamingOps.funnel(in.toDS(), horizonMinutes = 1000000)
+      .writeStream.format("memory").queryName("fparity").outputMode(OutputMode.Append).start()
+    try {
+      evs.grouped(math.max(evs.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // the Ev model carries millisecond Timestamps, so compare at ms
+      val streamed = spark.table("fparity")
+        .select($"userId", $"signupUs" / 1000, $"purchaseUs" / 1000)
+        .as[(Long, Double, Double)].collect()
+        .map(t => (t._1, t._2.toLong, t._3.toLong)).toSet
+      val batch = graft.operators.Events.qFunnel(spark, sf)
+        .filter($"first_purchase_after".isNotNull)
+        .select($"user_id",
+          org.apache.spark.sql.functions.unix_millis($"first_signup"),
+          org.apache.spark.sql.functions.unix_millis($"first_purchase_after"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("watermarked tumbling window counts match the batch shape") {
     import spark.implicits._
     val in = MemoryStream[Ev](spark)
