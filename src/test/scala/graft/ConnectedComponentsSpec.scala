@@ -16,6 +16,22 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("empty edge list yields empty labels without iterating") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).count() === 0L)
+  }
+
+  test("two complete cliques bridged by one edge merge into one component") {
+    import spark.implicits._
+    val cliqueA = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 10L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val pairs = (cliqueA ++ cliqueB :+ (4L, 10L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs)
+    assert(labels.count() === 10L)
+    assert(labels.filter($"label" =!= 0L).count() === 0L)
+  }
+
   test("1000-node path converges without lineage blowup (O(log n) rounds)") {
     import spark.implicits._
     // the adversarial deep chain: min-label propagation needs 999
