@@ -242,6 +242,79 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(onUser)
   }
 
+  /** [[funnel]] on the transformWithState API: same per-event
+    * conversion decision (in time order, inside the loop — see the
+    * classic twin for why), explicit named ValueState, event-time
+    * timer for horizon cleanup. */
+  class FunnelProcessor(horizonMinutes: Int)
+      extends StatefulProcessor[Long, Ev, Conversion] {
+    private val none = -1L
+    @transient private var st: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState](
+        "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[Conversion] = {
+      val wmMs = tv.getCurrentWatermarkInMs()
+      val sorted = rows.filter(_.ts.getTime >= wmMs)
+        .toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+      var s = if (st.exists()) st.get()
+              else FunnelState(none, none, converted = false)
+      var out = List.empty[Conversion]
+      for (e <- sorted) {
+        val us = e.ts.getTime * 1000
+        e.eventType match {
+          case "signup" if !s.converted =>
+            s = s.copy(firstSignupUs =
+              if (s.firstSignupUs == none) us else math.min(s.firstSignupUs, us))
+          case "purchase" if !s.converted =>
+            if (s.firstSignupUs != none && us >= s.firstSignupUs) {
+              out ::= Conversion(userId, s.firstSignupUs, us, us - s.firstSignupUs)
+              s = s.copy(converted = true, pendingPurchaseUs = none)
+            } else {
+              s = s.copy(pendingPurchaseUs =
+                if (s.pendingPurchaseUs == none) us
+                else math.min(s.pendingPurchaseUs, us))
+            }
+          case _ =>
+        }
+      }
+      if (!s.converted && s.firstSignupUs != none && s.pendingPurchaseUs != none) {
+        if (s.pendingPurchaseUs >= s.firstSignupUs) {
+          out ::= Conversion(userId, s.firstSignupUs, s.pendingPurchaseUs,
+            s.pendingPurchaseUs - s.firstSignupUs)
+          s = s.copy(converted = true, pendingPurchaseUs = none)
+        } else {
+          s = s.copy(pendingPurchaseUs = none)
+        }
+      }
+      st.update(s)
+      val anchorUs =
+        if (s.firstSignupUs != none) s.firstSignupUs else s.pendingPurchaseUs.max(0L)
+      getHandle.registerTimer(anchorUs / 1000 + horizonMinutes.toLong * 60 * 1000)
+      out.reverseIterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[Conversion] = {
+      st.clear()
+      Iterator.empty
+    }
+  }
+
+  /** [[funnel]] on the transformWithState API. Requires the RocksDB
+    * state store provider. */
+  def funnelTws(events: Dataset[Ev], horizonMinutes: Int = 60 * 24): Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.userId)
+      .transformWithState(new FunnelProcessor(horizonMinutes),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Streaming exact dedup on event id, with state bounded by the
     * watermark — the streaming twin of exact dedup. */
   def dedup(events: DataFrame, watermark: String = "30 minutes"): DataFrame =

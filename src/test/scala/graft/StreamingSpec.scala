@@ -155,6 +155,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+
+  test("transformWithState funnel matches the classic funnel on real table data") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evs = graft.operators.Events.events(spark, sf)
+      .select($"event_id", $"ts_us", $"user_id", $"event_type", $"value")
+      .collect()
+      .map(r => Ev(r.getLong(0), new Timestamp(r.getLong(1) / 1000),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e.ts.getTime, e.eventId))
+    def run(mk: () => (MemoryStream[Ev], org.apache.spark.sql.streaming.StreamingQuery),
+            table: String): Set[(Long, Long, Long)] = {
+      val (in, q) = mk()
+      try {
+        evs.grouped(math.max(evs.length / 3, 1)).foreach { chunk =>
+          in.addData(chunk.toSeq); q.processAllAvailable()
+        }
+        spark.table(table).select($"userId", $"signupUs", $"purchaseUs")
+          .as[(Long, Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+    try {
+      val classic = run(() => {
+        val in = MemoryStream[Ev](spark)
+        (in, StreamingOps.funnel(in.toDS(), horizonMinutes = 1000000)
+          .writeStream.format("memory").queryName("fc").outputMode(OutputMode.Append).start())
+      }, "fc")
+      val tws = run(() => {
+        val in = MemoryStream[Ev](spark)
+        (in, StreamingOps.funnelTws(in.toDS(), horizonMinutes = 1000000)
+          .writeStream.format("memory").queryName("ft").outputMode(OutputMode.Append).start())
+      }, "ft")
+      assert(classic.nonEmpty)
+      assert(tws === classic)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("watermarked tumbling window counts match the batch shape") {
     import spark.implicits._
     val in = MemoryStream[Ev](spark)
