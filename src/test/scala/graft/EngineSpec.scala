@@ -24,6 +24,17 @@ class EngineSpec extends AnyFunSuite {
       "SparkEntry has a query SURVEY §2 doesn't list")
   }
 
+  test("module query maps merge without key collisions") {
+    import graft.multimodal.Multimodal
+    import graft.operators._
+    val modules = Seq(Relational.queries, Events.queries, Dedup.queries,
+      TextAnalysis.queries, Similarity.queries, Multimodal.queries,
+      AsofJoin.queries, RangeJoin.queries, Sampling.queries, Curate.queries)
+    // ++ silently overwrites duplicates; the merged size must equal the sum
+    assert(modules.map(_.size).sum === SparkEntry.queries.size,
+      "two modules declare the same query name")
+  }
+
   test("every oracle key has a query; rows-only queries are the known set") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
