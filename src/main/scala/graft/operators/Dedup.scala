@@ -1,9 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.MinHash
+import graft.functions.{LshParams, MinHash}
 import graft.functions.MinHash.minhashSigs
 import graft.functions.TextFunctions._
 
@@ -60,61 +61,127 @@ object Dedup {
 
   def qMinhashSig(s: SparkSession, d: String): DataFrame = signatures(s, d)
 
-  /** LSH banding: equal band-signature ⇒ candidate near-duplicate pair.
-    * The full signature array rides through the (band, bucket) shuffle
-    * (128 B/row), so the estimated jaccard is computed directly on the
-    * joined pair — one self-join total, no joins back to the signature
-    * table. Per-bucket pair generation is bounded by bucket size. */
-  def qMinhashPairs(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** Banded (band, bucket) MinHash view: the full signature array
+    * rides through the (band, bucket) shuffle (128 B/row), so the
+    * estimated jaccard is computed directly on the joined pair — one
+    * self-join total, no joins back to the signature table. */
+  private[graft] def minhashBandedOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val rows = K / Bands
     val sh = MinHash.shingleHash60(tokens($"text"), ShingleN)
-    val sig = Tables.documents(s, d)
-      .select($"doc_id", minhashSigs(sh, K).as("sig"))
+    val sig = docs.select($"doc_id", minhashSigs(sh, K).as("sig"))
     val bandKeys = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         md5(array_join(transform(
           slice($"sig", b * rows + 1, rows), x => x.cast("string")), "|")).as("bucket"))
     }
-    val banded = sig
+    sig
       .select($"doc_id", $"sig", explode(array(bandKeys: _*)).as("bk"))
       .select($"doc_id", $"sig", $"bk.band".as("band"), $"bk.bucket".as("bucket"))
+  }
+
+  /** LSH banding: equal band-signature ⇒ candidate near-duplicate pair.
+    * The md5 band-bucket space grows with the data (no fixed ceiling),
+    * but an N-copy document still makes one f² bucket — so pair
+    * generation carries the same [[LshParams.BucketCap]] star fallback
+    * as [[Similarity.nearDupLshOf]]: buckets above the cap emit only
+    * (bucket-min, member) pairs, bounding volume at f−1 while keeping
+    * the duplicate cluster connected. */
+  def qMinhashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cap = LshParams.BucketCap
+    val w = Window.partitionBy($"band", $"bucket")
+    val banded = minhashBandedOf(Tables.documents(s, d))
+      .withColumn("f", count(lit(1)).over(w))
+      .withColumn("bmin", min($"doc_id").over(w))
     // fused codegen agreement count — the interpreted zip_with+aggregate
     // HOF equivalent costs ~µs per pair, which dominates at corpus scale
     val agree = MinHash.sigAgree($"a.sig", $"b.sig")
     banded.as("a")
       .join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
-          $"a.doc_id" < $"b.doc_id")
+          $"a.doc_id" < $"b.doc_id" &&
+          ($"a.f" <= cap || $"a.doc_id" === $"a.bmin"))
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         round(agree.cast("double") / K, 6).as("est_jaccard"))
       .distinct()
   }
 
-  /** Per-document 32-bit SimHash and a 8-bit prefix bucket. */
-  def qSimhash(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, d)
+  /** Per-document 32-bit SimHash and its ladder-width prefix bucket:
+    * prefix bits = [[LshParams.widthForCount]] of the corpus size
+    * (capped at [[LshParams.MaxPrefix]]), so bucket cardinality grows
+    * with the data instead of flooring candidate volume at N²/2⁸. */
+  private[operators] def simhashOf(docs: DataFrame): (DataFrame, Int) = {
+    import docs.sparkSession.implicits._
+    val pb = LshParams.widthForCount(docs.count(), LshParams.MaxPrefix)
+    val df = docs
       .select($"doc_id",
         MinHash.simhash32(tokens($"text")).as("simhash"))
-      .withColumn("bucket", shiftright($"simhash", 24))
+      .withColumn("bucket", shiftright($"simhash", 32 - pb))
+    (df, pb)
   }
 
-  /** SimHash near-dup candidate pairs: bucket on the 8-bit prefix
-    * (only pairs agreeing on the top bits are candidates — the
+  def qSimhash(s: SparkSession, d: String): DataFrame =
+    simhashOf(Tables.documents(s, d))._1
+
+  /** SimHash near-dup candidate pairs: bucket on the ladder-width
+    * prefix (only pairs agreeing on the top bits are candidates — the
     * simhash analogue of LSH banding), then verify by full 32-bit
     * Hamming distance ≤ [[SimHammingMax]]. bit_count(xor) is identical
-    * integer arithmetic on both engines, so the pair set is exact. */
+    * integer arithmetic on both engines, so the pair set is exact.
+    * Hot prefixes are bounded by the same star-fallback cap as the
+    * other pair generators. */
   private val SimHammingMax = 6
 
   def qSimhashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = qSimhash(s, d)
+    val cap = LshParams.BucketCap
+    val w = Window.partitionBy($"bucket")
+    val sh = simhashOf(Tables.documents(s, d))._1
+      .withColumn("f", count(lit(1)).over(w))
+      .withColumn("bmin", min($"doc_id").over(w))
     sh.as("a").join(sh.as("b"),
-        $"a.bucket" === $"b.bucket" && $"a.doc_id" < $"b.doc_id")
+        $"a.bucket" === $"b.bucket" && $"a.doc_id" < $"b.doc_id" &&
+          ($"a.f" <= cap || $"a.doc_id" === $"a.bmin"))
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         bit_count($"a.simhash".bitwiseXOR($"b.simhash")).cast("long").as("hamming"))
       .filter($"hamming" <= SimHammingMax)
+  }
+
+  /** Gate-visible LSH health diagnostic, one row per bucketing family:
+    * corpus size, the ladder-chosen key width, bucket count, the
+    * hottest bucket, and how many buckets exceeded [[LshParams
+    * .BucketCap]] (i.e. engaged the star fallback). This is the
+    * number to watch on a corpus drop: n_over_cap > 0 means planted
+    * duplication or collapsed embeddings somewhere. `width` is the
+    * ladder value for the vector/simhash families and the rows-per-band
+    * count for minhash (whose md5 bucket space is unbounded). */
+  def qLshBucketStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cap = LshParams.BucketCap
+    def statsOf(grouped: DataFrame, family: String, n: Long, width: Int) =
+      grouped.agg(
+          count(lit(1)).as("n_buckets"),
+          max($"f").as("max_f"),
+          sum(when($"f" > cap, 1L).otherwise(0L)).as("n_over_cap"))
+        .select(lit(family).as("family"), lit(n).as("n"),
+          lit(width.toLong).as("width"), $"n_buckets", $"max_f", $"n_over_cap")
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count()
+    val emb = Tables.embeddings(s, d)
+    val (eBanded, np) = Similarity.ndBandedOf(emb)
+    val embStats = statsOf(
+      eBanded.groupBy($"t", $"bucket").agg(count(lit(1)).as("f")),
+      "embed_lsh", emb.count(), np)
+    val (shDf, pb) = simhashOf(docs)
+    val simStats = statsOf(
+      shDf.groupBy($"bucket").agg(count(lit(1)).as("f")),
+      "simhash", nDocs, pb)
+    val mhStats = statsOf(
+      minhashBandedOf(docs).groupBy($"band", $"bucket")
+        .agg(count(lit(1)).as("f")),
+      "minhash", nDocs, K / Bands)
+    embStats.unionAll(simStats).unionAll(mhStats)
   }
 
   /** Exact n-gram Jaccard over candidate pairs that share ≥1
@@ -294,6 +361,7 @@ object Dedup {
     "q_minhash_pairs" -> (qMinhashPairs _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_pairs" -> (qSimhashPairs _),
+    "q_lsh_bucket_stats" -> (qLshBucketStats _),
     "q_ngram_jaccard" -> (qNgramJaccard _)
   )
 
@@ -330,15 +398,18 @@ object Dedup {
   }
 
   private lazy val simhashSql =
-    """WITH tw AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+    s"""WITH nn AS (SELECT COUNT(*) AS cnt FROM documents),
+      |pp AS (SELECT ${LshParams.ladderSql("cnt", LshParams.MaxPrefix)} AS pb FROM nn),
+      |tw AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
       |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w),1,8)) AS BIGINT) AS hv FROM tw),
       |bits AS (SELECT doc_id, b,
       |  SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0,31)) AS b) GROUP BY 1,2)
-      |SELECT doc_id,
-      |CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash,
-      |CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) >> 24 AS bucket
-      |FROM bits GROUP BY doc_id""".stripMargin
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0,31)) AS b) GROUP BY 1,2),
+      |s0 AS (SELECT doc_id,
+      |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id)
+      |SELECT doc_id, simhash, simhash >> (32 - pb) AS bucket
+      |FROM s0 CROSS JOIN pp""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_dup_clusters" ->
@@ -379,21 +450,60 @@ object Dedup {
          |banded AS (SELECT doc_id, sig, pb AS band,
          |  md5(array_to_string(sig[pb*$rows+1 : pb*$rows+$rows], '|')) AS bucket
          |  FROM sig CROSS JOIN
-         |    (SELECT unnest([${(0 until Bands).mkString(", ")}]) AS pb))
+         |    (SELECT unnest([${(0 until Bands).mkString(", ")}]) AS pb)),
+         |stb AS (SELECT doc_id, sig, band, bucket,
+         |  COUNT(*) OVER (PARTITION BY band, bucket) AS f,
+         |  MIN(doc_id) OVER (PARTITION BY band, bucket) AS bmin FROM banded)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |ROUND(CAST(list_sum(list_transform(generate_series(1, $K),
          |  i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $K, 6)
          |  AS est_jaccard
-         |FROM banded a JOIN banded b
-         |ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
+         |FROM stb a JOIN stb b
+         |ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |AND (a.f <= ${LshParams.BucketCap} OR a.doc_id = a.bmin)""".stripMargin
     },
     "q_simhash" -> simhashSql,
     "q_simhash_pairs" ->
-      s"""WITH sh AS ($simhashSql)
+      s"""WITH sh AS ($simhashSql),
+         |st AS (SELECT doc_id, simhash, bucket,
+         |  COUNT(*) OVER (PARTITION BY bucket) AS f,
+         |  MIN(doc_id) OVER (PARTITION BY bucket) AS bmin FROM sh)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM sh a JOIN sh b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |FROM st a JOIN st b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |AND (a.f <= ${LshParams.BucketCap} OR a.doc_id = a.bmin)
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin,
+    "q_lsh_bucket_stats" -> {
+      val cap = LshParams.BucketCap
+      val rows = K / Bands
+      val sigList = (0 until K).map(j => MinHash.sqlSig("sh", j)).mkString(", ")
+      val simStats =
+        s"""WITH sh AS ($simhashSql),
+           |fs AS (SELECT bucket, COUNT(*) AS f FROM sh GROUP BY 1)
+           |SELECT 'simhash' AS family, (SELECT COUNT(*) FROM documents) AS n,
+           |CAST((SELECT ${LshParams.ladderSql("cnt", LshParams.MaxPrefix)}
+           |  FROM (SELECT COUNT(*) AS cnt FROM documents)) AS BIGINT) AS width,
+           |COUNT(*) AS n_buckets, MAX(f) AS max_f,
+           |CAST(SUM(CASE WHEN f > $cap THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap
+           |FROM fs""".stripMargin
+      val mhStats =
+        s"""WITH $tokCte,
+           |shl AS (SELECT doc_id, ${shingleExpr(ShingleN)} AS sh FROM tok),
+           |sig AS (SELECT doc_id, [$sigList] AS sig FROM shl),
+           |banded AS (SELECT doc_id, pb AS band,
+           |  md5(array_to_string(sig[pb*$rows+1 : pb*$rows+$rows], '|')) AS bucket
+           |  FROM sig CROSS JOIN
+           |    (SELECT unnest([${(0 until Bands).mkString(", ")}]) AS pb)),
+           |fs AS (SELECT band, bucket, COUNT(*) AS f FROM banded GROUP BY 1, 2)
+           |SELECT 'minhash' AS family, (SELECT COUNT(*) FROM documents) AS n,
+           |CAST($rows AS BIGINT) AS width,
+           |COUNT(*) AS n_buckets, MAX(f) AS max_f,
+           |CAST(SUM(CASE WHEN f > $cap THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap
+           |FROM fs""".stripMargin
+      s"""SELECT * FROM (${Similarity.ndStatsSql(cap)})
+         |UNION ALL SELECT * FROM ($simStats)
+         |UNION ALL SELECT * FROM ($mhStats)""".stripMargin
+    },
     "q_ngram_jaccard" ->
       s"""WITH $tokCte,
          |sh AS (SELECT doc_id, unnest(${shingleExpr(JaccardN)}) AS s FROM tok),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.LshParams
 import graft.functions.VectorExpressions.{cosineFast, nearestCentroid, signedProjBuckets}
 import graft.functions.VectorFunctions.norm
 
@@ -23,8 +24,19 @@ object Similarity {
 
   private val NQueries = 20 // bounded query set for knn demos
   private val K = 5         // neighbors per query
-  private val Planes = 8    // LSH projections → 256 buckets
   private val Dims = 64
+
+  /** Hyperplane count for the per-QUERY ANN family (q_ann_lsh /
+    * multiprobe). Fixed on purpose: there the bucket width is a
+    * recall/cost knob for a BOUNDED query set (measured as data by
+    * [[qAnnRecall]]), not a pair-volume bound — the all-pairs near-dup
+    * path is the one that must scale its width with the corpus
+    * ([[LshParams.widthForCount]], used by [[nearDupLshOf]]). */
+  private val AnnPlanes = 8
+
+  /** Brute-force slice bound for [[qEmbedNearDup]] — the N² baseline
+    * is only ever run on a fixed-size cross-check slice. */
+  private val BruteSlice = 512
 
   /** Per-label vector stats. Averages are decimal-exact sums (scale 12)
     * of 9-dp-rounded terms divided by the count — order-independent, so
@@ -60,12 +72,16 @@ object Similarity {
         round($"cos", 6).as("cos"))
   }
 
-  /** Embedding-space near-duplicate pairs (cosine above threshold).
-    * Brute pairwise here; at scale run the same predicate per LSH
-    * bucket (see [[lshBuckets]]) instead of the full cross product. */
+  /** Embedding-space near-duplicate pairs (cosine above threshold) by
+    * brute pairwise comparison — the CROSS-CHECK baseline for
+    * [[nearDupLsh]], bounded to the `vec_id < BruteSlice` slice so the
+    * N² self-join never runs on a full corpus at any SF (the scale
+    * path is [[qNearDupLsh]]; its recall against this slice is what
+    * the spec suite measures). */
   def qEmbedNearDup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      .filter($"vec_id" < BruteSlice)
     e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         cosineFast($"a.embedding", $"b.embedding").as("cos"))
@@ -74,14 +90,17 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplane matrix from md5((plane, dim)). The
-    * global plane index space is shared across LSH tables: table t uses
-    * planes t·Planes … t·Planes+Planes-1, so every table is independent
-    * yet reproducible on any engine (the oracle regenerates the same
-    * signs from the same md5 bytes). */
-  private[graft] def planesFor(table: Int): Array[Array[Double]] = {
+    * global plane index space is shared across LSH tables: table t owns
+    * indices t·MaxPlanes … t·MaxPlanes+MaxPlanes−1 and uses the first
+    * `nPlanes` of them — so a narrower bucket is a bit-PREFIX of the
+    * wider one (the property the oracle's mask trick relies on,
+    * asserted in LshScaleSpec), every table is independent, and every
+    * engine regenerates identical signs from the same md5 bytes. */
+  private[graft] def planesFor(table: Int,
+                               nPlanes: Int = AnnPlanes): Array[Array[Double]] = {
     val md = MessageDigest.getInstance("MD5")
-    Array.tabulate(Planes, Dims) { (p, i) =>
-      val h = md.digest(s"${table * Planes + p}|$i".getBytes("UTF-8"))
+    Array.tabulate(nPlanes, Dims) { (p, i) =>
+      val h = md.digest(s"${table * LshParams.MaxPlanes + p}|$i".getBytes("UTF-8"))
       if ((h(0) & 1) == 1) 1.0 else -1.0
     }
   }
@@ -92,12 +111,13 @@ object Similarity {
     * per plane, the signed sequential sum of ±v[i] (exactly the codegen
     * loop's left-to-right double adds, since multiplying by ±1.0 is
     * exact), compared > 0.0 and weighted 2^p. */
-  private def sqlBucketExpr(v: String, table: Int): String = {
-    val ps = planesFor(table)
-    (0 until Planes).map { p =>
+  private[operators] def sqlBucketExpr(v: String, table: Int,
+                                       nPlanes: Int = AnnPlanes): String = {
+    val ps = planesFor(table, nPlanes)
+    (0 until nPlanes).map { p =>
       val terms = (0 until Dims)
         .map(i => (if (ps(p)(i) > 0) "+" else "-") + s"$v[${i + 1}]").mkString
-      s"(CASE WHEN (${terms.stripPrefix("+")}) > 0.0 THEN ${1 << p} ELSE 0 END)"
+      s"(CASE WHEN (${terms.stripPrefix("+")}) > 0.0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
   }
 
@@ -127,16 +147,16 @@ object Similarity {
         round($"cos", 6).as("cos"))
   }
 
-  /** Multi-probe LSH ANN: each query also probes the [[Planes]]
+  /** Multi-probe LSH ANN: each query also probes the [[AnnPlanes]]
     * buckets at Hamming distance 1 from its own (flip one hyperplane
     * bit), recovering most neighbors lost across a single boundary for
-    * (Planes+1)× probe cost — still ~(Planes+1)/2^Planes of the corpus,
-    * nowhere near a scan. The classic recall/cost knob. */
+    * (P+1)× probe cost — still ~(P+1)/2^P of the corpus, nowhere near
+    * a scan. The classic recall/cost knob. */
   def qAnnMultiProbe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding", bucketOf($"embedding").as("bucket"))
-    val probes = (0 until Planes).map(p => $"bucket".bitwiseXOR(lit(1L << p)))
+    val probes = (0 until AnnPlanes).map(p => $"bucket".bitwiseXOR(lit(1L << p)))
     val q = emb.filter($"vec_id" < NQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"),
         explode(array(($"bucket" +: probes): _*)).as("bucket"))
@@ -154,32 +174,62 @@ object Similarity {
         round($"cos", 6).as("cos"))
   }
 
-  private val NdTables = 4 // OR-construction tables for near-dup LSH
+  private[operators] val NdTables = 4 // OR-construction tables for near-dup LSH
+
+  /** Banded (table, bucket) view of a corpus for the near-dup
+    * OR-construction, with the ladder-chosen plane count. The count()
+    * that picks the width is a metadata-cheap action (parquet footers /
+    * catalog stats at scale) run once per pipeline. */
+  private[graft] def ndBandedOf(emb: DataFrame,
+                                tables: Int = NdTables): (DataFrame, Int) = {
+    import emb.sparkSession.implicits._
+    val e = emb.select($"vec_id", $"embedding")
+    val np = LshParams.widthForCount(e.count())
+    val bands = (0 until tables).map(t =>
+      struct(lit(t).as("t"),
+        signedProjBuckets($"embedding", planesFor(t, np)).as("bucket")))
+    val banded = e
+      .select($"vec_id", $"embedding", explode(array(bands: _*)).as("tb"))
+      .select($"vec_id", $"embedding", $"tb.t".as("t"), $"tb.bucket".as("bucket"))
+    (banded, np)
+  }
 
   /** LSH-bucketed near-duplicate pairs: the 100 TB path for
     * [[qEmbedNearDup]]'s semantics, and the oracle-checked
     * `q_neardup_lsh` entry. OR-construction over [[NdTables]]
-    * independent 8-plane tables: a pair is a candidate if it collides
-    * in ANY table, which recovers true near-duplicates (cos→1 collides
-    * per table w.p. (1-θ/π)^Planes → 1) while keeping candidate volume
-    * at T·Σ bucketᵢ² ≈ T·N²/2^Planes instead of N². One explode (T
+    * independent tables of [[LshParams.widthForCount]] hyperplanes
+    * each (bucket space grows with the corpus — occupancy stays ~2^5
+    * at any N): a pair is a candidate if it collides in ANY table,
+    * which recovers true near-duplicates (cos→1 collides per table
+    * w.p. (1-θ/π)^planes → 1) while keeping candidate volume at
+    * T·Σ bucketᵢ² ≈ T·N·2^OccLog2 instead of N². One explode (T
     * rows/vector) + one (table, bucket) shuffle; the embedding rides
     * the shuffle so cosine is computed directly on the joined pair, and
     * the final distinct dedups pairs that collide in several tables
-    * (bounded ×T blowup, post-threshold so it's tiny). */
-  def nearDupLsh(s: SparkSession, d: String, threshold: Double = 0.4,
-                 tables: Int = NdTables): DataFrame = {
-    import s.implicits._
-    val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-    val bands = (0 until tables).map(t =>
-      struct(lit(t).as("t"),
-        signedProjBuckets($"embedding", planesFor(t)).as("bucket")))
-    val banded = e
-      .select($"vec_id", $"embedding", explode(array(bands: _*)).as("tb"))
-      .select($"vec_id", $"embedding", $"tb.t".as("t"), $"tb.bucket".as("bucket"))
-    banded.as("a").join(banded.as("b"),
+    * (bounded ×T blowup, post-threshold so it's tiny).
+    *
+    * Hot buckets (skewed data) are bounded by `bucketCap`: a bucket
+    * with f ≤ cap emits all pairs; above the cap it falls back to STAR
+    * pairs around the bucket-minimum id — f−1 pairs instead of f²/2,
+    * and (unlike dropping the bucket) an N-copy pathological cluster
+    * keeps full connectivity for downstream component clustering.
+    * Overflowing buckets are observable via [[lshOverflowOf]] /
+    * `q_lsh_bucket_stats`. The window that computes per-bucket (f,
+    * min) partitions on the same (t, bucket) key the pair join
+    * shuffles on, so it adds a sort but no extra exchange. */
+  def nearDupLshOf(emb: DataFrame, threshold: Double = 0.4,
+                   tables: Int = NdTables,
+                   bucketCap: Int = LshParams.BucketCap): DataFrame = {
+    import emb.sparkSession.implicits._
+    val (banded, _) = ndBandedOf(emb, tables)
+    val w = Window.partitionBy($"t", $"bucket")
+    val st = banded
+      .withColumn("f", count(lit(1)).over(w))
+      .withColumn("bmin", min($"vec_id").over(w))
+    st.as("a").join(st.as("b"),
         $"a.t" === $"b.t" && $"a.bucket" === $"b.bucket" &&
-          $"a.vec_id" < $"b.vec_id")
+          $"a.vec_id" < $"b.vec_id" &&
+          ($"a.f" <= bucketCap || $"a.vec_id" === $"a.bmin"))
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         cosineFast($"a.embedding", $"b.embedding").as("cos"))
       .filter($"cos" > threshold)
@@ -187,7 +237,43 @@ object Similarity {
       .distinct()
   }
 
+  def nearDupLsh(s: SparkSession, d: String, threshold: Double = 0.4,
+                 tables: Int = NdTables,
+                 bucketCap: Int = LshParams.BucketCap): DataFrame =
+    nearDupLshOf(Tables.embeddings(s, d), threshold, tables, bucketCap)
+
   def qNearDupLsh(s: SparkSession, d: String): DataFrame = nearDupLsh(s, d)
+
+  /** Overflow diagnostic: the (table, bucket) cells whose occupancy
+    * exceeds the cap — i.e. where [[nearDupLshOf]] engaged the star
+    * fallback. Empty on healthy data; a non-empty result names the
+    * exact cells to inspect (planted spam, collapsed embeddings). */
+  def lshOverflowOf(emb: DataFrame, tables: Int = NdTables,
+                    bucketCap: Int = LshParams.BucketCap): DataFrame = {
+    import emb.sparkSession.implicits._
+    val (banded, _) = ndBandedOf(emb, tables)
+    banded.groupBy($"t", $"bucket").agg(count(lit(1)).as("f"))
+      .filter($"f" > bucketCap)
+  }
+
+  /** DuckDB mirror of the embed-family row of `q_lsh_bucket_stats`
+    * (the query itself lives in [[Dedup]] next to the text families). */
+  private[operators] def ndStatsSql(cap: Int): String = {
+    val bkArms = (0 until NdTables).map(t =>
+      s"""SELECT $t AS t, (${sqlBucketExpr("v", t, LshParams.MaxPlanes)}
+         |  & ((CAST(1 AS BIGINT) << planes) - 1)) AS bucket
+         |FROM e CROSS JOIN p""".stripMargin)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT COUNT(*) AS cnt FROM e),
+       |p AS (SELECT ${LshParams.ladderSql("cnt")} AS planes FROM n),
+       |bk AS (${bkArms.mkString("\nUNION ALL\n")}),
+       |fs AS (SELECT t, bucket, COUNT(*) AS f FROM bk GROUP BY 1, 2)
+       |SELECT 'embed_lsh' AS family, (SELECT cnt FROM n) AS n,
+       |CAST((SELECT planes FROM p) AS BIGINT) AS width,
+       |COUNT(*) AS n_buckets, MAX(f) AS max_f,
+       |CAST(SUM(CASE WHEN f > $cap THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap
+       |FROM fs""".stripMargin
+  }
 
   private val Cells = 16    // IVF coarse-quantizer cells
   private val NProbe = 2    // cells probed per query
@@ -351,27 +437,41 @@ object Similarity {
          |ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
          |GROUP BY b.query_id""".stripMargin,
     "q_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id < $BruteSlice)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) > 0.4""".stripMargin,
     "q_neardup_lsh" -> {
+      // The full MaxPlanes-bit bucket expression masked down to the
+      // ladder-chosen width: identical to Spark's bucket built from the
+      // first `planes` hyperplanes (prefix property, LshScaleSpec).
+      val cap = LshParams.BucketCap
       val ctes = (0 until NdTables).map(t =>
-        s"bkt$t AS (SELECT vec_id, v, ${sqlBucketExpr("v", t)} AS bucket FROM e)")
+        s"""bkt$t AS (SELECT vec_id, v,
+           |  (${sqlBucketExpr("v", t, LshParams.MaxPlanes)}
+           |   & ((CAST(1 AS BIGINT) << planes) - 1)) AS bucket
+           |  FROM e CROSS JOIN p),
+           |st$t AS (SELECT vec_id, v, bucket,
+           |  COUNT(*) OVER (PARTITION BY bucket) AS f,
+           |  MIN(vec_id) OVER (PARTITION BY bucket) AS bmin FROM bkt$t)""".stripMargin)
       val arms = (0 until NdTables).map(t =>
         s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            |ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
-           |FROM bkt$t a JOIN bkt$t b
+           |FROM st$t a JOIN st$t b
            |ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |AND (a.f <= $cap OR a.vec_id = a.bmin)
            |WHERE list_cosine_similarity(a.v, b.v) > 0.4""".stripMargin)
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT COUNT(*) AS cnt FROM e),
+         |p AS (SELECT ${LshParams.ladderSql("cnt")} AS planes FROM n),
          |${ctes.mkString(",\n")}
          |${arms.mkString("\nUNION\n")}""".stripMargin
     },
     "q_ann_lsh" -> annLshSql,
     "q_ann_multiprobe" -> {
-      val probeList = (0L +: (0 until Planes).map(p => 1L << p)).mkString(", ")
+      val probeList = (0L +: (0 until AnnPlanes).map(p => 1L << p)).mkString(", ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |b AS (SELECT vec_id, v, ${sqlBucketExpr("v", 0)} AS bucket FROM e),
          |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < $NQueries),

@@ -57,9 +57,12 @@ class VectorSpec extends AnyFunSuite {
 
   test("LSH near-dup pairs are a subset of brute pairs, identical cosines") {
     import spark.implicits._
+    // brute is bounded to the vec_id < 512 cross-check slice, so compare
+    // the LSH output restricted to the same slice
     val brute = Similarity.qEmbedNearDup(spark, sf)
       .select($"vec_a", $"vec_b", $"cos".as("bcos"))
     val lsh = Similarity.qNearDupLsh(spark, sf)
+      .filter($"vec_a" < 512 && $"vec_b" < 512)
     val joined = lsh.join(brute, Seq("vec_a", "vec_b"), "left")
     // every LSH pair exists in brute with the same cosine (no false pairs)
     assert(joined.filter($"bcos".isNull || $"cos" =!= $"bcos").count() === 0)
