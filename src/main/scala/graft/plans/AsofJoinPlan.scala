@@ -130,7 +130,13 @@ object AsofStrategy extends SparkStrategy {
 
 /** DataFrame-level API for the physical as-of join. Same contract as
   * [[graft.operators.AsofJoin.join]]: output = all left columns +
-  * (asof_time, asof_payload). */
+  * (asof_time, asof_payload).
+  *
+  * Null semantics: join keys use the engine's natural ordering, where
+  * null == null — a null-keyed left row CAN match a null-keyed right
+  * row (consistent with the union+running-max composition, which
+  * groups null keys together; unlike SQL equi-join null≠null). Filter
+  * nulls out beforehand if SQL semantics are wanted. */
 object AsofPhysical {
   def join(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String, payload: String): DataFrame = {
@@ -149,11 +155,20 @@ object AsofPhysical {
       .find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(
         s"asof join: no column '$name' in ${p.output.map(_.name)}"))
+    val (lKey, rKey) = (attr(lPlan, key), attr(rPlan, "_asof_rk"))
+    val (lTime, rTime) = (attr(lPlan, leftTime), attr(rPlan, "asof_time"))
+    // the exec compares each pair with ONE natural ordering built from
+    // the left type — differently-typed sides would corrupt comparisons
+    // silently, so reject them here (cast explicitly before joining)
+    require(lKey.dataType == rKey.dataType,
+      s"asof join: key types differ: ${lKey.dataType} vs ${rKey.dataType}")
+    require(lTime.dataType == rTime.dataType,
+      s"asof join: time types differ: ${lTime.dataType} vs ${rTime.dataType}")
     val node = AsofJoinNode(
-      leftKeys = Seq(attr(lPlan, key)),
-      rightKeys = Seq(attr(rPlan, "_asof_rk")),
-      leftTime = attr(lPlan, leftTime),
-      rightTime = attr(rPlan, "asof_time"),
+      leftKeys = Seq(lKey),
+      rightKeys = Seq(rKey),
+      leftTime = lTime,
+      rightTime = rTime,
       lPlan, rPlan)
     Bridge.ofRows(spark, node).drop("_asof_rk")
   }

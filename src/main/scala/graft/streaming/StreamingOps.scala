@@ -229,10 +229,21 @@ object StreamingOps {
           st = st.copy(pendingPurchaseUs = none)
         }
       }
-      state.update(st)
-      val anchorUs =
-        if (st.firstSignupUs != none) st.firstSignupUs else st.pendingPurchaseUs.max(0L)
-      state.setTimeoutTimestamp(anchorUs / 1000 + horizonMinutes.toLong * 60 * 1000)
+      // Only persist state that actually carries funnel content: an
+      // empty state (click-only user, or every row below the watermark)
+      // must not be written — its anchor would be the epoch, and
+      // setTimeoutTimestamp(epoch + horizon) throws once the watermark
+      // passes the horizon ("cannot be earlier than watermark").
+      if (st.converted || st.firstSignupUs != none || st.pendingPurchaseUs != none) {
+        state.update(st)
+        val anchorUs =
+          if (st.firstSignupUs != none) st.firstSignupUs else st.pendingPurchaseUs
+        // clamp: an old anchor (kept alive by unrelated activity) can
+        // put anchor+horizon behind the current watermark, which the
+        // state API rejects — expiring at wm+1 is the same cleanup
+        state.setTimeoutTimestamp(math.max(wmMs + 1,
+          anchorUs / 1000 + horizonMinutes.toLong * 60 * 1000))
+      }
       out.reverseIterator
     }
 
@@ -249,7 +260,18 @@ object StreamingOps {
   class FunnelProcessor(horizonMinutes: Int)
       extends StatefulProcessor[Long, Ev, Conversion] {
     private val none = -1L
+    private val horizonMs = horizonMinutes.toLong * 60 * 1000
     @transient private var st: ValueState[FunnelState] = _
+
+    /** The horizon expiry for the CURRENT state, or `none` if the state
+      * carries nothing worth keeping. Timers registered in earlier
+      * batches are not deleted, so the expiry handler must recompute
+      * this and ignore any timer that fires before it. */
+    private def horizonFor(s: FunnelState): Long = {
+      val anchorUs =
+        if (s.firstSignupUs != none) s.firstSignupUs else s.pendingPurchaseUs
+      if (anchorUs == none) none else anchorUs / 1000 + horizonMs
+    }
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[FunnelState](
@@ -290,16 +312,30 @@ object StreamingOps {
           s = s.copy(pendingPurchaseUs = none)
         }
       }
-      st.update(s)
-      val anchorUs =
-        if (s.firstSignupUs != none) s.firstSignupUs else s.pendingPurchaseUs.max(0L)
-      getHandle.registerTimer(anchorUs / 1000 + horizonMinutes.toLong * 60 * 1000)
+      // as in the classic twin: never persist (or anchor a timer on) a
+      // state that carries nothing — the epoch anchor it would produce
+      // becomes a stale timer that fires immediately at realistic
+      // watermarks
+      val horizon = horizonFor(s)
+      if (s.converted || horizon != none) {
+        st.update(s)
+        getHandle.registerTimer(math.max(tv.getCurrentWatermarkInMs() + 1, horizon))
+      }
       out.reverseIterator
     }
 
     override def handleExpiredTimer(userId: Long, tv: TimerValues,
                                     info: ExpiredTimerInfo): Iterator[Conversion] = {
-      st.clear()
+      // timers from earlier batches are never deleted, and the anchor
+      // can move LATER (a pre-signup pending purchase is dropped when
+      // the signup lands) — so an earlier timer can fire while the
+      // state is still live. Clear only when the firing timer is at or
+      // past the horizon of the state AS IT IS NOW (the same stale-
+      // timer guard SessionProcessor uses).
+      if (st.exists()) {
+        val horizon = horizonFor(st.get())
+        if (horizon != none && info.getExpiryTimeInMs() >= horizon) st.clear()
+      }
       Iterator.empty
     }
   }

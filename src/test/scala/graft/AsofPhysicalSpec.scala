@@ -34,6 +34,27 @@ class AsofPhysicalSpec extends AnyFunSuite {
     assert(joinedCmp.count() === 0)
   }
 
+  test("mismatched key or time types are rejected, not silently compared") {
+    import spark.implicits._
+    val (ev, signups) = inputs()
+    val intTime = signups.withColumn("ts_i", ($"ts_us" / 1000000).cast("int"))
+    val e1 = intercept[IllegalArgumentException] {
+      AsofPhysical.join(ev, intTime, "user_id", "ts_us", "ts_i", "signup_event")
+    }
+    assert(e1.getMessage.contains("time types differ"))
+    val intKey = signups.withColumn("user_i", $"user_id".cast("int"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsofPhysical.join(ev, intKey, "user_i", "ts_us", "ts_us", "signup_event")
+    }
+    assert(e2.getMessage.contains("no column 'user_i' in"))
+    // same-named key with a different type on the right
+    val narrowed = signups.withColumn("user_id", $"user_id".cast("int"))
+    val e3 = intercept[IllegalArgumentException] {
+      AsofPhysical.join(ev, narrowed, "user_id", "ts_us", "ts_us", "signup_event")
+    }
+    assert(e3.getMessage.contains("key types differ"))
+  }
+
   test("the plan is the dedicated exec, not a window") {
     val (ev, signups) = inputs()
     val physical = AsofPhysical.join(ev, signups, "user_id", "ts_us", "ts_us", "signup_event")

@@ -338,6 +338,70 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel survives click-only users at realistic horizons") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](spark)
+    // 60-min horizon: with the old epoch-anchored timeout, batch 3
+    // below threw "timeout timestamp cannot be earlier than watermark"
+    val q = StreamingOps.funnel(in.toDS(), horizonMinutes = 60)
+      .writeStream.format("memory").queryName("fclk").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 10, user = 7, typ = "click"))
+      q.processAllAvailable()
+      // event time jumps far ahead; the watermark passes epoch+horizon
+      in.addData(ev(2, 5000, user = 8, typ = "signup"))
+      q.processAllAvailable()
+      // a click-only user above the watermark ends the batch with an
+      // empty funnel state — it must simply not be persisted
+      in.addData(ev(3, 5020, user = 7, typ = "click"))
+      q.processAllAvailable()
+      in.addData(ev(4, 5010, user = 8, typ = "purchase"))
+      q.processAllAvailable()
+      val conv = spark.table("fclk").as[graft.streaming.Conversion].collect()
+      assert(conv.map(_.userId).toSet === Set(8L))
+    } finally q.stop()
+  }
+
+  test("tws funnel: stale pending-purchase timer must not wipe a live signup") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Ev](spark)
+    val q = StreamingOps.funnelTws(in.toDS(), horizonMinutes = 60)
+      .writeStream.format("memory").queryName("ftstale").outputMode(OutputMode.Append).start()
+    try {
+      // pre-signup purchase anchors a 61-min timer...
+      in.addData(ev(1, 1, typ = "purchase"))
+      q.processAllAvailable()
+      // ...then the signup lands, the unconvertible pending purchase is
+      // dropped, and the anchor moves LATER (horizon now 65 min) — the
+      // 61-min timer is now stale but was never deleted
+      in.addData(ev(2, 5, typ = "signup"))
+      q.processAllAvailable()
+      // advance the watermark past 61 min (not 65): the stale timer
+      // fires while the signup state is live; old code wiped it here
+      in.addData(ev(3, 92, user = 99, typ = "click"))
+      q.processAllAvailable()
+      in.addData(ev(4, 93, user = 99, typ = "click"))
+      q.processAllAvailable()
+      // a purchase inside the signup's horizon must still convert
+      in.addData(ev(5, 64, typ = "purchase"))
+      q.processAllAvailable()
+      val conv = spark.table("ftstale").as[graft.streaming.Conversion]
+        .collect().filter(_.userId == 1L)
+      assert(conv.length === 1)
+      assert(conv.head.signupUs === 5L * 60000000L)
+      assert(conv.head.purchaseUs === 64L * 60000000L)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming funnel emits one conversion per user, across batches") {
     import spark.implicits._
     val in = MemoryStream[Ev](spark)
