@@ -13,9 +13,13 @@ case class Frame(assetId: Long, frameIdx: Int, width: Int, height: Int,
 
 /** Decode / resize / frame-sample plumbing for multimodal assets.
   *
-  * The codec itself is STUBBED (no image/audio libraries in this
-  * container): [[decode]] produces deterministic fake pixels from the
-  * payload bytes. Everything around it — the typed Dataset API, the
+  * IMAGE decode is REAL: [[decodeImage]] parses the binary payload
+  * with `javax.imageio` (PNG/JPEG/BMP/GIF readers ship in every JDK —
+  * no extra jars), and [[pngAssets]] produces a corpus of genuine PNG
+  * payloads to drive it. Video/audio codecs genuinely are not in this
+  * container, so those kinds (and non-image synthetic payloads) fall
+  * back to [[fakeFrame]], a deterministic stand-in with the same
+  * shape. Everything around the codec — the typed Dataset API, the
   * per-partition batch loop (the Scala analogue of `mapInPandas`
   * batches), stride-based resize, evenly-spaced frame sampling — is
   * the real distributed shape: narrow transformations, payload read
@@ -36,9 +40,61 @@ object AssetPipeline {
         Asset(id, kind, data, AssetMeta(w, h, sr, nf)) }
   }
 
-  /** STUB codec: deterministic fake decode. A real deployment swaps in
-    * an image/video library here; the signature and batch shape stay. */
-  def decode(a: Asset, frameIdx: Int): Frame = {
+  /** Deterministic grayscale test pattern (value = mix of position and
+    * seed) — the pixel source for [[pngAssets]] fixtures. */
+  def patternPixels(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val px = new Array[Byte](w * h)
+    var i = 0
+    while (i < px.length) {
+      px(i) = ((i * 31 + seed * 17 + (i / w) * 7) & 0xff).toByte
+      i += 1
+    }
+    px
+  }
+
+  /** Encode row-major grayscale bytes as a real PNG via the JDK's
+    * ImageIO — used by the fixture generator AND usable as a write-side
+    * re-encoder. PNG is lossless, so decode(encode(px)) == px. */
+  def encodePng(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, pixels)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode via javax.imageio: returns (width, height,
+    * row-major grayscale bytes), or None when the payload is not a
+    * decodable image (then callers fall back to the stub). Grayscale
+    * sources are read raster-direct (bit-exact round trip); color
+    * sources are luminance-converted. */
+  def decodeImage(data: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val gray =
+          if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+          else {
+            val g = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val gg = g.createGraphics()
+            gg.drawImage(img, 0, 0, null)
+            gg.dispose()
+            g
+          }
+        val px = new Array[Byte](w * h)
+        gray.getRaster.getDataElements(0, 0, w, h, px)
+        Some((w, h, px))
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Deterministic fake pixels from the payload bytes — the stand-in
+    * for codecs not present in this container (video/audio) and for
+    * synthetic non-image payloads. */
+  def fakeFrame(a: Asset, frameIdx: Int): Frame = {
     val w = a.meta.width.getOrElse(64L).toInt
     val h = a.meta.height.getOrElse(64L).toInt
     val px = new Array[Byte](w * h)
@@ -50,6 +106,39 @@ object AssetPipeline {
       i += 1
     }
     Frame(a.assetId, frameIdx, w, h, px)
+  }
+
+  /** Codec dispatch: images decode for REAL (falling back to the stub
+    * only if the payload isn't a parseable image); video/audio stay
+    * stubbed — those codecs aren't in the container. */
+  def decode(a: Asset, frameIdx: Int): Frame =
+    if (a.kind == "image")
+      decodeImage(a.data) match {
+        case Some((w, h, px)) => Frame(a.assetId, frameIdx, w, h, px)
+        case None => fakeFrame(a, frameIdx)
+      }
+    else fakeFrame(a, frameIdx)
+
+  /** A corpus of REAL PNG assets, one per document id: deterministic
+    * pattern pixels encoded to PNG bytes on the executors (the encode
+    * is a narrow map — the binary column is born distributed, exactly
+    * like a production crawl ingest). */
+  def pngAssets(s: SparkSession, d: String): Dataset[Asset] = {
+    import s.implicits._
+    graft.Tables.documents(s, d).select($"doc_id").as[Long].map { id =>
+      val w = 16 + (id % 8).toInt * 8
+      val h = 16 + (id % 5).toInt * 8
+      val data = encodePng(w, h, patternPixels(w, h, id))
+      Asset(id, "image", data, AssetMeta(Some(w.toLong), Some(h.toLong), None, None))
+    }
+  }
+
+  /** Decode every image asset (real codec), batched per partition. */
+  def decodeImages(assets: Dataset[Asset]): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "image").mapPartitions { it =>
+      it.map(decode(_, 0))
+    }
   }
 
   /** Evenly-spaced frame indices (video frame sampling). */
