@@ -52,9 +52,32 @@ object VectorAgg {
       .toDF("cell", "centroid")
   }
 
+  /** ORDER-INDEPENDENT per-cell mean: per-element decimal-exact sums
+    * (house Det pattern) of 9-dp-rounded components, re-assembled into
+    * a float centroid. Unlike [[VecMean]] (double accumulation in
+    * partition-arrival order), the result is bit-identical under any
+    * partitioning or merge order — which is what makes the TRAINED IVF
+    * path gate-checkable (`q_ann_ivf_trained` must dump the same rows
+    * on every run). Costs a posexplode (dims× rows) through the
+    * shuffle; acceptable for a model-fitting job over a sample —
+    * [[VecMean]] remains the packed high-throughput variant. */
+  def cellCentroidsExact(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    df.select($"cell", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"cell", $"pos")
+      .agg((graft.functions.Det.dsum12(round($"x".cast("double"), 9))
+        / count(lit(1))).as("m"))
+      .groupBy($"cell")
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("sm"))
+      .select($"cell", transform($"sm", s => s("m").cast("float")).as("centroid"))
+  }
+
   /** Deterministic mini k-means for IVF centroid training: init from
     * the first `cells` vectors, then `iters` Lloyd steps (assign via
-    * the codegen NearestCentroid narrow map, re-average per cell).
+    * the codegen NearestCentroid narrow map, re-average per cell with
+    * [[cellCentroidsExact]] so the model — and everything downstream
+    * of it — is reproducible bit-for-bit across runs/partitionings).
     * Per-iteration driver traffic is cells × dims floats — a model
     * parameter, not data. */
   def trainIvfCentroids(emb: DataFrame, cells: Int, dims: Int, iters: Int): Array[Array[Float]] = {
@@ -65,7 +88,7 @@ object VectorAgg {
     for (_ <- 0 until iters) {
       val assigned = emb.select(
         (nearestCentroid($"embedding", cents) - 1).as("cell"), $"embedding")
-      val updated = cellCentroids(assigned, dims).collect()
+      val updated = cellCentroidsExact(assigned).collect()
         .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
     }

@@ -339,6 +339,15 @@ object Similarity {
     ivfSearch(s, emb, centroids)
   }
 
+  /** Gate entry for the trained path. No SQL oracle — 3 Lloyd rounds of
+    * per-cell means are not reasonably SQL-expressible — so it sits in
+    * the declared rows-only set; training is bit-deterministic
+    * ([[graft.functions.VectorAgg.cellCentroidsExact]]) and the spec
+    * suite asserts recall@K ≥ the pinned-centroid q_ann_ivf
+    * (SURVEY §6). */
+  def qAnnIvfTrained(s: SparkSession, d: String): DataFrame =
+    annIvfTrained(s, d)
+
   /** Brute KNN over int8-quantized embeddings — the 4×-smaller
     * memory/shuffle variant of [[qKnnBrute]] (quantize at write time,
     * search the codes). Library path, no oracle: round() inside the
@@ -388,7 +397,8 @@ object Similarity {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_multiprobe" -> (qAnnMultiProbe _),
-    "q_ann_ivf" -> (qAnnIvf _)
+    "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_ivf_trained" -> (qAnnIvfTrained _)
   )
 
   private lazy val knnBruteSql =

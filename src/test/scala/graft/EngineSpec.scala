@@ -39,7 +39,7 @@ class EngineSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
-    assert(q -- o === Set("q_approx_stats", "q_chunk_dedup"))
+    assert(q -- o === Set("q_approx_stats", "q_chunk_dedup", "q_ann_ivf_trained"))
   }
 
   test("approximate aggregates stay within tolerance of exact values") {
