@@ -111,12 +111,16 @@ object Sources {
     * day's corrections into a 100 TB table costs one partition's IO,
     * not the table's.
     *
-    * The merged frame is localCheckpoint'ed before the write because
-    * Spark refuses to overwrite a path it is concurrently reading;
-    * the materialized volume is bounded by the touched partitions.
+    * Durability: the merged rows are STAGED to a durable underscore
+    * directory (invisible to readers) before the overwrite — never
+    * held only as lineage-truncated executor blocks, so a lost
+    * executor mid-write cannot lose the sole copy of the touched
+    * partitions; a crash before the overwrite leaves the table intact
+    * plus a reclaimable staging dir.
     * Assumes a key's partition values never change between versions
     * (the standard partition-scoped-merge contract — a moved key would
-    * leave its old row in the untouched partition). */
+    * leave its old row in the untouched partition; use [[mergeRows]]
+    * when keys can move). */
   def mergeByKey(s: SparkSession, path: String, updates: DataFrame,
                  key: String, partitionCols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.broadcast
@@ -125,8 +129,175 @@ object Sources {
     val affected = target.join(broadcast(touched), partitionCols, "left_semi")
     val kept = affected.join(updates.select(key), Seq(key), "left_anti")
     val merged = kept.unionByName(updates.select(target.columns.map(updates.col): _*))
-      .localCheckpoint()
-    overwritePartitions(merged, path, partitionCols)
+    val staging = new org.apache.hadoop.fs.Path(
+      path, s"_staging_${java.util.UUID.randomUUID}")
+    val fs = staging.getFileSystem(s.sessionState.newHadoopConf())
+    try {
+      merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      overwritePartitions(s.read.parquet(staging.toString), path, partitionCols)
+    } finally fs.delete(staging, true)
+  }
+
+  /** Row-level MERGE with FILE-level copy-on-write — the Delta/Iceberg
+    * -shaped upsert, lifting [[mergeByKey]]'s keys-never-move contract:
+    * an update may carry a NEW partition value for an existing key and
+    * the old row still disappears, because affected files are found by
+    * KEY-RANGE, not by partition.
+    *
+    * Shape: (1) per-file [min,max] of `key` from parquet FOOTERS only
+    * (no data pages; a production table keeps these in a manifest —
+    * this is the on-the-fly equivalent); (2) a file is touched iff some
+    * update key falls inside its range — on range-clustered layouts
+    * (e.g. written via repartitionByRange) that's a handful of files
+    * out of a 100 TB table; (3) touched files are read back (basePath
+    * recovers partition columns), anti-joined on key, unioned with the
+    * updates, and STAGED to a durable underscore dir inside the table
+    * (invisible to readers); (4) staged files move into place, then the
+    * replaced files are deleted. The move-then-delete window can expose
+    * duplicate rows to a concurrent reader — full snapshot isolation
+    * needs a manifest commit (Delta/Iceberg), which is exactly what
+    * this primitive slots under; a crash never loses committed data
+    * (old files are deleted only after the staged copies are complete
+    * and in place).
+    *
+    * `key` must be a data column (not a partition column) of integer
+    * or string type. */
+  def mergeRows(s: SparkSession, path: String, updates: DataFrame,
+                key: String, partitionCols: Seq[String] = Nil): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(!partitionCols.contains(key),
+      s"mergeRows: key '$key' cannot be a partition column")
+    val conf = s.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val ranges = fileKeyRanges(fs, root, key)
+    val touched = touchedFiles(s, ranges, updates, key)
+    val targetCols = s.read.parquet(path).columns
+    val merged = {
+      if (touched.isEmpty) updates.select(targetCols.map(updates.col): _*)
+      else {
+        val oldData = s.read.option("basePath", path).parquet(touched: _*)
+        oldData.join(updates.select(key).distinct(), Seq(key), "left_anti")
+          .unionByName(updates.select(targetCols.map(updates.col): _*))
+      }
+    }
+    val staging = new Path(root, s"_staging_${java.util.UUID.randomUUID}")
+    try {
+      // compaction-neutral: stage about as many files as were replaced,
+      // not one per shuffle partition of the anti-join
+      val shaped = merged.coalesce(math.max(touched.size, 1))
+      val w = shaped.write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(staging.toString)
+      moveDataFiles(fs, staging, root) // staged copies in place…
+      touched.foreach(f => fs.delete(new Path(f), false)) // …then drop old
+    } finally fs.delete(staging, true)
+  }
+
+  /** Per-file [min, max] of `key`, read from parquet footers only.
+    * Files without stats for the column report None (always touched —
+    * conservative). Driver-side loop: one footer read per file, no
+    * data pages; a production deployment amortizes this into a table
+    * manifest or distributes the footer reads. */
+  private def fileKeyRanges(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path, key: String)
+      : Seq[(String, Option[(Any, Any)])] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      // skip non-data files and anything under a staging/metadata dir
+      // (URI-normalized so the scheme prefix can't defeat the check)
+      val rel = f.getPath.toUri.getPath.stripPrefix(root.toUri.getPath)
+      if (f.isFile && name.endsWith(".parquet") &&
+          !name.startsWith("_") && !name.startsWith(".") &&
+          !rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+        files += f.getPath
+    }
+    files.toSeq.map { p =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(p, fs.getConf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        val colStats = blocks.flatMap(_.getColumns.asScala
+          .filter(_.getPath.toDotString == key).map(_.getStatistics))
+        val range =
+          if (colStats.isEmpty || colStats.exists(st =>
+              st == null || !st.hasNonNullValue)) None
+          else {
+            val mins = colStats.map(_.genericGetMin)
+            val maxs = colStats.map(_.genericGetMax)
+            Some((mins.minBy(statKeyOrd), maxs.maxBy(statKeyOrd)))
+          }
+        (p.toString, range)
+      } finally reader.close()
+    }
+  }
+
+  /** Orderable projection of a parquet footer stat value (ints widen to
+    * long; Binary decodes as UTF-8 — byte-lexicographic, matching
+    * parquet's UTF8 stat ordering for the ASCII keys we support). */
+  private def statKeyOrd(v: Any): (Long, String) = v match {
+    case n: java.lang.Number => (n.longValue(), "")
+    case b: org.apache.parquet.io.api.Binary => (0L, b.toStringUsingUTF8)
+    case other => (0L, other.toString)
+  }
+
+  /** Files whose [min,max] key range contains at least one update key
+    * (distributed range probe against the broadcast range list). */
+  private def touchedFiles(s: SparkSession, ranges: Seq[(String, Option[(Any, Any)])],
+                           updates: DataFrame, key: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import s.implicits._
+    if (ranges.isEmpty) return Nil
+    val statless = ranges.collect { case (f, None) => f }
+    val statted = ranges.collect { case (f, Some((mn, mx))) =>
+      (f, statKeyOrd(mn), statKeyOrd(mx)) }
+    val hit =
+      if (statted.isEmpty) Nil
+      else {
+        val rangeDf = statted.map { case (f, mn, mx) =>
+          (f, mn._1, mn._2, mx._1, mx._2) }
+          .toDF("file", "mn_n", "mn_s", "mx_n", "mx_s")
+        val keys = updates.select(col(key).as("k")).distinct()
+        val kOrd = updates.schema(key).dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            keys.select(org.apache.spark.sql.functions.lit(0L).as("k_n"),
+              col("k").as("k_s"))
+          case _ => keys.select(col("k").cast("long").as("k_n"),
+              org.apache.spark.sql.functions.lit("").as("k_s"))
+        }
+        kOrd.join(broadcast(rangeDf),
+            (col("k_n") > col("mn_n") ||
+              (col("k_n") === col("mn_n") && col("k_s") >= col("mn_s"))) &&
+            (col("k_n") < col("mx_n") ||
+              (col("k_n") === col("mx_n") && col("k_s") <= col("mx_s"))))
+          .select($"file").distinct().as[String].collect().toSeq
+      }
+    (hit ++ statless).distinct
+  }
+
+  /** Move every data file under `dir` to the same relative location
+    * under `destRoot` (staged part- names are unique, so no clash). */
+  private def moveDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: org.apache.hadoop.fs.Path,
+                            destRoot: org.apache.hadoop.fs.Path): Unit = {
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) {
+        if (!name.startsWith("_") && !name.startsWith("."))
+          moveDataFiles(fs, st.getPath,
+            new org.apache.hadoop.fs.Path(destRoot, name))
+      } else if (name.endsWith(".parquet") && !name.startsWith("_") &&
+                 !name.startsWith(".")) {
+        fs.mkdirs(destRoot)
+        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(destRoot, name))
+      }
+    }
   }
 
   /** Hadoop SequenceFile (the classic MR container format), read as a

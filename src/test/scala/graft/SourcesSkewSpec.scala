@@ -103,6 +103,67 @@ class SourcesSkewSpec extends AnyFunSuite {
       (7L, "c", 70L)))                           // c inserted
   }
 
+  test("mergeRows: a key that CHANGES partition leaves no old row behind") {
+    import spark.implicits._
+    val dir = tmp("mrows")
+    val base = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "b", 40L))
+      .toDF("id", "pk", "v")
+    Sources.writePartitioned(base, dir, Seq("pk"))
+    // id=3 moves from partition b to partition c; id=9 is a plain insert
+    val updates = Seq((3L, "c", 33L), (9L, "a", 99L)).toDF("id", "pk", "v")
+    Sources.mergeRows(spark, dir, updates, "id", Seq("pk"))
+    val back = Sources.parquet(spark, dir)
+      .select($"id", $"pk", $"v").as[(Long, String, Long)].collect().toSet
+    assert(back === Set(
+      (1L, "a", 10L), (2L, "a", 20L), (4L, "b", 40L),
+      (3L, "c", 33L), // moved: exactly one row, in the NEW partition
+      (9L, "a", 99L)))
+    // and specifically: no stale id=3 row under pk=b
+    assert(Sources.parquet(spark, dir).filter($"id" === 3L).count() === 1L)
+    // no staging residue visible or present
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_staging")))
+  }
+
+  test("mergeRows rewrites only files whose key range is touched") {
+    import spark.implicits._
+    val dir = tmp("mprune")
+    // range-clustered layout: 4 files with disjoint id ranges
+    spark.range(0, 400).select($"id", ($"id" * 2).as("v"))
+      .repartitionByRange(4, $"id")
+      .write.mode("overwrite").parquet(dir)
+    def dataFiles() = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .map(_.getName).toSet
+    val before = dataFiles()
+    assert(before.size === 4)
+    // one update key → exactly one file's range contains it
+    Sources.mergeRows(spark, dir, Seq((7L, 777L)).toDF("id", "v"), "id")
+    val after = dataFiles()
+    // untouched files survive BY NAME (never rewritten); exactly one
+    // old file was replaced by exactly one staged file
+    assert((before intersect after).size === 3)
+    assert((after -- before).size === 1)
+    val back = Sources.parquet(spark, dir).select($"id", $"v")
+      .as[(Long, Long)].collect().toMap
+    assert(back.size === 400 && back(7L) === 777L && back(8L) === 16L)
+  }
+
+  test("mergeRows inserts all-new keys and handles string keys") {
+    import spark.implicits._
+    val dir = tmp("mstr")
+    Seq(("alpha", 1L), ("beta", 2L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    Sources.mergeRows(spark, dir, Seq(("beta", 22L), ("gamma", 3L)).toDF("k", "v"), "k")
+    val back = Sources.parquet(spark, dir).as[(String, Long)].collect().toSet
+    assert(back === Set(("alpha", 1L), ("beta", 22L), ("gamma", 3L)))
+    // disjoint new keys only: nothing to rewrite, pure insert
+    val before = new java.io.File(dir).listFiles().map(_.getName).toSet
+    Sources.mergeRows(spark, dir, Seq(("zzz", 9L)).toDF("k", "v"), "k")
+    assert(Sources.parquet(spark, dir).count() === 4)
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet.intersect(before)
+      .exists(_.endsWith(".parquet")) || before.isEmpty)
+  }
+
   test("lenient parquet read survives a corrupt file in the directory") {
     import spark.implicits._
     val dir = tmp("lenient") + "/data"
