@@ -265,7 +265,16 @@ object Dedup {
     * would silently mis-cluster; pass failOnNonConvergence = false to
     * get best-effort labels instead). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
-                          failOnNonConvergence: Boolean = true): DataFrame = {
+                          failOnNonConvergence: Boolean = true): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter, failOnNonConvergence)._1
+
+  /** [[connectedComponents]] plus the number of contraction rounds it
+    * took — observable so the O(log n) convergence claim is testable
+    * (ConnectedComponentsSpec asserts rounds ≤ log₂(n)+c on adversarial
+    * random graphs, not just chains/cliques). */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, maxIter: Int = 50,
+      failOnNonConvergence: Boolean = true): (DataFrame, Int) = {
     import pairs.sparkSession.implicits._
     // canonical undirected edges (u < v), materialized once — nodes are
     // derived from the checkpoint so the (possibly expensive) upstream
@@ -313,8 +322,8 @@ object Dedup {
     // converged star forest: every non-root is attached directly to its
     // component's minimum; roots (and isolated nodes) label themselves
     val lbl = edges.groupBy($"v".as("id")).agg(min($"u").as("root"))
-    nodes.join(lbl, Seq("id"), "left")
-      .select($"id", coalesce($"root", $"id").as("label"))
+    (nodes.join(lbl, Seq("id"), "left")
+      .select($"id", coalesce($"root", $"id").as("label")), i)
   }
 
   /** Near-duplicate clusters: exact-jaccard pairs above 0.5 become

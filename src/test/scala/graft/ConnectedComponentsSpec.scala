@@ -43,4 +43,61 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(labels.count() === 1000L)
     assert(labels.filter($"label" =!= 0L).count() === 0L)
   }
+
+  /** Driver-side union-find ground truth for random-graph tests. */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // label = component minimum (find compresses to the min because
+    // unions always root at the smaller id)
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  test("10^5-edge random graph: rounds ≤ log2(n)+c, labels match union-find") {
+    import spark.implicits._
+    val n = 20000
+    val rnd = new scala.util.Random(4242)
+    val dense = Seq.fill(100000)(
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+    val labels = runAgainstTruth(n, dense)
+    // avg degree 10 → essentially one giant component
+    assert(labels.values.toSet.size < 100)
+  }
+
+  test("sparse random graph (long tendrils) still converges in log rounds") {
+    import spark.implicits._
+    val n = 20000
+    val rnd = new scala.util.Random(99)
+    // avg degree ~1: many medium components with path-like tendrils —
+    // the regime where label propagation is slowest
+    val sparse = Seq.fill(n / 2)(
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+    runAgainstTruth(n, sparse)
+  }
+
+  /** Runs CC on the edge list, asserts the log-round bound and exact
+    * agreement with driver-side union-find; returns the truth labels. */
+  private def runAgainstTruth(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val (labelsDf, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    val bound = graft.functions.LshParams.floorLog2(n.toLong) + 4
+    assert(rounds <= bound, s"$rounds rounds > log2($n)+4 = $bound")
+    val got = labelsDf.as[(Long, Long)].collect().toMap
+    val truth = unionFind(n, edges)
+    // CC only sees nodes with ≥1 edge; compare on that support
+    got.foreach { case (id, label) =>
+      assert(label === truth(id), s"node $id: got $label want ${truth(id)}")
+    }
+    assert(got.keySet === edges.flatMap(e => Seq(e._1, e._2)).toSet)
+    truth
+  }
 }
