@@ -156,6 +156,66 @@ object TextAnalysis {
       .limit(TopNgrams)
   }
 
+  /** Word n-gram strings of width n (clipped at the end, min one). */
+  private def wordGrams(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
+  private val BenchMod = 97 // doc_id % 97 == 0 → the stand-in eval set
+  private val DecontamN = 5 // decontamination overlap width (words)
+
+  /** Benchmark DECONTAMINATION — the pretraining hygiene step (GPT-3 /
+    * PaLM style): a training document is contaminated if it shares any
+    * [[DecontamN]]-word n-gram with the benchmark/eval set. The
+    * benchmark here is the deterministic doc_id % [[BenchMod]] slice;
+    * in production it is the actual eval suites. Shape: the benchmark's
+    * distinct shingles are SMALL (eval sets are thousands of docs, not
+    * billions) and broadcast, so the corpus side is one narrow explode
+    * + a broadcast semi-join — no corpus shuffle at 100 TB. */
+  def qDecontaminate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = array_distinct(wordGrams(tokens($"text"), DecontamN))
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"source", sh.as("shs"))
+    val isBench = pmod($"doc_id", lit(BenchMod)) === 0
+    val benchShingles = docs.filter(isBench)
+      .select(explode($"shs").as("sh")).distinct()
+    val flagged = docs.filter(!isBench)
+      .select($"doc_id", explode($"shs").as("sh"))
+      .join(broadcast(benchShingles), Seq("sh"), "left_semi")
+      .select($"doc_id").distinct()
+      .withColumn("hit", lit(1L))
+    docs.filter(!isBench)
+      .join(flagged, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce($"hit", lit(0L))).as("n_contaminated"))
+  }
+
+  /** Intra-document REPETITION (Gopher-style quality signal): the
+    * fraction of duplicate word 3-grams inside each document —
+    * templated/spammy text repeats itself. Per source: mean repetition
+    * (decimal-exact average of 9-dp ratios) and the count of docs over
+    * the 20% threshold, compared in exact integer form
+    * (5·(n−unique) > n ⟺ ratio > 0.2) so the boundary is engine-exact. */
+  def qRepetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Det.dsum12
+    val grams = wordGrams(tokens($"text"), 3)
+    Tables.documents(s, d)
+      .select($"source",
+        size(grams).cast("long").as("n_grams"),
+        size(array_distinct(grams)).cast("long").as("n_unique"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - $"n_unique".cast("double") / $"n_grams", 9))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(dsum12($"rep_ratio") / count(lit(1)), 9).as("avg_rep_ratio"),
+        sum(when(lit(5) * ($"n_grams" - $"n_unique") > $"n_grams", 1L)
+          .otherwise(0L)).as("n_repetitive"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lang_ngram" -> (qLangNgram _),
     "q_token_regex" -> (qTokenRegex _),
@@ -163,13 +223,49 @@ object TextAnalysis {
     "q_text_quality" -> (qTextQuality _),
     "q_lang_id" -> (qLangId _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
-    "q_top_ngrams" -> (qTopNgrams _)
+    "q_top_ngrams" -> (qTopNgrams _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_repetition" -> (qRepetition _)
   )
 
   private def sqlMarkers(ms: Seq[String]): String =
     ms.map(m => s"'$m'").mkString(", ")
 
+  private def sqlGrams(n: Int): String =
+    s"list_transform(generate_series(1, greatest(len(t)-${n - 1}, 1)), " +
+      s"i -> array_to_string(t[i:i+${n - 1}], ' '))"
+
   val oracle: Map[String, String] = Map(
+    "q_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, source, string_split(text,' ') AS t
+         |  FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(${sqlGrams(DecontamN)})) AS s
+         |  FROM tok),
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % $BenchMod = 0),
+         |flagged AS (SELECT DISTINCT doc_id FROM sh
+         |  WHERE doc_id % $BenchMod <> 0 AND s IN (SELECT s FROM bench))
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_contaminated
+         |FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+         |WHERE d.doc_id % $BenchMod <> 0
+         |GROUP BY d.source""".stripMargin,
+    "q_repetition" -> {
+      import graft.functions.Det.sqlSum12
+      s"""WITH tok AS (SELECT source, string_split(text,' ') AS t FROM documents),
+         |r AS (SELECT source,
+         |  CAST(len(${sqlGrams(3)}) AS BIGINT) AS n_grams,
+         |  CAST(len(list_distinct(${sqlGrams(3)})) AS BIGINT) AS n_unique
+         |  FROM tok),
+         |rr AS (SELECT source, n_grams, n_unique,
+         |  ROUND(CAST(1 AS DOUBLE) - CAST(n_unique AS DOUBLE) / n_grams, 9)
+         |    AS rep_ratio FROM r)
+         |SELECT source, COUNT(*) AS n_docs,
+         |ROUND(${sqlSum12("rep_ratio")} / COUNT(*), 9) AS avg_rep_ratio,
+         |CAST(SUM(CASE WHEN 5 * (n_grams - n_unique) > n_grams
+         |  THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+         |FROM rr GROUP BY source""".stripMargin
+    },
     "q_lexical_diversity" ->
       """WITH t AS (SELECT source,
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,

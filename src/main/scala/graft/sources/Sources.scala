@@ -75,7 +75,9 @@ object Sources {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val target = math.max(
       (bytes / (targetFileMB.toLong << 20)).toLong, 1L).toInt
-    val current = df.rdd.getNumPartitions
+    // file count from the scan's listing — df.rdd.getNumPartitions
+    // would instantiate the whole RDD lineage just to read a number
+    val current = math.max(df.inputFiles.length, 1)
     val out = if (target < current) df.coalesce(target)
               else if (target > current) df.repartition(target)
               else df
