@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Guards the 100 TB plan PROPERTIES, not just results: filter/column
+  * pushdown reaching the scans, dimension joins broadcast, bounded
+  * top-k instead of global sorts, and shuffle counts that don't creep.
+  * A refactor that keeps answers right but regresses one of these
+  * would pass every oracle and still be 100× slower at scale — these
+  * assertions make PLANS.md's claims test-enforced. */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(FormattedMode)
+
+  private def executed(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // materialize so AQE settles to the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def countOf(plan: String, token: String): Int =
+    plan.sliding(token.length).count(_ == token)
+
+  test("q1: filter pushed to the lineitem scan, columns pruned") {
+    val p = formatted("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // projection pruning: the scan must not read the full 10+ column row
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"))
+    // partial→final aggregation pair around a single exchange
+    assert(countOf(p, "HashAggregate") >= 2)
+  }
+
+  test("q5: every dimension join is broadcast; one shuffle for the final agg") {
+    val p = executed("q5_region_revenue")
+    assert(countOf(p, "BroadcastHashJoin") >= 4,
+      "region/nation/customer/supplier must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no dimension should shuffle-join")
+  }
+
+  test("q_top_ngrams: bounded top-k, never a global sort of the gram table") {
+    val p = executed("q_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("GlobalLimit"), "global sort+limit would materialize all grams")
+  }
+
+  test("q_topn_custom: the TopKPerGroup operator is actually in the plan") {
+    val p = executed("q_topn_custom")
+    assert(p.contains("TopKPerGroup"))
+  }
+
+  test("q_asof_physical: the dedicated exec, exactly two input shuffles") {
+    val p = executed("q_asof_physical")
+    assert(p.contains("AsofJoin"))
+    assert(countOf(p, "Exchange") <= 3, // one per side + AQE read
+      s"as-of join shuffle count crept up:\n$p")
+  }
+
+  test("q_decontaminate: benchmark side broadcast, corpus side never shuffled") {
+    val p = executed("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "contamination probe must be a broadcast semi-join")
+  }
+
+  test("q_neardup_lsh: one bucket shuffle feeds window and join (no extra exchange)") {
+    val p = formatted("q_neardup_lsh")
+    // the (t, bucket) exchange for the window; the self-join reuses the
+    // partitioning (or AQE broadcasts one side) — a second full
+    // hashpartitioning of the banded table would double shuffle volume
+    assert(countOf(p, "hashpartitioning(t#") + countOf(p, "hashpartitioning(t,") <= 1 ||
+      countOf(p, "Exchange") <= 3,
+      s"banded table shuffled more than once:\n$p")
+  }
+
+  test("pair generators keep scans pruned to the columns they use") {
+    for (name <- Seq("q_minhash_pairs", "q_simhash_pairs")) {
+      val p = formatted(name)
+      val scans = p.linesIterator.filter(_.contains("ReadSchema")).toList
+      assert(scans.nonEmpty)
+      // doc text + id only — never lang/source/n_chars
+      scans.foreach(s => assert(!s.contains("n_chars") && !s.contains("source"), name))
+    }
+  }
+}

@@ -9,7 +9,7 @@ object DumpPlans {
     "q1_pricing_summary", "q5_region_revenue", "q_minhash_pairs",
     "q_ngram_jaccard", "q_knn_brute", "q_topn_custom", "q_asof_join",
     "q_neardup_lsh", "q_scalar_subquery", "q_dup_clusters", "q_asof_physical",
-    "q_range_join")
+    "q_range_join", "q_decontaminate", "q_lsh_bucket_stats", "q_simhash_pairs")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("plans")
