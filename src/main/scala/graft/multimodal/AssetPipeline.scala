@@ -89,7 +89,13 @@ object AssetPipeline {
         gray.getRaster.getDataElements(0, 0, w, h, px)
         Some((w, h, px))
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // ImageIO readers throw RuntimeExceptions (IndexOutOfBounds,
+      // NegativeArraySize, …) on truncated/malformed payloads, not just
+      // IOException — any decode failure must fall back, never kill the
+      // task (one corrupt asset in a 100 TB scan is routine).
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Deterministic fake pixels from the payload bytes — the stand-in
     * for codecs not present in this container (video/audio) and for

@@ -66,8 +66,13 @@ object AsofJoin {
     val ev = Events.events(s, d)
       .select($"event_id", $"user_id", $"event_type", $"ts_us")
     // one right row per (user, instant): ASOF tie choice is
-    // engine-specific, so make the tie impossible
+    // engine-specific, so make the tie impossible. Repartition on
+    // user_id alone BEFORE the (user_id, ts_us) aggregate: a
+    // user_id-hash partitioning satisfies the aggregate's clustered
+    // distribution AND the downstream key requirement, so the signup
+    // side shuffles ONCE instead of agg-shuffle + join-shuffle.
     val signups = ev.filter($"event_type" === "signup")
+      .repartition($"user_id")
       .groupBy($"user_id", $"ts_us")
       .agg(max($"event_id").as("signup_event"))
     join(ev, signups, "user_id", "ts_us", "ts_us", "signup_event")
@@ -84,7 +89,10 @@ object AsofJoin {
     import s.implicits._
     val ev = Events.events(s, d)
       .select($"event_id", $"user_id", $"event_type", $"ts_us")
+    // same single-shuffle signup side as qAsofJoin: user_id partitioning
+    // serves both the dedup aggregate and the exec's key requirement
     val signups = ev.filter($"event_type" === "signup")
+      .repartition($"user_id")
       .groupBy($"user_id", $"ts_us")
       .agg(max($"event_id").as("signup_event"))
     graft.plans.AsofPhysical

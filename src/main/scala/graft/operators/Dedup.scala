@@ -47,6 +47,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keeper"))
   }
 
+  private val BatchMod = 10 // doc_id % 10 == 3 → the incoming "new batch"
+  private val BatchRem = 3
+
+  /** INCREMENTAL dedup — the ingestion-time primitive: dedup a new
+    * batch AGAINST the existing corpus without re-clustering the
+    * corpus. A new doc is dropped iff its normalized fingerprint
+    * already exists in the corpus (left-semi probe); novel docs
+    * survive. The probe shuffles only on the 128-bit fingerprint (not
+    * text), and Spark's runtime Bloom-filter join injection (on by
+    * default) pre-filters the big corpus side before the shuffle —
+    * the batch side is days-of-ingest small, the corpus side is the
+    * 100 TB table, and neither is ever materialized wide. Here the
+    * batch is the deterministic doc_id % [[BatchMod]] == [[BatchRem]]
+    * slice; in production it is the incoming partition. */
+  def qIncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"source", fingerprint($"text").as("fp"))
+    val isBatch = pmod($"doc_id", lit(BatchMod)) === BatchRem
+    val corpusFp = docs.filter(!isBatch).select($"fp").distinct()
+    val batch = docs.filter(isBatch)
+    val dups = batch.join(corpusFp, Seq("fp"), "left_semi")
+      .select($"doc_id").withColumn("dup", lit(1L))
+    batch.join(dups, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_batch"),
+        sum(coalesce($"dup", lit(0L))).as("n_dup_vs_corpus"),
+        (count(lit(1)) - sum(coalesce($"dup", lit(0L)))).as("n_novel"))
+  }
+
   /** MinHash signature matrix: K universal-hash mins over 3-word
     * shingles, one md5 per shingle (see [[MinHash]]), as a single
     * narrow projection (no shuffle). */
@@ -366,6 +396,7 @@ object Dedup {
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_exact_dedup" -> (qExactDedup _),
     "q_fingerprint" -> (qFingerprint _),
+    "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_minhash_pairs" -> (qMinhashPairs _),
     "q_simhash" -> (qSimhash _),
@@ -442,6 +473,22 @@ object Dedup {
       """SELECT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp,
         |COUNT(*) AS n_copies, MIN(doc_id) AS keeper
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_incremental_dedup" ->
+      s"""WITH f AS (SELECT doc_id, source,
+         |  md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+         |  FROM documents),
+         |corpus AS (SELECT DISTINCT fp FROM f
+         |  WHERE doc_id % $BatchMod <> $BatchRem),
+         |batch AS (SELECT doc_id, source, fp FROM f
+         |  WHERE doc_id % $BatchMod = $BatchRem),
+         |dup AS (SELECT doc_id FROM batch WHERE fp IN (SELECT fp FROM corpus))
+         |SELECT b.source, COUNT(*) AS n_batch,
+         |CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_dup_vs_corpus,
+         |CAST(COUNT(*) - SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS n_novel
+         |FROM batch b LEFT JOIN dup ON b.doc_id = dup.doc_id
+         |GROUP BY b.source""".stripMargin,
     "q_minhash_sig" -> {
       val sigs = (0 until K).map(j =>
         s"${MinHash.sqlSig("sh", j)} AS sig_${"%02d".format(j)}")

@@ -143,7 +143,36 @@ object Events {
         $"n_events")
   }
 
+  /** Time-series GAP FILL + forward fill — the resampling primitive
+    * behind dashboards and feature pipelines: materialize EVERY hour in
+    * each event type's [min, max] span (missing hours are absent from a
+    * raw groupBy), count 0 for empty hours, and carry the last observed
+    * hourly revenue forward (`last(..., ignoreNulls)` over an ordered
+    * window = LAST_VALUE IGNORE NULLS). The spine is generated per
+    * type from its own bounds — two small aggs + one explode, so spine
+    * size is hours×types regardless of event volume; the window
+    * partitions by type and never reshuffles the raw events. */
+  def qGapFill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourly = events(s, d)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+    val spine = hourly
+      .groupBy($"event_type")
+      .agg(min($"hour").as("h0"), max($"hour").as("h1"))
+      .select($"event_type",
+        explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("hour"))
+    val w = Window.partitionBy($"event_type").orderBy($"hour".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hour"), "left")
+      .select($"event_type", $"hour",
+        coalesce($"n", lit(0L)).as("n"),
+        last($"sum_value", ignoreNulls = true).over(w).as("filled_sum"),
+        when($"n".isNull, 1L).otherwise(0L).as("is_gap"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_fill" -> (qGapFill _),
     "q_session_window" -> (qSessionWindow _),
     "q_tumbling_hourly" -> (qTumblingHourly _),
     "q_sessionize" -> (qSessionize _),
@@ -155,6 +184,23 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_gap_fill" ->
+      s"""WITH h AS (SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+         |  COUNT(*) AS n, ${sqlSum("value")} AS sum_value
+         |  FROM events GROUP BY 1, 2),
+         |b AS (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+         |  FROM h GROUP BY 1),
+         |spine AS (SELECT event_type,
+         |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b)
+         |SELECT sp.event_type, sp.hour,
+         |COALESCE(h.n, 0) AS n,
+         |LAST_VALUE(h.sum_value IGNORE NULLS) OVER (
+         |  PARTITION BY sp.event_type ORDER BY sp.hour ASC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum,
+         |CASE WHEN h.n IS NULL THEN CAST(1 AS BIGINT)
+         |  ELSE CAST(0 AS BIGINT) END AS is_gap
+         |FROM spine sp LEFT JOIN h
+         |ON h.event_type = sp.event_type AND h.hour = sp.hour""".stripMargin,
     "q_session_window" ->
       """WITH g AS (SELECT user_id, epoch_us(ts) AS ts_us,
         |  LAG(epoch_us(ts)) OVER (PARTITION BY user_id

@@ -485,6 +485,36 @@ object Relational {
         array_join(slice($"arr", 1, 2), ",").as("first_two"))
   }
 
+  /** HIGHER-ORDER array functions — the lambda surface (transform /
+    * filter / aggregate / exists) Spark codegens over arrays, exercised
+    * end-to-end: per order, the sorted quantity vector; from it, a
+    * filtered count, a lambda-fold total, a transform-then-fold sum of
+    * squares, and an existence probe — then rolled up per order
+    * priority. Quantities are whole numbers stored as double, so the
+    * int cast is exact and all arithmetic is integer-exact. One shuffle
+    * for the per-order collect, one for the small final rollup. */
+  def qHigherOrder(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perOrder = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_quantity".cast("int").as("q"))
+      .groupBy($"l_orderkey")
+      .agg(array_sort(collect_list($"q")).as("qtys"))
+      .select($"l_orderkey",
+        size(filter($"qtys", x => x >= 30)).cast("long").as("n_big"),
+        aggregate($"qtys", lit(0L), (acc, x) => acc + x).as("total_qty"),
+        aggregate(transform($"qtys", x => (x * x).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("sum_sq"),
+        exists($"qtys", x => x >= 49).cast("int").as("has_huge"))
+    perOrder.join(Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"n_big").as("sum_big"),
+        sum($"total_qty").as("sum_qty"),
+        sum($"sum_sq").as("sum_sq"),
+        sum($"has_huge").as("n_with_huge"))
+  }
+
   /** Double aggregation (TPC-H q13 shape): how many customers placed
     * 0, 1, 2… orders. LEFT OUTER join keeps zero-order customers; the
     * first aggregation is per customer, the second over the counts —
@@ -588,6 +618,7 @@ object Relational {
     "q_uncorrelated_scalar" -> (qUncorrelatedScalar _),
     "q_multi_exists" -> (qMultiExists _),
     "q_array_ops" -> (qArrayOps _),
+    "q_higher_order" -> (qHigherOrder _),
     "q_moving_avg" -> (qMovingAvg _)
   )
 
@@ -823,6 +854,26 @@ object Relational {
         |list_contains(arr, 'CHINA') AS has_china,
         |array_to_string(arr[1:2], ',') AS first_two
         |FROM a""".stripMargin,
+    "q_higher_order" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey,
+        |    list_sort(list(CAST(l_quantity AS INTEGER))) AS qtys
+        |  FROM lineitem GROUP BY l_orderkey),
+        |m AS (SELECT l_orderkey,
+        |  CAST(len(list_filter(qtys, x -> x >= 30)) AS BIGINT) AS n_big,
+        |  CAST(list_sum(qtys) AS BIGINT) AS total_qty,
+        |  CAST(list_sum(list_transform(qtys, x -> CAST(x AS BIGINT) * x))
+        |    AS BIGINT) AS sum_sq,
+        |  CASE WHEN len(list_filter(qtys, x -> x >= 49)) > 0
+        |    THEN 1 ELSE 0 END AS has_huge
+        |  FROM per_order)
+        |SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |CAST(SUM(n_big) AS BIGINT) AS sum_big,
+        |CAST(SUM(total_qty) AS BIGINT) AS sum_qty,
+        |CAST(SUM(sum_sq) AS BIGINT) AS sum_sq,
+        |CAST(SUM(has_huge) AS BIGINT) AS n_with_huge
+        |FROM m JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q_cust_distribution" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count

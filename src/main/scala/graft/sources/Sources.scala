@@ -76,8 +76,14 @@ object Sources {
     val target = math.max(
       (bytes / (targetFileMB.toLong << 20)).toLong, 1L).toInt
     // file count from the scan's listing — df.rdd.getNumPartitions
-    // would instantiate the whole RDD lineage just to read a number
-    val current = math.max(df.inputFiles.length, 1)
+    // would instantiate the whole RDD lineage just to read a number.
+    // inputFiles is always non-empty for this path-backed scan; the
+    // getNumPartitions fallback covers exotic sources that report no
+    // files (so they don't silently read as "1 file" and always take
+    // the full-shuffle repartition branch)
+    val files = df.inputFiles.length
+    val current = math.max(
+      if (files > 0) files else df.rdd.getNumPartitions, 1)
     val out = if (target < current) df.coalesce(target)
               else if (target > current) df.repartition(target)
               else df
@@ -162,6 +168,19 @@ object Sources {
     * (old files are deleted only after the staged copies are complete
     * and in place).
     *
+    * Crash end-state: a crash BETWEEN the move and the delete leaves
+    * both the new and the replaced files visible — duplicate rows for
+    * the touched keys until recovery runs. Before the move, the list
+    * of files-to-delete is written to a durable `_merge_pending_*`
+    * marker inside the table; the next [[mergeRows]] call (or
+    * [[recoverMerge]] directly) finishes the delete step and removes
+    * the marker, so the duplicate state is always mechanically
+    * recoverable, never permanent. Concurrency is NOT supported: two
+    * concurrent mergeRows on the same table can both rewrite the same
+    * files and lose one side's update — serialize merges per table
+    * (the manifest-commit layer this slots under is what provides
+    * optimistic concurrency).
+    *
     * `key` must be a data column (not a partition column) of integer
     * or string type. */
   def mergeRows(s: SparkSession, path: String, updates: DataFrame,
@@ -172,6 +191,7 @@ object Sources {
     val conf = s.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
+    recoverMerge(fs, root) // finish any crashed merge's delete step first
     val ranges = fileKeyRanges(fs, root, key)
     val touched = touchedFiles(s, ranges, updates, key)
     val targetCols = s.read.parquet(path).columns
@@ -191,9 +211,48 @@ object Sources {
       val w = shaped.write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(staging.toString)
+      // durable files-to-delete marker BEFORE the move: if we crash in
+      // the move-then-delete window, the next merge (or recoverMerge)
+      // replays exactly this delete list instead of leaving permanent
+      // duplicate rows
+      val marker = new Path(root,
+        s"_merge_pending_${java.util.UUID.randomUUID}")
+      val out = fs.create(marker, false)
+      try out.write(touched.mkString("\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
       moveDataFiles(fs, staging, root) // staged copies in place…
       touched.foreach(f => fs.delete(new Path(f), false)) // …then drop old
+      fs.delete(marker, false) // merge fully committed
     } finally fs.delete(staging, true)
+  }
+
+  /** Completes the delete step of any [[mergeRows]] that crashed after
+    * moving its staged files into place: each `_merge_pending_*` marker
+    * lists the replaced files; delete whichever still exist, then drop
+    * the marker. Idempotent; called automatically at the start of every
+    * mergeRows. */
+  def recoverMerge(fs: org.apache.hadoop.fs.FileSystem,
+                   root: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val markers =
+      if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(root).filter(st =>
+        st.isFile && st.getPath.getName.startsWith("_merge_pending_"))
+    markers.foreach { st =>
+      val body = {
+        val in = fs.open(st.getPath)
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      }
+      body.split('\n').map(_.trim).filter(_.nonEmpty).foreach { f =>
+        val p = new Path(f)
+        if (fs.exists(p)) fs.delete(p, false)
+      }
+      fs.delete(st.getPath, false)
+    }
   }
 
   /** Per-file [min, max] of `key`, read from parquet footers only.
@@ -233,7 +292,8 @@ object Sources {
           else {
             val mins = colStats.map(_.genericGetMin)
             val maxs = colStats.map(_.genericGetMax)
-            Some((mins.minBy(statKeyOrd), maxs.maxBy(statKeyOrd)))
+            Some((mins.minBy(statKeyOrd)(statOrdering),
+                  maxs.maxBy(statKeyOrd)(statOrdering)))
           }
         (p.toString, range)
       } finally reader.close()
@@ -241,13 +301,43 @@ object Sources {
   }
 
   /** Orderable projection of a parquet footer stat value (ints widen to
-    * long; Binary decodes as UTF-8 — byte-lexicographic, matching
-    * parquet's UTF8 stat ordering for the ASCII keys we support). */
+    * long; Binary decodes as UTF-8). Ordering of the string component
+    * MUST be unsigned UTF-8 BYTE-lexicographic everywhere it is
+    * compared: parquet UTF8 stats are byte-ordered, and Spark's
+    * UTF8String comparison (used by the join in [[touchedFiles]]) is
+    * byte-ordered too — but Java's String.compareTo is UTF-16
+    * code-unit order, which DISAGREES for non-BMP characters
+    * (surrogates sort below U+E000 in UTF-16, above in UTF-8). Using
+    * it would pick the wrong min/max across row groups and could prune
+    * a file that actually contains an update key, silently leaving a
+    * stale duplicate row after merge. [[statOrdering]] compares the
+    * string component as UTF-8 bytes. */
   private def statKeyOrd(v: Any): (Long, String) = v match {
     case n: java.lang.Number => (n.longValue(), "")
     case b: org.apache.parquet.io.api.Binary => (0L, b.toStringUsingUTF8)
     case other => (0L, other.toString)
   }
+
+  /** Unsigned UTF-8 byte-lexicographic ordering for stat keys (long
+    * component first) — matches both parquet stat ordering and Spark
+    * UTF8String comparison, for ALL of Unicode, not just ASCII/BMP. */
+  private val statOrdering: Ordering[(Long, String)] =
+    new Ordering[(Long, String)] {
+      def compare(a: (Long, String), b: (Long, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) return c
+        val x = a._2.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b._2.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        val n = math.min(x.length, y.length)
+        while (i < n) {
+          val d = (x(i) & 0xff) - (y(i) & 0xff)
+          if (d != 0) return d
+          i += 1
+        }
+        x.length - y.length
+      }
+    }
 
   /** Files whose [min,max] key range contains at least one update key
     * (distributed range probe against the broadcast range list). */

@@ -20,7 +20,11 @@ class PlanShapeSpec extends AnyFunSuite {
   private def executed(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
     df.collect() // materialize so AQE settles to the final plan
+    // AdaptiveSparkPlanExec.toString prints the Final Plan AND repeats
+    // the Initial Plan below it — counting tokens over both sections
+    // double-counts every operator; keep only what actually executed
     df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
   }
 
   private def countOf(plan: String, token: String): Int =
