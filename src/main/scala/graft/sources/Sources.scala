@@ -168,14 +168,17 @@ object Sources {
     * (old files are deleted only after the staged copies are complete
     * and in place).
     *
-    * Crash end-state: a crash BETWEEN the move and the delete leaves
-    * both the new and the replaced files visible — duplicate rows for
-    * the touched keys until recovery runs. Before the move, the list
-    * of files-to-delete is written to a durable `_merge_pending_*`
-    * marker inside the table; the next [[mergeRows]] call (or
-    * [[recoverMerge]] directly) finishes the delete step and removes
-    * the marker, so the duplicate state is always mechanically
-    * recoverable, never permanent. Concurrency is NOT supported: two
+    * Crash end-state: once the staged copy is complete, a durable
+    * `_merge_pending_*` marker records the staging dir AND the
+    * files-to-delete list (atomically, via temp-name + rename). A
+    * crash before the marker leaves the table untouched (the orphan
+    * staging dir is swept by recovery); a crash after it is ROLLED
+    * FORWARD by the next [[mergeRows]] call (or [[recoverMerge]]
+    * directly): the move is finished from staging, then the replaced
+    * files are dropped. The only reader-visible anomaly is duplicate
+    * rows for touched keys in the move-to-delete window, and it is
+    * always mechanically recoverable, never permanent — committed data
+    * is never lost. Concurrency is NOT supported: two
     * concurrent mergeRows on the same table can both rewrite the same
     * files and lose one side's update — serialize merges per table
     * (the manifest-commit layer this slots under is what provides
@@ -211,34 +214,50 @@ object Sources {
       val w = shaped.write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(staging.toString)
-      // durable files-to-delete marker BEFORE the move: if we crash in
-      // the move-then-delete window, the next merge (or recoverMerge)
-      // replays exactly this delete list instead of leaving permanent
-      // duplicate rows
-      val marker = new Path(root,
-        s"_merge_pending_${java.util.UUID.randomUUID}")
-      val out = fs.create(marker, false)
-      try out.write(touched.mkString("\n").getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
+      // Durable roll-forward marker, written only once the staged copy
+      // is COMPLETE: line 1 names the staging dir, then the
+      // files-to-delete list, then an END terminator. recoverMerge can
+      // therefore finish the whole merge (move staged files into
+      // place, then drop the replaced ones) from any crash point after
+      // this write; a crash before it leaves only an orphan staging
+      // dir (swept by recovery) and an untouched table. The marker is
+      // staged under a dot-name and renamed into place — rename is
+      // atomic on HDFS, so a torn/partial delete list is never visible
+      // under the _merge_pending_ prefix.
+      val markerName = s"_merge_pending_${java.util.UUID.randomUUID}"
+      val marker = new Path(root, markerName)
+      val markerTmp = new Path(root, s".$markerName.tmp")
+      val out = fs.create(markerTmp, false)
+      try out.write((staging.getName +: touched :+ MarkerEnd)
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      require(fs.rename(markerTmp, marker),
+        s"mergeRows: failed to publish merge marker $marker")
       moveDataFiles(fs, staging, root) // staged copies in place…
       touched.foreach(f => fs.delete(new Path(f), false)) // …then drop old
       fs.delete(marker, false) // merge fully committed
     } finally fs.delete(staging, true)
   }
 
-  /** Completes the delete step of any [[mergeRows]] that crashed after
-    * moving its staged files into place: each `_merge_pending_*` marker
-    * lists the replaced files; delete whichever still exist, then drop
-    * the marker. Idempotent; called automatically at the start of every
-    * mergeRows. */
+  /** Terminator line of a `_merge_pending_*` marker; a marker without
+    * it is torn and must not be acted on. */
+  private val MarkerEnd = "#END"
+
+  /** Rolls FORWARD any [[mergeRows]] that crashed after publishing its
+    * marker: finishes the staged→table move (idempotent — already-moved
+    * files are gone from staging), then deletes whichever replaced
+    * files still exist, then drops the marker. A torn marker (missing
+    * terminator — impossible under atomic rename, defensive anyway)
+    * means the move never started: drop it and leave the table as-is.
+    * Finally sweeps orphan `_staging_*` dirs from crashes that never
+    * reached the marker write. Idempotent; called automatically at the
+    * start of every mergeRows. */
   def recoverMerge(fs: org.apache.hadoop.fs.FileSystem,
                    root: org.apache.hadoop.fs.Path): Unit = {
     import org.apache.hadoop.fs.Path
-    val markers =
-      if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.FileStatus]
-      else fs.listStatus(root).filter(st =>
-        st.isFile && st.getPath.getName.startsWith("_merge_pending_"))
+    if (!fs.exists(root)) return
+    val markers = fs.listStatus(root).filter(st =>
+      st.isFile && st.getPath.getName.startsWith("_merge_pending_"))
     markers.foreach { st =>
       val body = {
         val in = fs.open(st.getPath)
@@ -247,11 +266,24 @@ object Sources {
           java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
       }
-      body.split('\n').map(_.trim).filter(_.nonEmpty).foreach { f =>
-        val p = new Path(f)
-        if (fs.exists(p)) fs.delete(p, false)
+      val lines = body.split('\n').map(_.trim).filter(_.nonEmpty)
+      if (lines.length >= 2 && lines.last == MarkerEnd) {
+        val staging = new Path(root, lines.head)
+        if (fs.exists(staging)) moveDataFiles(fs, staging, root)
+        lines.slice(1, lines.length - 1).foreach { f =>
+          val p = new Path(f)
+          if (fs.exists(p)) fs.delete(p, false)
+        }
+        fs.delete(staging, true)
       }
       fs.delete(st.getPath, false)
+    }
+    // markers processed above own their staging dirs; anything left
+    // with the prefix is an orphan from a pre-marker crash (merges are
+    // serialized per table, so no live merge can own it)
+    fs.listStatus(root).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith("_staging_"))
+        fs.delete(st.getPath, true)
     }
   }
 

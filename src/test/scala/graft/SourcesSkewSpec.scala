@@ -164,6 +164,84 @@ class SourcesSkewSpec extends AnyFunSuite {
       .exists(_.endsWith(".parquet")) || before.isEmpty)
   }
 
+  test("recoverMerge rolls FORWARD a crash after the marker, before the move") {
+    import spark.implicits._
+    val dir = tmp("mcrash1")
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val oldFile = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(oldFile.length === 1)
+    // hand-build the exact crash state mergeRows leaves when it dies
+    // right after publishing the marker: complete staging dir + marker,
+    // old files untouched
+    val stagingName = "_staging_crash1"
+    Seq((1L, 10L), (2L, 222L), (3L, 30L)).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$dir/$stagingName")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/_merge_pending_crash1"),
+      (stagingName +: oldFile.toSeq :+ "#END").mkString("\n"))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    Sources.recoverMerge(fs, root)
+    // merge completed: updated value visible, exactly one row per key,
+    // no marker/staging residue
+    val back = Sources.parquet(spark, dir).as[(Long, Long)].collect().toSet
+    assert(back === Set((1L, 10L), (2L, 222L), (3L, 30L)))
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!names.exists(_.startsWith("_merge_pending_")))
+    assert(!names.exists(_.startsWith("_staging_")))
+  }
+
+  test("recoverMerge completes the delete step after a crash mid-delete") {
+    import spark.implicits._
+    val dir = tmp("mcrash2")
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val oldFile = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    // crash state: staged files already MOVED into the table (staging
+    // gone), marker still present, replaced file not yet deleted →
+    // duplicate rows for the touched key
+    Seq((1L, 10L), (2L, 222L)).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$dir/_staging_crash2")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    new java.io.File(s"$dir/_staging_crash2").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => fs.rename(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+        new org.apache.hadoop.fs.Path(dir, "moved-" + f.getName)))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/_merge_pending_crash2"),
+      ("_staging_crash2" +: oldFile.toSeq :+ "#END").mkString("\n"))
+    assert(Sources.parquet(spark, dir).count() === 4) // duplicate window
+    Sources.recoverMerge(fs, root)
+    val back = Sources.parquet(spark, dir).as[(Long, Long)].collect().toSet
+    assert(back === Set((1L, 10L), (2L, 222L)))
+  }
+
+  test("recoverMerge sweeps orphan staging and ignores a torn marker") {
+    import spark.implicits._
+    val dir = tmp("mcrash3")
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir)
+    // pre-marker crash: orphan staging dir, no marker
+    Seq((2L, 999L)).toDF("id", "v").write.parquet(s"$dir/_staging_orphan")
+    // torn marker (no #END terminator): must NOT be acted on — the
+    // listed file survives and the marker is discarded
+    val aFile = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    Files.writeString(java.nio.file.Paths.get(s"$dir/_merge_pending_torn"),
+      "_staging_orphan\n" + aFile) // truncated before the terminator
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    Sources.recoverMerge(fs, root)
+    val back = Sources.parquet(spark, dir).as[(Long, Long)].collect().toSet
+    assert(back === Set((1L, 10L), (2L, 20L))) // table untouched
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!names.exists(_.startsWith("_staging_")))
+    assert(!names.exists(_.startsWith("_merge_pending_")))
+  }
+
   test("lenient parquet read survives a corrupt file in the directory") {
     import spark.implicits._
     val dir = tmp("lenient") + "/data"
