@@ -119,22 +119,60 @@ object Dedup {
     * the duplicate cluster connected. */
   def qMinhashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    minhashCandidates(Tables.documents(s, d))
+      .select($"doc_a", $"doc_b",
+        round($"agree".cast("double") / K, 6).as("est_jaccard"))
+  }
+
+  /** Distinct banded candidate pairs with their signature-agreement
+    * count — the shared core of [[qMinhashPairs]] and [[qJaccardEst]].
+    * The agreement count is a fused codegen expression — the
+    * interpreted zip_with+aggregate HOF equivalent costs ~µs per pair,
+    * which dominates at corpus scale. */
+  private def minhashCandidates(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val cap = LshParams.BucketCap
     val w = Window.partitionBy($"band", $"bucket")
-    val banded = minhashBandedOf(Tables.documents(s, d))
+    val banded = minhashBandedOf(docs)
       .withColumn("f", count(lit(1)).over(w))
       .withColumn("bmin", min($"doc_id").over(w))
-    // fused codegen agreement count — the interpreted zip_with+aggregate
-    // HOF equivalent costs ~µs per pair, which dominates at corpus scale
-    val agree = MinHash.sigAgree($"a.sig", $"b.sig")
     banded.as("a")
       .join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
           $"a.doc_id" < $"b.doc_id" &&
           ($"a.f" <= cap || $"a.doc_id" === $"a.bmin"))
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        round(agree.cast("double") / K, 6).as("est_jaccard"))
+        MinHash.sigAgree($"a.sig", $"b.sig").cast("long").as("agree"))
       .distinct()
+  }
+
+  /** Sketch ACCURACY measured in-engine: every banded candidate pair
+    * with its MinHash signature agreement (the estimator, agree/K ≈
+    * Jaccard) NEXT TO the exact shingle intersection and union sizes —
+    * the calibration table you consult before trusting a sketch
+    * threshold on a new corpus. All integer-exact columns. Scale
+    * shape: the exact-verify join touches only candidate pairs (LSH-
+    * bounded), never the corpus cross product — the standard
+    * candidate-then-verify pattern. */
+  def qJaccardEst(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cand = minhashCandidates(Tables.documents(s, d))
+      .withColumnRenamed("agree", "agree_k")
+    val ds = Tables.documents(s, d)
+      .select($"doc_id", explode(array_distinct(
+        MinHash.shingleHash60(tokens($"text"), ShingleN))).as("sh"))
+    val sz = ds.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand.select($"doc_a", $"doc_b")
+      .join(ds.toDF("doc_a", "sh"), "doc_a")
+      .join(ds.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sz.toDF("doc_a", "n_a"), "doc_a")
+      .join(sz.toDF("doc_b", "n_b"), "doc_b")
+      .select($"doc_a", $"doc_b", $"agree_k",
+        coalesce($"inter", lit(0L)).as("inter"),
+        ($"n_a" + $"n_b" - coalesce($"inter", lit(0L))).as("un"))
   }
 
   /** Per-document 32-bit SimHash and its ladder-width prefix bucket:
@@ -399,6 +437,7 @@ object Dedup {
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_minhash_pairs" -> (qMinhashPairs _),
+    "q_jaccard_est" -> (qJaccardEst _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_lsh_bucket_stats" -> (qLshBucketStats _),
@@ -410,6 +449,31 @@ object Dedup {
   private def shingleExpr(n: Int) =
     s"list_transform(generate_series(1, greatest(len(t)-${n - 1}, 1)), " +
       s"i -> array_to_string(t[i:i+${n - 1}], ' '))"
+
+  /** CTE prelude mirroring [[minhashCandidates]]: yields CTEs up to
+    * `cand(doc_a, doc_b, agree_k)` — shared by the q_minhash_pairs and
+    * q_jaccard_est oracles. */
+  private lazy val minhashCandCtes: String = {
+    val rows = K / Bands
+    val sigList = (0 until K).map(j => MinHash.sqlSig("sh", j)).mkString(", ")
+    s"""WITH $tokCte,
+       |shl AS (SELECT doc_id, ${shingleExpr(ShingleN)} AS sh FROM tok),
+       |sig AS (SELECT doc_id, [$sigList] AS sig FROM shl),
+       |banded AS (SELECT doc_id, sig, pb AS band,
+       |  md5(array_to_string(sig[pb*$rows+1 : pb*$rows+$rows], '|')) AS bucket
+       |  FROM sig CROSS JOIN
+       |    (SELECT unnest([${(0 until Bands).mkString(", ")}]) AS pb)),
+       |stb AS (SELECT doc_id, sig, band, bucket,
+       |  COUNT(*) OVER (PARTITION BY band, bucket) AS f,
+       |  MIN(doc_id) OVER (PARTITION BY band, bucket) AS bmin FROM banded),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(list_sum(list_transform(generate_series(1, $K),
+       |    i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS BIGINT)
+       |    AS agree_k
+       |  FROM stb a JOIN stb b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  AND (a.f <= ${LshParams.BucketCap} OR a.doc_id = a.bmin))""".stripMargin
+  }
 
   /** Recursive-CTE prelude computing near-dup components: yields CTEs
     * up to `lab(id, label)` with label = component-min doc_id — shared
@@ -497,27 +561,27 @@ object Dedup {
          |SELECT doc_id, ${sigs.mkString(",\n")}
          |FROM shl""".stripMargin
     },
-    "q_minhash_pairs" -> {
-      val rows = K / Bands
-      val sigList = (0 until K).map(j => MinHash.sqlSig("sh", j)).mkString(", ")
-      s"""WITH $tokCte,
-         |shl AS (SELECT doc_id, ${shingleExpr(ShingleN)} AS sh FROM tok),
-         |sig AS (SELECT doc_id, [$sigList] AS sig FROM shl),
-         |banded AS (SELECT doc_id, sig, pb AS band,
-         |  md5(array_to_string(sig[pb*$rows+1 : pb*$rows+$rows], '|')) AS bucket
-         |  FROM sig CROSS JOIN
-         |    (SELECT unnest([${(0 until Bands).mkString(", ")}]) AS pb)),
-         |stb AS (SELECT doc_id, sig, band, bucket,
-         |  COUNT(*) OVER (PARTITION BY band, bucket) AS f,
-         |  MIN(doc_id) OVER (PARTITION BY band, bucket) AS bmin FROM banded)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |ROUND(CAST(list_sum(list_transform(generate_series(1, $K),
-         |  i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $K, 6)
-         |  AS est_jaccard
-         |FROM stb a JOIN stb b
-         |ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |AND (a.f <= ${LshParams.BucketCap} OR a.doc_id = a.bmin)""".stripMargin
-    },
+    "q_minhash_pairs" ->
+      s"""$minhashCandCtes
+         |SELECT doc_a, doc_b,
+         |ROUND(CAST(agree_k AS DOUBLE) / $K, 6) AS est_jaccard
+         |FROM cand""".stripMargin,
+    "q_jaccard_est" ->
+      s"""$minhashCandCtes,
+         |ds AS (SELECT DISTINCT doc_id, s FROM
+         |  (SELECT doc_id, unnest(${shingleExpr(ShingleN)}) AS s FROM tok)),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
+         |iv AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter FROM cand c
+         |  JOIN ds a ON a.doc_id = c.doc_a
+         |  JOIN ds b ON b.doc_id = c.doc_b AND b.s = a.s
+         |  GROUP BY 1, 2)
+         |SELECT c.doc_a, c.doc_b, c.agree_k,
+         |CAST(COALESCE(iv.inter, 0) AS BIGINT) AS inter,
+         |CAST(sa.n + sb.n - COALESCE(iv.inter, 0) AS BIGINT) AS un
+         |FROM cand c
+         |LEFT JOIN iv ON iv.doc_a = c.doc_a AND iv.doc_b = c.doc_b
+         |JOIN sz sa ON sa.doc_id = c.doc_a
+         |JOIN sz sb ON sb.doc_id = c.doc_b""".stripMargin,
     "q_simhash" -> simhashSql,
     "q_simhash_pairs" ->
       s"""WITH sh AS ($simhashSql),

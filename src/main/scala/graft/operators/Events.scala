@@ -171,7 +171,33 @@ object Events {
         when($"n".isNull, 1L).otherwise(0L).as("is_gap"))
   }
 
+  /** GAPS-AND-ISLANDS — activity-streak mining: per user, runs of
+    * CONSECUTIVE active hours via the classic hour − row_number()
+    * island key (constant within a run, distinct across runs), then a
+    * corpus histogram of each user's longest streak. Everything is
+    * integer-exact (epoch-hour indexes, counts). Scale shape: one
+    * distinct + one user-partitioned window + two aggs — shuffles only
+    * on user_id and never materializes a time spine, so a year of 100
+    * TB events costs the same plan. */
+  def qStreak(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hours = events(s, d)
+      .select($"user_id", expr("ts_us DIV 3600000000").as("h"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"h".asc)
+    val streaks = hours
+      .withColumn("isl", $"h" - row_number().over(w))
+      .groupBy($"user_id", $"isl")
+      .agg(count(lit(1)).as("len"))
+    streaks
+      .groupBy($"user_id")
+      .agg(max($"len").as("longest_streak"), count(lit(1)).as("n_streaks"))
+      .groupBy($"longest_streak")
+      .agg(count(lit(1)).as("n_users"), sum($"n_streaks").as("sum_streaks"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_streak" -> (qStreak _),
     "q_gap_fill" -> (qGapFill _),
     "q_session_window" -> (qSessionWindow _),
     "q_tumbling_hourly" -> (qTumblingHourly _),
@@ -184,6 +210,19 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_streak" ->
+      """WITH hrs AS (SELECT DISTINCT user_id,
+        |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h
+        |  FROM events),
+        |i AS (SELECT user_id, h,
+        |  h - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY h) AS isl
+        |  FROM hrs),
+        |st AS (SELECT user_id, isl, COUNT(*) AS len FROM i GROUP BY 1, 2),
+        |pu AS (SELECT user_id, MAX(len) AS longest_streak,
+        |  COUNT(*) AS n_streaks FROM st GROUP BY 1)
+        |SELECT longest_streak, COUNT(*) AS n_users,
+        |CAST(SUM(n_streaks) AS BIGINT) AS sum_streaks
+        |FROM pu GROUP BY 1""".stripMargin,
     "q_gap_fill" ->
       s"""WITH h AS (SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
          |  COUNT(*) AS n, ${sqlSum("value")} AS sum_value

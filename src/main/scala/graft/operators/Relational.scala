@@ -515,6 +515,45 @@ object Relational {
         sum($"has_huge").as("n_with_huge"))
   }
 
+  /** MAP-typed column surface: per order priority, build an
+    * orderstatus→count map (map_from_entries over a sorted entry
+    * list), then consume it with size / element_at / map_values and a
+    * lambda fold — the Hive map<k,v> workflow. The map is built from
+    * an already-aggregated (priority, status) frame, so its entry list
+    * is bounded by the status domain, never by row count. */
+  def qMapOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"o_orderpriority")
+      .agg(map_from_entries(
+        sort_array(collect_list(struct($"o_orderstatus", $"n")))).as("m"))
+      .select($"o_orderpriority",
+        size($"m").cast("long").as("n_statuses"),
+        coalesce(element_at($"m", "O"), lit(0L)).as("n_open"),
+        coalesce(element_at($"m", "F"), lit(0L)).as("n_fulfilled"),
+        coalesce(element_at($"m", "P"), lit(0L)).as("n_pending"),
+        aggregate(map_values($"m"), lit(0L), _ + _).as("n_total"))
+  }
+
+  /** Skew-safe TWO-STAGE aggregation as a gate-visible query: the
+    * group key (l_returnflag, 3 values over the whole fact table) is
+    * exactly the extreme-low-cardinality shape where even map-side
+    * combine leaves one hot reducer per key — [[Skew.saltedSum]]
+    * spreads each key over 16 salted partials first. The oracle is a
+    * PLAIN GROUP BY: salting is an execution detail that must be
+    * result-invariant, and the decimal-exact sum makes that
+    * bit-checkable. */
+  def qSaltedAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Skew.saltedSum(
+        Tables.lineitem(s, d)
+          .select($"l_returnflag", $"l_extendedprice".cast(Dec).as("v")),
+        "l_returnflag", $"v")
+      .withColumn("sum_value", $"sum_value".cast("double"))
+  }
+
   /** Double aggregation (TPC-H q13 shape): how many customers placed
     * 0, 1, 2… orders. LEFT OUTER join keeps zero-order customers; the
     * first aggregation is per customer, the second over the counts —
@@ -619,10 +658,26 @@ object Relational {
     "q_multi_exists" -> (qMultiExists _),
     "q_array_ops" -> (qArrayOps _),
     "q_higher_order" -> (qHigherOrder _),
+    "q_map_ops" -> (qMapOps _),
+    "q_salted_agg" -> (qSaltedAgg _),
     "q_moving_avg" -> (qMovingAvg _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_map_ops" ->
+      """SELECT o_orderpriority,
+        |CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+        |CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_open,
+        |CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_fulfilled,
+        |CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_pending,
+        |COUNT(*) AS n_total
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_salted_agg" ->
+      s"""SELECT l_returnflag, ${sqlSum("l_extendedprice")} AS sum_value
+         |FROM lineitem GROUP BY 1""".stripMargin,
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |${sqlSum("l_quantity")} AS sum_qty,

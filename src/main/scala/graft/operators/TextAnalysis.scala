@@ -193,6 +193,84 @@ object TextAnalysis {
         sum(coalesce($"hit", lit(0L))).as("n_contaminated"))
   }
 
+  /** Bloom-prefiltered decontamination — same contract as
+    * [[qDecontaminate]] (and the same oracle: the bloom is an
+    * execution detail that must be result-invariant), but the corpus
+    * side is pre-filtered by a CONSTANT-SIZE Bloom filter of the eval
+    * 5-gram set before the exact semi-join. At 100 TB that is the
+    * difference between broadcasting the eval set's full string table
+    * and shipping a 128 KiB bit array to every executor: the bloom
+    * kills ~all clean shingles at scan time (codegen'd might_contain,
+    * no shuffle), and only the surviving sliver reaches the exact
+    * verify join that removes false positives. The driver materializes
+    * ONLY the fixed-size filter (a bounded model parameter, like IVF
+    * centroids) — never data rows. */
+  def qBloomDecontam(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val sh = array_distinct(wordGrams(tokens($"text"), DecontamN))
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"source", sh.as("shs"))
+    val isBench = pmod($"doc_id", lit(BenchMod)) === 0
+    val benchShingles = docs.filter(isBench)
+      .select(explode($"shs").as("sh")).distinct()
+    val bfBytes = benchShingles
+      .agg(Bridge.column(new BloomFilterAggregate(
+          Bridge.eagerExpression(xxhash64($"sh")),
+          Literal(100000L), Literal(1L << 20))
+        .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val mightHit = Bridge.column(BloomFilterMightContain(
+      Literal.create(bfBytes, BinaryType),
+      Bridge.eagerExpression(xxhash64(col("sh")))))
+    val flagged = docs.filter(!isBench)
+      .select($"doc_id", explode($"shs").as("sh"))
+      .filter(mightHit) // bloom prunes clean shingles pre-join
+      .join(broadcast(benchShingles), Seq("sh"), "left_semi") // exact: FPs die here
+      .select($"doc_id").distinct()
+      .withColumn("hit", lit(1L))
+    docs.filter(!isBench)
+      .join(flagged, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce($"hit", lit(0L))).as("n_contaminated"))
+  }
+
+  private val PmiMinCount = 5 // bigram support floor
+  private val PmiTopK = 40
+
+  /** COLLOCATION mining (PMI-ranked bigrams): bigrams whose observed
+    * frequency most exceeds what their words' independent frequencies
+    * predict — the phrase-discovery primitive behind tokenizer vocab
+    * building. The score is the PMI ratio c_ab/(c_a·c_b) at a fixed
+    * 1e9 integer scale (log is monotone, so integer DIV ranking ≡ PMI
+    * ranking, and it stays engine-exact). Unique tie-break on the
+    * bigram string. Scale shape: two narrow explode+agg passes plus
+    * two joins against the unigram table — vocabulary-sized, shuffles
+    * on words, never on documents. */
+  def qPmiBigrams(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(tokens($"text").as("t")).filter(size($"t") >= 2)
+    val uni = toks.select(explode($"t").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val bi = toks.select(explode(wordGrams($"t", 2)).as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("c_ab"))
+      .filter($"c_ab" >= PmiMinCount)
+      .withColumn("w1", split($"bigram", " ").getItem(0))
+      .withColumn("w2", split($"bigram", " ").getItem(1))
+    bi
+      .join(uni.toDF("w1", "c_a"), "w1")
+      .join(uni.toDF("w2", "c_b"), "w2")
+      .select($"bigram", $"c_ab", $"c_a", $"c_b",
+        expr("c_ab * 1000000000 DIV (c_a * c_b)").as("score_e9"))
+      .orderBy($"score_e9".desc, $"bigram".asc)
+      .limit(PmiTopK)
+  }
+
   /** Intra-document REPETITION (Gopher-style quality signal): the
     * fraction of duplicate word 3-grams inside each document —
     * templated/spammy text repeats itself. Per source: mean repetition
@@ -225,6 +303,8 @@ object TextAnalysis {
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_top_ngrams" -> (qTopNgrams _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_bloom_decontam" -> (qBloomDecontam _),
+    "q_pmi_bigrams" -> (qPmiBigrams _),
     "q_repetition" -> (qRepetition _)
   )
 
@@ -235,21 +315,41 @@ object TextAnalysis {
     s"list_transform(generate_series(1, greatest(len(t)-${n - 1}, 1)), " +
       s"i -> array_to_string(t[i:i+${n - 1}], ' '))"
 
+  /** Shared by q_decontaminate and q_bloom_decontam: the bloom is a
+    * result-invariant prefilter, so both must match this exact SQL. */
+  private lazy val decontamSql: String =
+    s"""WITH tok AS (SELECT doc_id, source, string_split(text,' ') AS t
+       |  FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(${sqlGrams(DecontamN)})) AS s
+       |  FROM tok),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % $BenchMod = 0),
+       |flagged AS (SELECT DISTINCT doc_id FROM sh
+       |  WHERE doc_id % $BenchMod <> 0 AND s IN (SELECT s FROM bench))
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS n_contaminated
+       |FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+       |WHERE d.doc_id % $BenchMod <> 0
+       |GROUP BY d.source""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "q_decontaminate" ->
-      s"""WITH tok AS (SELECT doc_id, source, string_split(text,' ') AS t
-         |  FROM documents),
-         |sh AS (SELECT doc_id, unnest(list_distinct(${sqlGrams(DecontamN)})) AS s
-         |  FROM tok),
-         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % $BenchMod = 0),
-         |flagged AS (SELECT DISTINCT doc_id FROM sh
-         |  WHERE doc_id % $BenchMod <> 0 AND s IN (SELECT s FROM bench))
-         |SELECT d.source, COUNT(*) AS n_docs,
-         |CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |  AS n_contaminated
-         |FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
-         |WHERE d.doc_id % $BenchMod <> 0
-         |GROUP BY d.source""".stripMargin,
+    "q_decontaminate" -> decontamSql,
+    "q_bloom_decontam" -> decontamSql,
+    "q_pmi_bigrams" ->
+      s"""WITH tok AS (SELECT string_split(text,' ') AS t FROM documents),
+         |t2 AS (SELECT t FROM tok WHERE len(t) >= 2),
+         |uni AS (SELECT w, COUNT(*) AS c FROM
+         |  (SELECT unnest(t) AS w FROM t2) GROUP BY 1),
+         |bi AS (SELECT bigram, COUNT(*) AS c_ab FROM
+         |  (SELECT unnest(list_transform(generate_series(1, len(t)-1),
+         |    i -> array_to_string(t[i:i+1], ' '))) AS bigram FROM t2)
+         |  GROUP BY 1 HAVING COUNT(*) >= $PmiMinCount)
+         |SELECT bigram, c_ab, a.c AS c_a, b.c AS c_b,
+         |c_ab * 1000000000 // (a.c * b.c) AS score_e9
+         |FROM bi
+         |JOIN uni a ON string_split(bigram, ' ')[1] = a.w
+         |JOIN uni b ON string_split(bigram, ' ')[2] = b.w
+         |ORDER BY score_e9 DESC, bigram ASC LIMIT $PmiTopK""".stripMargin,
     "q_repetition" -> {
       import graft.functions.Det.sqlSum12
       s"""WITH tok AS (SELECT source, string_split(text,' ') AS t FROM documents),
