@@ -66,15 +66,21 @@ object Dedup {
     val docs = Tables.documents(s, d)
       .select($"doc_id", $"source", fingerprint($"text").as("fp"))
     val isBatch = pmod($"doc_id", lit(BatchMod)) === BatchRem
-    val corpusFp = docs.filter(!isBatch).select($"fp").distinct()
+    // no distinct(): a LEFT SEMI probe is set-semantics already, so
+    // pre-deduplicating the corpus side is a pure extra shuffle+agg
+    // over the 100 TB table
+    val corpusFp = docs.filter(!isBatch).select($"fp")
     val batch = docs.filter(isBatch)
-    val dups = batch.join(corpusFp, Seq("fp"), "left_semi")
-      .select($"doc_id").withColumn("dup", lit(1L))
-    batch.join(dups, Seq("doc_id"), "left")
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_batch"),
-        sum(coalesce($"dup", lit(0L))).as("n_dup_vs_corpus"),
-        (count(lit(1)) - sum(coalesce($"dup", lit(0L)))).as("n_novel"))
+    val batchCounts = batch.groupBy($"source")
+      .agg(count(lit(1)).as("n_batch"))
+    val dupCounts = batch.join(corpusFp, Seq("fp"), "left_semi")
+      .groupBy($"source").agg(count(lit(1)).as("n_dup"))
+    // combine per-source (a handful of rows) instead of re-joining the
+    // batch on doc_id — one fewer wide shuffle
+    batchCounts.join(dupCounts, Seq("source"), "left")
+      .select($"source", $"n_batch",
+        coalesce($"n_dup", lit(0L)).as("n_dup_vs_corpus"),
+        ($"n_batch" - coalesce($"n_dup", lit(0L))).as("n_novel"))
   }
 
   /** MinHash signature matrix: K universal-hash mins over 3-word
