@@ -1,0 +1,200 @@
+package graft.sources
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-committed parquet table: the snapshot-isolation layer that
+  * [[Sources.mergeRows]]'s docs promise sits above file-level merge
+  * (the Delta/Iceberg core idea, re-derived minimally).
+  *
+  * A table directory holds immutable parquet data files plus numbered
+  * `_manifest_v{N}` files, each the COMPLETE list of data files (paths
+  * relative to the table root) that make up snapshot N, terminated by
+  * an `#END` line. Readers resolve the highest complete manifest and
+  * read exactly its files — never a directory listing — so:
+  *
+  *  - **Snapshot isolation**: a merge writes new data files and then
+  *    commits by creating `_manifest_v{N+1}`; nothing is deleted at
+  *    commit time, so a concurrent reader that resolved version N
+  *    keeps reading N's files untouched. No duplicate-row or
+  *    missing-row window exists at any point — the anomaly
+  *    [[Sources.mergeRows]] documents is gone by construction.
+  *  - **Atomic commit**: the commit point is the create(overwrite =
+  *    false) of the manifest file; two racing merges from the same
+  *    base version collide on the same name and exactly one wins
+  *    (optimistic concurrency — the loser's data files are deleted
+  *    and it throws [[ConcurrentCommitException]] for retry).
+  *  - **Crash safety**: a crash before the manifest create leaves only
+  *    unreferenced data files (swept by [[vacuum]]); a crash DURING
+  *    the manifest write leaves a torn manifest (no `#END`) that
+  *    readers and version resolution ignore — the table stays at N.
+  *    [[vacuum]] removes torn manifests; it is a maintenance
+  *    operation, not to be run concurrently with an in-flight commit.
+  *  - **Time travel**: [[readVersion]] reads any retained snapshot.
+  *
+  * Partition columns are not special here: files are range-clustered
+  * by the merge key and pruned via parquet footer stats
+  * ([[Sources.touchedFiles]]), which replaces directory-partition
+  * pruning. At 100 TB the manifest is one small file per commit and
+  * every data file is immutable — exactly the shape object stores
+  * want.
+  */
+object ManifestTable {
+
+  class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
+  private val Prefix = "_manifest_v"
+  private val End = "#END"
+
+  private def fsOf(s: SparkSession, root: Path): FileSystem =
+    root.getFileSystem(s.sessionState.newHadoopConf())
+
+  /** Lines of manifest v if it exists AND is complete (ends with
+    * `#END`), else None. */
+  private def manifestLines(fs: FileSystem, root: Path, v: Long)
+      : Option[Seq[String]] = {
+    val p = new Path(root, s"$Prefix$v")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val body =
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val lines = body.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    if (lines.lastOption.contains(End)) Some(lines.init) else None
+  }
+
+  private def allManifestVersions(fs: FileSystem, root: Path): Seq[Long] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).iterator.map(_.getPath.getName)
+      .filter(_.startsWith(Prefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(Prefix).toLong).toOption)
+      .toSeq.sorted
+
+  /** Highest COMPLETE snapshot version; 0 means no table. Torn
+    * manifests (crashed commits) are skipped, not trusted. */
+  def version(fs: FileSystem, root: Path): Long =
+    allManifestVersions(fs, root).reverse
+      .find(v => manifestLines(fs, root, v).isDefined).getOrElse(0L)
+
+  /** The commit: write the complete file list then an `#END` line to
+    * `_manifest_v{v}` with overwrite = false — creation of that name
+    * IS the atomic commit point; a second committer from the same base
+    * version fails here. */
+  private def commit(fs: FileSystem, root: Path, v: Long,
+                     relFiles: Seq[String]): Unit = {
+    val p = new Path(root, s"$Prefix$v")
+    val out =
+      try fs.create(p, false)
+      catch { case e: java.io.IOException =>
+        throw new ConcurrentCommitException(
+          s"snapshot v$v was committed concurrently: $e")
+      }
+    try out.write((relFiles :+ End).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def rel(root: Path, abs: String): String = {
+    val r = root.toUri.getPath.stripSuffix("/")
+    val a = new Path(abs).toUri.getPath
+    require(a.startsWith(r + "/"), s"$abs is not under $root")
+    a.stripPrefix(r + "/")
+  }
+
+  /** Writes `df` as a fresh data-file set under a unique subdir and
+    * returns the new files' root-relative paths. */
+  private def writeDataFiles(s: SparkSession, root: Path, df: DataFrame)
+      : Seq[String] = {
+    val dir = new Path(root, s"d-${UUID.randomUUID}")
+    df.write.parquet(dir.toString)
+    val fs = fsOf(s, root)
+    Sources.listDataFiles(fs, dir).map(p => rel(root, p.toString))
+  }
+
+  /** Creates the table: data files + manifest v1. Fails if a snapshot
+    * already exists. */
+  def create(s: SparkSession, df: DataFrame, path: String): Unit = {
+    val root = new Path(path)
+    val fs = fsOf(s, root)
+    require(version(fs, root) == 0L, s"$path already has a snapshot")
+    fs.mkdirs(root)
+    commit(fs, root, 1L, writeDataFiles(s, root, df))
+  }
+
+  /** Latest snapshot. */
+  def read(s: SparkSession, path: String): DataFrame = {
+    val root = new Path(path)
+    readVersion(s, path, version(fsOf(s, root), root))
+  }
+
+  /** Time travel: snapshot exactly as of version v. */
+  def readVersion(s: SparkSession, path: String, v: Long): DataFrame = {
+    val root = new Path(path)
+    val fs = fsOf(s, root)
+    val files = manifestLines(fs, root, v).getOrElse(
+      throw new IllegalArgumentException(s"$path has no complete snapshot v$v"))
+    s.read.parquet(files.map(f => new Path(root, f).toString): _*)
+  }
+
+  /** Copy-on-write row-level MERGE with an atomic snapshot commit:
+    * rewrites only the files whose footer key range contains an update
+    * key, writes the merged replacements as NEW files, and commits
+    * manifest v+1 = (old files − touched) + new files. Old files stay
+    * on disk for older snapshots until [[vacuum]]. Throws
+    * [[ConcurrentCommitException]] (after cleaning up its own staged
+    * files) if another merge committed first — retry on the new base.
+    *
+    * `expectedBase` is the compare-and-swap form: merge onto exactly
+    * that snapshot, failing if anyone committed past it — for callers
+    * whose updates were DERIVED from a read of that snapshot and must
+    * not silently land on top of someone else's changes. Default (-1)
+    * merges onto whatever is latest. */
+  def merge(s: SparkSession, path: String, updates: DataFrame,
+            key: String, expectedBase: Long = -1L): Unit = {
+    val root = new Path(path)
+    val fs = fsOf(s, root)
+    val v = if (expectedBase > 0L) expectedBase else version(fs, root)
+    require(v > 0L, s"$path has no snapshot to merge into")
+    val relFiles = manifestLines(fs, root, v).getOrElse(
+      throw new IllegalArgumentException(s"$path has no complete snapshot v$v"))
+    val absFiles = relFiles.map(f => new Path(root, f))
+    val ranges = Sources.fileRangesOf(fs, absFiles, key)
+    val touched = Sources.touchedFiles(s, ranges, updates, key)
+    val targetCols = s.read.parquet(absFiles.head.toString).columns
+    val merged =
+      if (touched.isEmpty) updates.select(targetCols.map(updates.col): _*)
+      else s.read.parquet(touched: _*)
+        .join(updates.select(key).distinct(), Seq(key), "left_anti")
+        .unionByName(updates.select(targetCols.map(updates.col): _*))
+    val staged = writeDataFiles(s, root,
+      merged.coalesce(math.max(touched.size, 1)))
+    val touchedRel = touched.map(rel(root, _)).toSet
+    val next = relFiles.filterNot(touchedRel) ++ staged
+    try commit(fs, root, v + 1L, next)
+    catch { case e: ConcurrentCommitException =>
+      staged.foreach(f => fs.delete(new Path(root, f), false))
+      throw e
+    }
+  }
+
+  /** Maintenance: drop all snapshots but the latest, remove torn
+    * manifests, and delete every data file no retained snapshot
+    * references. Must not run concurrently with an in-flight commit
+    * or with readers pinned to old snapshots. */
+  def vacuum(s: SparkSession, path: String): Unit = {
+    val root = new Path(path)
+    val fs = fsOf(s, root)
+    val latest = version(fs, root)
+    allManifestVersions(fs, root).filterNot(_ == latest)
+      .foreach(v => fs.delete(new Path(root, s"$Prefix$v"), false))
+    val keep = manifestLines(fs, root, latest).getOrElse(Seq.empty)
+      .map(f => new Path(root, f).toUri.getPath).toSet
+    Sources.listDataFiles(fs, root)
+      .filterNot(p => keep.contains(p.toUri.getPath))
+      .foreach(p => fs.delete(p, false))
+  }
+}

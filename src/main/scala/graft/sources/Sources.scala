@@ -294,24 +294,39 @@ object Sources {
     * manifest or distributes the footer reads. */
   private def fileKeyRanges(fs: org.apache.hadoop.fs.FileSystem,
                             root: org.apache.hadoop.fs.Path, key: String)
-      : Seq[(String, Option[(Any, Any)])] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import scala.jdk.CollectionConverters._
+      : Seq[(String, Option[(Any, Any)])] =
+    fileRangesOf(fs, listDataFiles(fs, root), key)
+
+  /** Recursively lists the data files of a table dir, skipping
+    * underscore/dot names and anything under a staging/metadata dir
+    * (URI-normalized so the scheme prefix can't defeat the check). */
+  private[sources] def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                                     root: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.Path] = {
     val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val f = it.next()
       val name = f.getPath.getName
-      // skip non-data files and anything under a staging/metadata dir
-      // (URI-normalized so the scheme prefix can't defeat the check)
       val rel = f.getPath.toUri.getPath.stripPrefix(root.toUri.getPath)
       if (f.isFile && name.endsWith(".parquet") &&
           !name.startsWith("_") && !name.startsWith(".") &&
           !rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith(".")))
         files += f.getPath
     }
-    files.toSeq.map { p =>
+    files.toSeq
+  }
+
+  /** Per-file [min, max] of `key` for an explicit file list, read from
+    * parquet FOOTERS only (no data pages). */
+  private[sources] def fileRangesOf(fs: org.apache.hadoop.fs.FileSystem,
+                                    files: Seq[org.apache.hadoop.fs.Path],
+                                    key: String)
+      : Seq[(String, Option[(Any, Any)])] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    files.map { p =>
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(p, fs.getConf))
       try {
@@ -373,8 +388,9 @@ object Sources {
 
   /** Files whose [min,max] key range contains at least one update key
     * (distributed range probe against the broadcast range list). */
-  private def touchedFiles(s: SparkSession, ranges: Seq[(String, Option[(Any, Any)])],
-                           updates: DataFrame, key: String): Seq[String] = {
+  private[sources] def touchedFiles(
+      s: SparkSession, ranges: Seq[(String, Option[(Any, Any)])],
+      updates: DataFrame, key: String): Seq[String] = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import s.implicits._
     if (ranges.isEmpty) return Nil

@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.ManifestTable
+
+class ManifestSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp() =
+    Files.createTempDirectory("manifest").toFile.getAbsolutePath
+
+  private def fsRoot(dir: String) = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    (root.getFileSystem(spark.sessionState.newHadoopConf()), root)
+  }
+
+  /** All data-file paths under dir (recursive, skipping _/. names). */
+  private def dataFiles(dir: java.io.File): Seq[String] = {
+    val kids = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+    kids.filter(_.isFile).filter(_.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath) ++
+      kids.filter(_.isDirectory).flatMap(dataFiles)
+  }
+
+  test("create/read round-trip and version bookkeeping") {
+    import spark.implicits._
+    val dir = tmp()
+    ManifestTable.create(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    val (fs, root) = fsRoot(dir)
+    assert(ManifestTable.version(fs, root) === 1L)
+    assert(ManifestTable.read(spark, dir).as[(Long, String)]
+      .collect().toSet === Set((1L, "a"), (2L, "b")))
+    intercept[IllegalArgumentException] {
+      ManifestTable.create(spark, Seq((9L, "z")).toDF("id", "v"), dir)
+    }
+  }
+
+  test("merge commits a new snapshot; old snapshot stays readable (time travel)") {
+    import spark.implicits._
+    val dir = tmp()
+    ManifestTable.create(spark,
+      (1L to 100L).map(i => (i, i * 10)).toDF("id", "v"), dir)
+    ManifestTable.merge(spark,  dir,
+      Seq((7L, 777L), (200L, 2000L)).toDF("id", "v"), "id")
+    val now = ManifestTable.read(spark, dir).as[(Long, Long)].collect().toMap
+    assert(now.size === 101 && now(7L) === 777L && now(200L) === 2000L
+      && now(8L) === 80L)
+    // snapshot 1 is intact: the update invisible, the old value back
+    val old = ManifestTable.readVersion(spark, dir, 1L)
+      .as[(Long, Long)].collect().toMap
+    assert(old.size === 100 && old(7L) === 70L && !old.contains(200L))
+  }
+
+  test("reader pinned before a merge keeps its snapshot (no duplicate window)") {
+    import spark.implicits._
+    val dir = tmp()
+    ManifestTable.create(spark,
+      (1L to 50L).map(i => (i, i)).toDF("id", "v"), dir)
+    val pinned = ManifestTable.read(spark, dir) // resolves v1's files NOW
+    ManifestTable.merge(spark, dir, Seq((3L, 999L)).toDF("id", "v"), "id")
+    // the pinned frame re-executes against v1's file list: exactly one
+    // row per key, old value — never a duplicate or the new value
+    val rows = pinned.as[(Long, Long)].collect()
+    assert(rows.length === 50 && rows.toMap.apply(3L) === 3L)
+  }
+
+  test("merge rewrites only key-range-touched files") {
+    import spark.implicits._
+    val dir = tmp()
+    ManifestTable.create(spark,
+      spark.range(0, 400).selectExpr("id", "id * 2 AS v")
+        .repartitionByRange(4, $"id"), dir)
+    ManifestTable.merge(spark, dir, Seq((7L, 777L)).toDF("id", "v"), "id")
+    val (fs, root) = fsRoot(dir)
+    assert(ManifestTable.version(fs, root) === 2L)
+    val back = ManifestTable.read(spark, dir).as[(Long, Long)].collect().toMap
+    assert(back.size === 400 && back(7L) === 777L && back(8L) === 16L)
+    // v2 keeps 3 of v1's 4 range-clustered files by name
+    def files(v: Long) = ManifestTable.readVersion(spark, dir, v).inputFiles.toSet
+    assert((files(1L) intersect files(2L)).size === 3)
+  }
+
+  test("racing merges from the same base: exactly one wins, loser cleans up") {
+    import spark.implicits._
+    val dir = tmp()
+    ManifestTable.create(spark, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), dir)
+    val (fs, root) = fsRoot(dir)
+    // simulate the race: another writer commits v2 after this merge
+    // read snapshot v1 — expressed via the compare-and-swap form
+    // (expectedBase = 1), which must refuse to land on top of v2
+    val winner = new org.apache.hadoop.fs.Path(dir, "_manifest_v2")
+    // the winner keeps v1's files verbatim
+    val v1Body = new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+      fs.open(new org.apache.hadoop.fs.Path(dir, "_manifest_v1"))),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val out = fs.create(winner, false)
+    out.write(v1Body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    val before = fs.listStatus(root).count(_.getPath.getName.startsWith("d-"))
+    intercept[ManifestTable.ConcurrentCommitException] {
+      ManifestTable.merge(spark, dir, Seq((1L, 111L)).toDF("id", "v"), "id",
+        expectedBase = 1L)
+    }
+    // loser deleted its staged files; table still reads as the winner's v2
+    assert(ManifestTable.read(spark, dir).as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 2L -> 20L))
+    val stagedLeft = dataFiles(new java.io.File(dir)).toSet
+    val referenced = ManifestTable.read(spark, dir).inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    assert(stagedLeft === referenced, "unreferenced staged files left behind")
+    assert(before >= 1)
+  }
+
+  test("torn manifest is ignored by readers and removed by vacuum") {
+    import spark.implicits._
+    val dir = tmp()
+    ManifestTable.create(spark, Seq((1L, 10L)).toDF("id", "v"), dir)
+    // crashed commit: v2 manifest without the #END terminator
+    Files.writeString(java.nio.file.Paths.get(s"$dir/_manifest_v2"),
+      "d-dead/part-0.parquet\n")
+    val (fs, root) = fsRoot(dir)
+    assert(ManifestTable.version(fs, root) === 1L) // torn v2 not trusted
+    assert(ManifestTable.read(spark, dir).count() === 1L)
+    ManifestTable.vacuum(spark, dir)
+    assert(!new java.io.File(s"$dir/_manifest_v2").exists())
+    assert(ManifestTable.read(spark, dir).count() === 1L)
+  }
+
+  test("vacuum drops old snapshots and their unreferenced files") {
+    import spark.implicits._
+    val dir = tmp()
+    ManifestTable.create(spark,
+      (1L to 20L).map(i => (i, i)).toDF("id", "v"), dir)
+    ManifestTable.merge(spark, dir, Seq((1L, 100L)).toDF("id", "v"), "id")
+    ManifestTable.merge(spark, dir, Seq((2L, 200L)).toDF("id", "v"), "id")
+    val (fs, root) = fsRoot(dir)
+    assert(ManifestTable.version(fs, root) === 3L)
+    ManifestTable.vacuum(spark, dir)
+    // only the latest snapshot remains…
+    intercept[IllegalArgumentException] {
+      ManifestTable.readVersion(spark, dir, 1L).count()
+    }
+    // …its data is intact, and no unreferenced data files survive
+    val back = ManifestTable.read(spark, dir).as[(Long, Long)].collect().toMap
+    assert(back.size === 20 && back(1L) === 100L && back(2L) === 200L)
+    val onDisk = dataFiles(new java.io.File(dir)).toSet
+    val referenced = ManifestTable.read(spark, dir).inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    assert(onDisk === referenced)
+  }
+}
