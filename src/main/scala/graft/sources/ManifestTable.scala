@@ -181,6 +181,16 @@ object ManifestTable {
     }
   }
 
+  /** Create-or-merge: the first call creates snapshot v1 from `df`,
+    * later calls row-level-merge on `key` — the idempotent upsert
+    * entry point streaming foreachBatch sinks use. */
+  def upsert(s: SparkSession, df: DataFrame, path: String,
+             key: String): Unit = {
+    val root = new Path(path)
+    if (version(fsOf(s, root), root) == 0L) create(s, df, path)
+    else merge(s, path, df, key)
+  }
+
   /** Maintenance: drop all snapshots but the latest, remove torn
     * manifests, and delete every data file no retained snapshot
     * references. Must not run concurrently with an in-flight commit

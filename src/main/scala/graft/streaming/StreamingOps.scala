@@ -415,6 +415,39 @@ object StreamingOps {
                         withinMinutes: Int = 60): DataFrame =
     intervalJoin(signups, purchases, withinMinutes, "left_outer")
 
+  /** Ingest-time dedup against an EXISTING corpus — the streaming twin
+    * of batch q_incremental_dedup's probe: drop events whose content
+    * fingerprint is already in the static fingerprint table
+    * (stream–static LEFT ANTI — stateless, re-planned every
+    * micro-batch so corpus updates are picked up live, broadcast when
+    * the fingerprint table is small), then drop in-stream duplicates
+    * (dropDuplicatesWithinWatermark — state bounded by the watermark).
+    * At 100 TB the static side stays a parquet scan + runtime bloom
+    * prefilter, never a full materialization. */
+  def dedupVsCorpus(events: DataFrame, corpusFp: DataFrame,
+                    fpCol: String = "fp",
+                    watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(corpusFp.select(col(fpCol)), Seq(fpCol), "left_anti")
+      .dropDuplicatesWithinWatermark(fpCol)
+
+  /** foreachBatch sink that upserts each micro-batch into a
+    * [[graft.sources.ManifestTable]] snapshot table (created on the
+    * first batch). Streaming aggregation in Update mode emits only
+    * the keys a batch changed; each emission row-level-merges onto
+    * the table under an ATOMIC manifest commit. A crash-replayed
+    * micro-batch re-merges the same deterministic rows — a content
+    * no-op — so at-least-once batch delivery still yields
+    * exactly-once TABLE STATE, the property external side-effect
+    * sinks ([[upsertTotals]]) cannot give. */
+  def manifestUpsert(agg: DataFrame, path: String, key: String) =
+    agg.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.ManifestTable.upsert(batch.sparkSession, batch, path, key)
+      }
+
   /** Minimal upsert client; production = a JDBC/KV connector opened
     * per partition. Must be serializable: it ships to executors. */
   trait UpsertClient extends Serializable {

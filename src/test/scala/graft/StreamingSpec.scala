@@ -436,6 +436,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static dedup drops corpus-known and in-stream duplicate fingerprints") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.md5
+    val in = MemoryStream[Ev](spark)
+    val stream = in.toDF()
+      .withColumn("fp", md5($"eventType".cast("binary")))
+    val corpus = Seq("known").toDF("content")
+      .select(md5($"content".cast("binary")).as("fp"))
+    val q = StreamingOps.dedupVsCorpus(stream, corpus)
+      .writeStream.format("memory").queryName("dvc")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 10, typ = "known"), ev(2, 11, typ = "novel"),
+        ev(3, 12, typ = "novel"), ev(4, 13, typ = "fresh"))
+      q.processAllAvailable()
+      val out = spark.table("dvc").select($"eventId").as[Long].collect().toSet
+      assert(!out.contains(1L), "corpus-known fingerprint must be dropped")
+      assert(out.intersect(Set(2L, 3L)).size === 1,
+        "exactly one of the in-stream duplicates survives")
+      assert(out.contains(4L), "novel fingerprint must pass")
+    } finally q.stop()
+  }
+
+  test("manifest upsert sink: exactly-once table state, idempotent under replay") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mupsert")
+      .toFile.getAbsolutePath + "/table"
+    val in = MemoryStream[Ev](spark)
+    val totals = in.toDF()
+      .groupBy($"eventType")
+      .agg(org.apache.spark.sql.functions.sum($"value").as("total"))
+    val q = StreamingOps.manifestUpsert(totals, dir, "eventType").start()
+    def state() = graft.sources.ManifestTable.read(spark, dir)
+      .as[(String, Double)].collect().toMap
+    try {
+      in.addData(ev(1, 1, v = 2.0), ev(2, 2, v = 3.0))
+      q.processAllAvailable()
+      assert(state() === Map("click" -> 5.0))
+      in.addData(ev(3, 3, v = 10.0), ev(4, 4, typ = "view", v = 1.0))
+      q.processAllAvailable()
+      assert(state() === Map("click" -> 15.0, "view" -> 1.0))
+    } finally q.stop()
+    // at-least-once replay: re-merging the last batch's emission is a
+    // content no-op — table state identical, just a new snapshot
+    graft.sources.ManifestTable.merge(spark, dir,
+      Seq(("click", 15.0), ("view", 1.0)).toDF("eventType", "total"),
+      "eventType")
+    assert(state() === Map("click" -> 15.0, "view" -> 1.0))
+  }
+
   test("streaming pipeline writes a queryable parquet sink with checkpoint") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sink").toFile.getAbsolutePath
