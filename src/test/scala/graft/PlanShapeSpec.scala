@@ -81,6 +81,47 @@ class PlanShapeSpec extends AnyFunSuite {
       s"banded table shuffled more than once:\n$p")
   }
 
+  test("q_bloom_decontam: bloom filter applied BEFORE the exact semi-join") {
+    val p = executed("q_bloom_decontam")
+    assert(p.contains("might_contain"),
+      "the bloom prefilter must appear in the executed plan")
+    val bloomAt = p.indexOf("might_contain")
+    val joinAt = p.indexOf("BroadcastHashJoin")
+    assert(joinAt >= 0 && bloomAt > joinAt,
+      // executedPlan prints top-down: the join consumes the filter, so
+      // the filter must appear BELOW (after) the join node
+      "might_contain must sit under the exact verify join, pruning its input")
+  }
+
+  test("q_salted_agg: two aggregation stages, salt never reaches the scan") {
+    val p = formatted("q_salted_agg")
+    // partial/final for the salted stage AND for the de-salting stage
+    assert(countOf(p, "HashAggregate") >= 3)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_returnflag") &&
+      readSchema.contains("l_extendedprice") && !readSchema.contains("l_orderkey"))
+  }
+
+  test("q_pmi_bigrams: bounded top-k; unigram/bigram scans prune to text only") {
+    val p = executed("q_pmi_bigrams")
+    assert(p.contains("TakeOrderedAndProject"),
+      "PMI ranking must be a bounded top-k, not a global sort")
+    formatted("q_pmi_bigrams").linesIterator
+      .filter(_.contains("ReadSchema")).foreach { s =>
+        assert(!s.contains("doc_id") && !s.contains("source"),
+          "PMI needs only the text column")
+      }
+  }
+
+  test("q_streak: shuffles only on user_id — no time-spine materialization") {
+    val p = executed("q_streak")
+    assert(!p.contains("Generate"), "streaks must not explode a spine")
+    // exactly: distinct on (user_id, h), the user_id window sort, the
+    // final histogram agg — the three per-user aggregations in between
+    // reuse the window's user_id partitioning with NO extra exchange
+    assert(countOf(p, "Exchange") <= 3, s"shuffle count crept up:\n$p")
+  }
+
   test("pair generators keep scans pruned to the columns they use") {
     for (name <- Seq("q_minhash_pairs", "q_simhash_pairs")) {
       val p = formatted(name)
