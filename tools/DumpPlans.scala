@@ -9,7 +9,9 @@ object DumpPlans {
     "q1_pricing_summary", "q5_region_revenue", "q_minhash_pairs",
     "q_ngram_jaccard", "q_knn_brute", "q_topn_custom", "q_asof_join",
     "q_neardup_lsh", "q_scalar_subquery", "q_dup_clusters", "q_asof_physical",
-    "q_range_join", "q_decontaminate", "q_lsh_bucket_stats", "q_simhash_pairs")
+    "q_range_join", "q_decontaminate", "q_lsh_bucket_stats", "q_simhash_pairs",
+    "q_bloom_decontam", "q_salted_agg", "q_pmi_bigrams", "q_streak",
+    "q_jaccard_est", "q_incremental_dedup")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("plans")
@@ -24,8 +26,15 @@ object DumpPlans {
     for (n <- Headline) {
       val df = SparkEntry.queries(n)(spark, d)
       sb.append(s"\n## $n\n\n```\n")
-      sb.append(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      // minhash-family plans inline 16 hash formulas per signature
+      // column and balloon to hundreds of KB — cap each section so the
+      // document stays reviewable; the full plan is always one
+      // explain() away
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val Cap = 20000
+      sb.append(if (plan.length <= Cap) plan
+        else plan.take(Cap) + s"\n… [truncated ${plan.length - Cap} chars]\n")
       sb.append("```\n")
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
