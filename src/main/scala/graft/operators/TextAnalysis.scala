@@ -175,7 +175,11 @@ object TextAnalysis {
     * + a broadcast semi-join — no corpus shuffle at 100 TB. */
   def qDecontaminate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = array_distinct(wordGrams(tokens($"text"), DecontamN))
+    // 60-bit md5-prefix shingle hashes instead of ~30-char strings
+    // (same trick as the Jaccard join): 8-byte explode/broadcast/join
+    // keys, codegen'd in one pass; collision odds ~n²/2⁶¹, immaterial
+    val sh = array_distinct(
+      graft.functions.MinHash.shingleHash60(tokens($"text"), DecontamN))
     val docs = Tables.documents(s, d)
       .select($"doc_id", $"source", sh.as("shs"))
     val isBench = pmod($"doc_id", lit(BenchMod)) === 0
@@ -211,7 +215,8 @@ object TextAnalysis {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.types.BinaryType
-    val sh = array_distinct(wordGrams(tokens($"text"), DecontamN))
+    val sh = array_distinct(
+      graft.functions.MinHash.shingleHash60(tokens($"text"), DecontamN))
     val docs = Tables.documents(s, d)
       .select($"doc_id", $"source", sh.as("shs"))
     val isBench = pmod($"doc_id", lit(BenchMod)) === 0
@@ -280,7 +285,9 @@ object TextAnalysis {
   def qRepetition(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.Det.dsum12
-    val grams = wordGrams(tokens($"text"), 3)
+    // counting distinct 3-grams only needs their 60-bit hashes — the
+    // distinct runs over longs, not 3-word strings
+    val grams = graft.functions.MinHash.shingleHash60(tokens($"text"), 3)
     Tables.documents(s, d)
       .select($"source",
         size(grams).cast("long").as("n_grams"),
