@@ -196,7 +196,44 @@ object Events {
       .agg(count(lit(1)).as("n_users"), sum($"n_streaks").as("sum_streaks"))
   }
 
+  /** LAST-TOUCH ATTRIBUTION — the marketing-analytics staple: each
+    * purchase is credited to the user's most recent PRECEDING
+    * non-purchase event ("touch"), via LAST_VALUE IGNORE NULLS over a
+    * rows-frame ending one row before current (unique (ts, event_id)
+    * ordering, so credit assignment is deterministic). Purchases with
+    * no prior touch land in 'none'. One user_id window + one small agg
+    * — shuffles once on user_id at any scale. */
+  def qAttribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts_us".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .withColumn("touch", last(
+        when($"event_type" =!= "purchase", $"event_type"),
+        ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .groupBy(coalesce($"touch", lit("none")).as("touch"))
+      .agg(count(lit(1)).as("n_purchases"), dsum($"value").as("sum_value"))
+  }
+
+  /** Event-type CO-OCCURRENCE (market-basket shape): for every pair of
+    * event types, how many users did both. The per-user distinct type
+    * set is bounded by the type DOMAIN (not event volume), so the
+    * self-join is co-partitioned on user_id and emits ≤ |domain|²/2
+    * rows per user — linear in users at 100 TB. */
+  def qCooccur(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ut = events(s, d).select($"user_id", $"event_type").distinct()
+    ut.as("a").join(ut.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.event_type" < $"b.event_type")
+      .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> (qAttribution _),
+    "q_cooccur" -> (qCooccur _),
     "q_streak" -> (qStreak _),
     "q_gap_fill" -> (qGapFill _),
     "q_session_window" -> (qSessionWindow _),
@@ -210,6 +247,22 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_attribution" ->
+      s"""WITH t AS (SELECT event_type, value,
+         |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+         |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+         |  FROM events)
+         |SELECT COALESCE(touch, 'none') AS touch, COUNT(*) AS n_purchases,
+         |${sqlSum("value")} AS sum_value
+         |FROM t WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    "q_cooccur" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |COUNT(*) AS n_users
+        |FROM ut a JOIN ut b
+        |ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
     "q_streak" ->
       """WITH hrs AS (SELECT DISTINCT user_id,
         |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h

@@ -537,6 +537,21 @@ object Relational {
         aggregate(map_values($"m"), lit(0L), _ + _).as("n_total"))
   }
 
+  /** Fixed-width VALUE HISTOGRAM of order totals — the profiling
+    * primitive behind data-quality dashboards. Buckets are computed in
+    * integer CENTS (round to cents, then integer-divide by the $25k
+    * bucket width) so boundary assignment is engine-exact — a raw
+    * double divide could land boundary values on either side of the
+    * bucket edge depending on rounding. One map + one tiny agg. */
+  def qHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV 2500000")
+        .as("bucket"), $"o_totalprice")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+  }
+
   /** Skew-safe TWO-STAGE aggregation as a gate-visible query: the
     * group key (l_returnflag, 3 values over the whole fact table) is
     * exactly the extreme-low-cardinality shape where even map-side
@@ -659,6 +674,7 @@ object Relational {
     "q_array_ops" -> (qArrayOps _),
     "q_higher_order" -> (qHigherOrder _),
     "q_map_ops" -> (qMapOps _),
+    "q_histogram" -> (qHistogram _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_moving_avg" -> (qMovingAvg _)
   )
@@ -678,6 +694,10 @@ object Relational {
     "q_salted_agg" ->
       s"""SELECT l_returnflag, ${sqlSum("l_extendedprice")} AS sum_value
          |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_histogram" ->
+      s"""SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 2500000 AS bucket,
+         |COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1""".stripMargin,
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |${sqlSum("l_quantity")} AS sum_qty,
