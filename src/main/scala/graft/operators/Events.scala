@@ -231,7 +231,27 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Running DISTINCT-COUNT window (daily active-user accumulation per
+    * event type). Spark has no COUNT(DISTINCT) OVER — and at scale the
+    * naive per-frame re-count is quadratic anyway. The scalable
+    * decomposition: each user's FIRST day per type (one groupBy), daily
+    * new-user counts, then a running sum over the day spine — the
+    * window slides over days×types rows, never over raw events. */
+  def qWindowDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val firstDay = events(s, d)
+      .groupBy($"event_type", $"user_id")
+      .agg(min(date_trunc("day", $"ts")).as("day"))
+    val w = Window.partitionBy($"event_type").orderBy($"day".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstDay
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n_new_users"))
+      .withColumn("cum_distinct_users", sum($"n_new_users").over(w))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_distinct" -> (qWindowDistinct _),
     "q_attribution" -> (qAttribution _),
     "q_cooccur" -> (qCooccur _),
     "q_streak" -> (qStreak _),
@@ -247,6 +267,15 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_distinct" ->
+      """WITH f AS (SELECT event_type, user_id, MIN(DATE_TRUNC('day', ts)) AS day
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT event_type, day, COUNT(*) AS n_new_users FROM f GROUP BY 1, 2)
+        |SELECT event_type, day, n_new_users,
+        |CAST(SUM(n_new_users) OVER (PARTITION BY event_type ORDER BY day ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS cum_distinct_users
+        |FROM n""".stripMargin,
     "q_attribution" ->
       s"""WITH t AS (SELECT event_type, value,
          |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
