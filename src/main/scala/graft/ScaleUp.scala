@@ -48,15 +48,36 @@ object ScaleUp {
         .parquet(s"$out/$t.parquet")
     }
 
+    // One stride per key DOMAIN, computed from the table that OWNS the
+    // domain (PK side) and reused for every referencing FK column. A
+    // per-column max would mis-link replicas whenever max(FK) <
+    // max(PK) — e.g. TPC-H leaves ~1/3 of customers orderless, so
+    // orders.o_custkey's own max under-strides vs customer.c_custkey.
+    def domainStride(table: String, pk: String): Long =
+      Tables.load(spark, src, table).agg(max(col(pk))).head.getLong(0) + 1L
+    val strideOf: Map[String, Long] = {
+      val cust = domainStride("customer", "c_custkey")
+      val supp = domainStride("supplier", "s_suppkey")
+      val part = domainStride("part", "p_partkey")
+      val ord = domainStride("orders", "o_orderkey")
+      val user = domainStride("events", "user_id")
+      Map(
+        "c_custkey" -> cust, "o_custkey" -> cust,
+        "s_suppkey" -> supp, "l_suppkey" -> supp,
+        "p_partkey" -> part, "l_partkey" -> part,
+        "o_orderkey" -> ord, "l_orderkey" -> ord,
+        "user_id" -> user,
+        "event_id" -> domainStride("events", "event_id"),
+        "doc_id" -> domainStride("documents", "doc_id"),
+        "vec_id" -> domainStride("embeddings", "vec_id"))
+    }
+
     def replicate(name: String, keys: Seq[String],
                   tweak: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
       val base = Tables.load(spark, src, name)
-      val stride = keys.map { k =>
-        k -> (base.agg(max(col(k))).head.getLong(0) + 1L)
-      }.toMap
       (0 until factor).map { i =>
         val shifted = keys.foldLeft(base) { (d, k) =>
-          d.withColumn(k, col(k) + lit(i * stride(k)))
+          d.withColumn(k, col(k) + lit(i * strideOf(k)))
         }
         tweak(shifted, i)
       }.reduce(_ unionByName _)

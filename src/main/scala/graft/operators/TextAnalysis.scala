@@ -211,10 +211,7 @@ object TextAnalysis {
     * centroids) — never data rows. */
   def qBloomDecontam(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graft.Bridge
-    import org.apache.spark.sql.types.BinaryType
     val sh = array_distinct(
       graft.functions.MinHash.shingleHash60(tokens($"text"), DecontamN))
     val docs = Tables.documents(s, d)
@@ -223,14 +220,10 @@ object TextAnalysis {
     val benchShingles = docs.filter(isBench)
       .select(explode($"shs").as("sh")).distinct()
     val bfBytes = benchShingles
-      .agg(Bridge.column(new BloomFilterAggregate(
-          Bridge.eagerExpression(xxhash64($"sh")),
-          Literal(100000L), Literal(1L << 20))
-        .toAggregateExpression()).as("bf"))
+      .agg(Bridge.bloomAggregate(xxhash64($"sh"), 100000L, 1L << 20)
+        .as("bf"))
       .head.getAs[Array[Byte]]("bf")
-    val mightHit = Bridge.column(BloomFilterMightContain(
-      Literal.create(bfBytes, BinaryType),
-      Bridge.eagerExpression(xxhash64(col("sh")))))
+    val mightHit = Bridge.bloomMightContain(bfBytes, xxhash64(col("sh")))
     val flagged = docs.filter(!isBench)
       .select($"doc_id", explode($"shs").as("sh"))
       .filter(mightHit) // bloom prunes clean shingles pre-join

@@ -83,15 +83,40 @@ object ManifestTable {
   /** The commit: write the complete file list then an `#END` line to
     * `_manifest_v{v}` with overwrite = false — creation of that name
     * IS the atomic commit point; a second committer from the same base
-    * version fails here. */
+    * version fails here.
+    *
+    * Only a genuine name collision ([[org.apache.hadoop.fs
+    * .FileAlreadyExistsException]], or a generic IOException when the
+    * target name now exists) maps to [[ConcurrentCommitException]] —
+    * transient IO failures (permissions, quota, network) propagate
+    * as-is rather than masquerading as a lost race. A TORN manifest at
+    * the target name (crashed committer: file exists, no `#END`) is
+    * deleted and the create retried once, so one crash doesn't wedge
+    * every later commit until vacuum. */
   private def commit(fs: FileSystem, root: Path, v: Long,
                      relFiles: Seq[String]): Unit = {
-    val p = new Path(root, s"$Prefix$v")
+    def create() =
+      try fs.create(new Path(root, s"$Prefix$v"), false)
+      catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new ConcurrentCommitException(
+            s"snapshot v$v was committed concurrently: $e")
+        case e: java.io.IOException
+            if fs.exists(new Path(root, s"$Prefix$v")) =>
+          throw new ConcurrentCommitException(
+            s"snapshot v$v was committed concurrently: $e")
+      }
     val out =
-      try fs.create(p, false)
-      catch { case e: java.io.IOException =>
-        throw new ConcurrentCommitException(
-          s"snapshot v$v was committed concurrently: $e")
+      try create()
+      catch { case e: ConcurrentCommitException =>
+        // Complete manifest → real race. Torn → crashed committer's
+        // debris: clear it and retry once (a LIVE concurrent writer is
+        // indistinguishable from a crashed one mid-write, but it will
+        // collide again at close-time visibility or lose the retry —
+        // same assumption vacuum already makes).
+        if (manifestLines(fs, root, v).isDefined) throw e
+        fs.delete(new Path(root, s"$Prefix$v"), false)
+        create()
       }
     try out.write((relFiles :+ End).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -445,7 +445,11 @@ object StreamingOps {
     agg.writeStream
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.sources.ManifestTable.upsert(batch.sparkSession, batch, path, key)
+        // An empty micro-batch (recovery replay, idle source) must not
+        // create a zero-file snapshot v1 that read()/merge() choke on.
+        if (!batch.isEmpty)
+          graft.sources.ManifestTable.upsert(
+            batch.sparkSession, batch, path, key)
       }
 
   /** Minimal upsert client; production = a JDBC/KV connector opened

@@ -34,4 +34,25 @@ object Bridge {
 
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Bloom-filter build aggregate over a hashed (LONG) column; yields
+    * one BINARY cell — the serialized filter. Spark only exposes this
+    * through the scala-udf-free `bloom_filter_agg` internals, so the
+    * catalyst construction lives here, not in operator code. */
+  def bloomAggregate(hashed: Column, expectedItems: Long,
+                     numBits: Long): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+        eagerExpression(hashed),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+
+  /** Codegen'd membership probe against a driver-built serialized
+    * bloom filter (the executor-side half of [[bloomAggregate]]). */
+  def bloomMightContain(filterBytes: Array[Byte], hashed: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        filterBytes, org.apache.spark.sql.types.BinaryType),
+      eagerExpression(hashed)))
 }

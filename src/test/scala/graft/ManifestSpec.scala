@@ -130,6 +130,22 @@ class ManifestSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, dir).count() === 1L)
   }
 
+  test("torn manifest at the next version does not wedge a later merge") {
+    import spark.implicits._
+    val dir = tmp()
+    ManifestTable.create(spark, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), dir)
+    // crashed committer left a torn _manifest_v2 (no #END): a merge
+    // must clear the debris and commit v2 itself, not throw
+    // ConcurrentCommitException forever until vacuum
+    Files.writeString(java.nio.file.Paths.get(s"$dir/_manifest_v2"),
+      "d-dead/part-0.parquet\n")
+    ManifestTable.merge(spark, dir, Seq((1L, 111L)).toDF("id", "v"), "id")
+    val (fs, root) = fsRoot(dir)
+    assert(ManifestTable.version(fs, root) === 2L)
+    assert(ManifestTable.read(spark, dir).as[(Long, Long)].collect().toMap
+      === Map(1L -> 111L, 2L -> 20L))
+  }
+
   test("vacuum drops old snapshots and their unreferenced files") {
     import spark.implicits._
     val dir = tmp()
