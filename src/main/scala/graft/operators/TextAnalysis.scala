@@ -294,7 +294,31 @@ object TextAnalysis {
           .otherwise(0L)).as("n_repetitive"))
   }
 
+  /** PII scrubbing as a GATE-PROVEN operator, not just a lib function:
+    * scrubs every document ([[TextFunctions.scrubPii]] — email, bare
+    * IPv4, long digit runs → placeholder tokens) and aggregates per
+    * source. The `scrub_checksum` column is a bit_xor over a 60-bit
+    * md5 prefix of every SCRUBBED text, so the oracle match proves the
+    * redacted output is bit-exact per document, not merely counted
+    * (xor is order-independent and overflow-free — safe at any
+    * cardinality). Scale shape: pure narrow map (codegen'd
+    * regexp_replace chain, no UDF) + one grouped agg on a
+    * handful-of-sources key — linear at 100 TB, no skew exposure. */
+  def qPiiScrub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scr = Tables.documents(s, d).select($"source",
+      graft.functions.TextFunctions.scrubPii($"text").as("stext"),
+      graft.functions.TextFunctions.piiCount($"text").as("n_pii"))
+    scr.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_pii" > 0, 1L).otherwise(0L)).as("n_docs_with_pii"),
+        sum($"n_pii".cast("long")).as("n_spans"),
+        bit_xor(graft.functions.TextFunctions.md5Prefix60($"stext"))
+          .as("scrub_checksum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_scrub" -> (qPiiScrub _),
     "q_lang_ngram" -> (qLangNgram _),
     "q_token_regex" -> (qTokenRegex _),
     "q_token_count" -> (qTokenCount _),
@@ -333,6 +357,24 @@ object TextAnalysis {
        |GROUP BY d.source""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_pii_scrub" ->
+      """WITH s AS (SELECT source,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '[0-9][0-9 ()+.-]{7,}[0-9]', '<NUMBER>', 'g') AS stext,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' ||
+        |    '|\b([0-9]{1,3}\.){3}[0-9]{1,3}\b' ||
+        |    '|[0-9][0-9 ()+.-]{7,}[0-9]')) AS n_pii
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_with_pii,
+        |  CAST(SUM(n_pii) AS BIGINT) AS n_spans,
+        |  bit_xor(CAST(('0x' || substr(md5(stext),1,15)) AS BIGINT))
+        |    AS scrub_checksum
+        |FROM s GROUP BY source""".stripMargin,
     "q_decontaminate" -> decontamSql,
     "q_bloom_decontam" -> decontamSql,
     "q_pmi_bigrams" ->
