@@ -379,6 +379,61 @@ object StreamingOps {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, Seq(key))
 
+  /** Streaming ANN enrichment — the similarity primitive for a live
+    * ingest pipeline: each query embedding on the stream is enriched
+    * with its top-`k` cosine neighbors from a STATIC corpus, via the
+    * same deterministic signed-projection LSH family as the batch ANN
+    * ([[graft.operators.Similarity]] — identical buckets, so stream
+    * and batch agree bit-for-bit on the same data).
+    *
+    * Plan shape, scale-first: bucket both sides (narrow, codegen'd),
+    * stream–static equi-join on the bucket id (static side re-planned
+    * per micro-batch, broadcast when small; at 100 TB the corpus scan
+    * is bucket-pruned by the join key), then a watermarked
+    * (window × query) aggregation collects the per-bucket candidates
+    * and a projection sorts/slices the top-k. Aggregation state per
+    * query is bounded by bucket occupancy (the LSH width knob), and
+    * the window key lets the watermark evict it — O(active queries),
+    * never O(history). `nProbes` > 0 additionally probes the buckets
+    * at Hamming distance 1 on the low planes (explode on the STREAM
+    * side only — the corpus is never duplicated); a corpus vector
+    * lives in exactly one bucket, so probing never duplicates a
+    * neighbor.
+    *
+    * `queries`: streaming frame `(query_id, ts, embedding)`; returns
+    * `(window_start, query_id, neighbors: array<struct<neighbor_id,
+    * cos>>)` in Append mode once the window closes. Works identically
+    * on a batch frame (watermark is a no-op there) — the property the
+    * spec suite asserts. */
+  def annEnrich(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                nProbes: Int = 0, windowLen: String = "1 hour",
+                watermark: String = "30 minutes"): DataFrame = {
+    import graft.functions.VectorExpressions.cosineFast
+    import graft.operators.Similarity.bucketOf
+    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+      bucketOf(col("embedding")).as("bucket"))
+    val qb = queries
+      .select(col("query_id"), col("ts"), col("embedding").as("qv"))
+      .withWatermark("ts", watermark)
+      .withColumn("qbucket", bucketOf(col("qv")))
+    val probed =
+      if (nProbes <= 0) qb.withColumn("bucket", col("qbucket"))
+      else qb.withColumn("bucket", explode(array(
+        col("qbucket") +: (0 until nProbes).map(p =>
+          col("qbucket").bitwiseXOR(lit(1L << p))): _*)))
+    probed.join(bucketed, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("ts"), col("query_id"),
+        struct((-cosineFast(col("qv"), col("embedding"))).as("neg_cos"),
+          col("vec_id").as("neighbor_id")).as("cand"))
+      .groupBy(window(col("ts"), windowLen), col("query_id"))
+      .agg(collect_list(col("cand")).as("cands"))
+      .select(col("window.start").as("window_start"), col("query_id"),
+        transform(slice(array_sort(col("cands")), 1, k), c =>
+          struct(c.getField("neighbor_id").as("neighbor_id"),
+            round(-c.getField("neg_cos"), 6).as("cos"))).as("neighbors"))
+  }
+
   /** Stream–stream interval join: each purchase matched to the same
     * user's signups in the `withinMinutes` before it. Both sides carry
     * watermarks and the join condition bounds event-time distance, so

@@ -24,6 +24,41 @@ class StreamingSpec extends AnyFunSuite {
     Ev(id, ts(min), user, typ, v)
 
 
+  test("streaming ANN enrichment matches the batch LSH top-k on the same data") {
+    import spark.implicits._
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+    val qData = corpus.filter($"vec_id" < 3).collect().map { r =>
+      (r.getLong(0), ts(10 + r.getLong(0)),
+        r.getSeq[Float](1).toArray)
+    }.toSeq
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbors").collect().map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(n => (n.getLong(0), n.getDouble(1)))
+      }.toMap
+    // batch run of the SAME function is the expected value
+    val expected = canon(StreamingOps.annEnrich(
+      qData.toDF("query_id", "ts", "embedding"), corpus, k = 3, nProbes = 1))
+    assert(expected.size === 3 && expected.values.forall(_.nonEmpty))
+    assert(expected.values.forall(ns =>
+      ns == ns.sortBy(n => (-n._2, n._1))), "neighbors sorted by cos desc")
+    val in = MemoryStream[(Long, Timestamp, Array[Float])](spark)
+    val q = StreamingOps.annEnrich(
+      in.toDF().toDF("query_id", "ts", "embedding"), corpus,
+      k = 3, nProbes = 1)
+      .writeStream.format("memory").queryName("ann")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(qData: _*)
+      q.processAllAvailable()
+      // windows close once the watermark passes: push it with a late row
+      in.addData((999L, ts(10 + 24 * 60), Array.fill(64)(0.0f)))
+      q.processAllAvailable()
+      assert(canon(spark.table("ann").filter($"query_id" < 3)) === expected)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches purchases to in-window signups") {
     import spark.implicits._
     val signups = MemoryStream[Ev](spark)
