@@ -250,7 +250,31 @@ object Events {
       .withColumn("cum_distinct_users", sum($"n_new_users").over(w))
   }
 
+  /** Markov transition matrix over event types: per user, each event's
+    * successor (lead over the unique (ts, event_id) order), then
+    * global (from, to) counts and per-from transition probabilities at
+    * a fixed 1e9 integer scale (BIGINT div — engine-exact, no float
+    * ratio). The behavioral-model primitive behind next-action
+    * prediction features. Scale shape: one shuffle on user_id for the
+    * lead window, then a types²-sized aggregation — the matrix is
+    * domain-bounded, never data-sized. */
+  def qEventTransition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val counts = events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("from_type"))
+      .withColumn("to_type", lead($"from_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"from_type", $"to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy($"from_type").agg(sum($"n").as("tot"))
+    counts.join(totals, Seq("from_type"))
+      .select($"from_type", $"to_type", $"n",
+        expr("n * 1000000000 div tot").as("p_scaled"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_transition" -> (qEventTransition _),
     "q_window_distinct" -> (qWindowDistinct _),
     "q_attribution" -> (qAttribution _),
     "q_cooccur" -> (qCooccur _),
@@ -267,6 +291,17 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_event_transition" ->
+      """WITH seq AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM seq
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+        |  FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, n, n * 1000000000 // tot AS p_scaled
+        |FROM c JOIN t ON c.from_type = t.from_type""".stripMargin,
     "q_window_distinct" ->
       """WITH f AS (SELECT event_type, user_id, MIN(DATE_TRUNC('day', ts)) AS day
         |  FROM events GROUP BY 1, 2),

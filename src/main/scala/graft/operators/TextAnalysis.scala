@@ -317,7 +317,37 @@ object TextAnalysis {
           .as("scrub_checksum"))
   }
 
+  private val TfidfK = 3
+
+  /** Per-document DISTINCTIVE TERMS — the tf-idf family primitive
+    * behind keyword extraction and topic labeling, made engine-exact:
+    * terms are ranked by the integer ratio tf·10⁹ div df (rarity-
+    * weighted term frequency; log-idf would need float log, and BIGINT
+    * division preserves a deterministic total order the oracle can
+    * reproduce bit-for-bit), unique tie-break on the term string. Top
+    * [[TfidfK]] per document. Scale shape: explode → (doc, term) agg
+    * (map-side combined), a vocabulary-sized df agg joined back on
+    * term, and a per-doc top-k window — shuffles on term and doc_id
+    * only, both well-distributed keys. */
+  def qTfidf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"score".desc, $"term".asc)
+    tf.join(df, Seq("term"))
+      .withColumn("score", expr("tf * 1000000000 div df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TfidfK)
+      .select($"doc_id", $"term", $"tf", $"df", $"score", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf" -> (qTfidf _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_lang_ngram" -> (qLangNgram _),
     "q_token_regex" -> (qTokenRegex _),
@@ -357,6 +387,19 @@ object TextAnalysis {
        |GROUP BY d.source""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    tf.tf * 1000000000 // df.df AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * 1000000000 // df.df DESC, tf.term ASC) AS rank
+        |  FROM tf JOIN df ON tf.term = df.term)
+        |SELECT doc_id, term, tf, df, score, rank FROM r
+        |WHERE rank <= 3""".stripMargin,
     "q_pii_scrub" ->
       """WITH s AS (SELECT source,
         |  regexp_replace(regexp_replace(regexp_replace(text,
