@@ -261,14 +261,17 @@ object Events {
   def qEventTransition(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
-    val counts = events(s, d)
+    events(s, d)
       .select($"user_id", $"ts", $"event_id", $"event_type".as("from_type"))
       .withColumn("to_type", lead($"from_type", 1).over(w))
       .filter($"to_type".isNotNull)
       .groupBy($"from_type", $"to_type")
       .agg(count(lit(1)).as("n"))
-    val totals = counts.groupBy($"from_type").agg(sum($"n").as("tot"))
-    counts.join(totals, Seq("from_type"))
+      // per-from total as a partition window over the already-tiny
+      // matrix — NOT a groupBy+self-join, which would re-run the whole
+      // events scan/lead subtree once per join side
+      .withColumn("tot",
+        sum($"n").over(Window.partitionBy($"from_type")))
       .select($"from_type", $"to_type", $"n",
         expr("n * 1000000000 div tot").as("p_scaled"))
   }

@@ -336,10 +336,13 @@ object TextAnalysis {
       .select($"doc_id", explode(tokens($"text")).as("term"))
       .filter($"term" =!= "")
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id")
       .orderBy($"score".desc, $"term".asc)
-    tf.join(df, Seq("term"))
+    tf
+      // document frequency as a partition window over the tf frame —
+      // a groupBy(term)+join would recompute the documents explode+agg
+      // subtree once per join side; this is one shuffle on term instead
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
       .withColumn("score", expr("tf * 1000000000 div df"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= TfidfK)

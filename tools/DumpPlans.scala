@@ -11,7 +11,8 @@ object DumpPlans {
     "q_neardup_lsh", "q_scalar_subquery", "q_dup_clusters", "q_asof_physical",
     "q_range_join", "q_decontaminate", "q_lsh_bucket_stats", "q_simhash_pairs",
     "q_bloom_decontam", "q_salted_agg", "q_pmi_bigrams", "q_streak",
-    "q_jaccard_est", "q_incremental_dedup")
+    "q_jaccard_est", "q_incremental_dedup", "q_pii_scrub", "q_tfidf",
+    "q_event_transition")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("plans")
