@@ -276,7 +276,69 @@ object Events {
         expr("n * 1000000000 div tot").as("p_scaled"))
   }
 
+  /** Behavioral SEQUENCE-PATTERN matching (the MATCH_RECOGNIZE family,
+    * composed from primitives): each user's event history becomes a
+    * compact symbol string — first letter per type, ordered by the
+    * unique (ts, event_id) key via array_sort of structs, never a
+    * bare collect_list (whose order is partition-dependent) — and
+    * regex patterns count matching users in ONE aggregation pass
+    * (stack unpivots the per-pattern counts; a per-pattern agg would
+    * re-run the sequence build N times). Patterns are
+    * RE2-and-Java-identical simple regexes, so the oracle reproduces
+    * them verbatim. Scale shape: one shuffle on user_id; per-user
+    * state is the type-character string, ~events-per-user bytes. */
+  def qSeqPattern(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val patterns = Seq(
+      "signup_then_purchase" -> "s.*p",
+      "view_to_purchase_direct" -> "vp",
+      "error_then_purchase" -> "e.*p",
+      "pure_browser" -> "^[cv]+$")
+    val seqs = events(s, d)
+      .groupBy($"user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"ts_us", $"event_id",
+          substring($"event_type", 1, 1).as("c")))),
+        x => x.getField("c")), "").as("seq"))
+    val cols = patterns.map { case (nm, re) =>
+      sum(when($"seq".rlike(re), 1L).otherwise(0L)).as(nm)
+    }
+    val counted = seqs.agg(cols.head, cols.tail: _*)
+    val stack = patterns.map { case (nm, _) => s"'$nm', $nm" }
+      .mkString(s"stack(${patterns.size}, ", ", ", ") as (pattern, n_users)")
+    counted.select(expr(stack))
+  }
+
+  /** Integer-exact ANOMALY DETECTION: hourly event-count outliers per
+    * type, flagged when |x − μ| > 2σ over that type's hour series —
+    * with the test algebraically cleared of floats: (x·n − S)² >
+    * 4·(n·Q − S²), where S = Σx and Q = Σx² are EXACT decimal window
+    * sums. Spark computes in DECIMAL(38,0); the oracle mirrors in
+    * HUGEINT — different exact integer types, identical booleans, so
+    * the filter boundary can't flap on a rounding ulp (SURVEY §6
+    * rule: integer-exact thresholds at filter boundaries). Scale
+    * shape: one hours×types agg, then partition windows over that
+    * tiny frame. */
+  def qAnomaly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wt = Window.partitionBy($"event_type")
+    events(s, d)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("n", count(lit(1)).over(wt))
+      .withColumn("s", sum($"x").over(wt))
+      .withColumn("q", sum($"x".cast("decimal(18,0)") *
+        $"x".cast("decimal(18,0)")).over(wt))
+      .withColumn("dev", ($"x" * $"n" - $"s").cast("decimal(19,0)"))
+      .filter($"dev" * $"dev" >
+        lit(4) * ($"n".cast("decimal(8,0)") * $"q" -
+          $"s".cast("decimal(19,0)") * $"s".cast("decimal(19,0)")))
+      .select($"event_type", $"hour", $"x", $"n", $"s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seq_pattern" -> (qSeqPattern _),
+    "q_anomaly" -> (qAnomaly _),
     "q_event_transition" -> (qEventTransition _),
     "q_window_distinct" -> (qWindowDistinct _),
     "q_attribution" -> (qAttribution _),
@@ -294,6 +356,36 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_seq_pattern" ->
+      """WITH seq AS (SELECT user_id,
+        |  string_agg(substr(event_type, 1, 1), '' ORDER BY ts ASC,
+        |    event_id ASC) AS s
+        |  FROM events GROUP BY user_id),
+        |f AS (SELECT
+        |  CAST(SUM(CASE WHEN regexp_matches(s, 's.*p') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS a,
+        |  CAST(SUM(CASE WHEN regexp_matches(s, 'vp') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS b,
+        |  CAST(SUM(CASE WHEN regexp_matches(s, 'e.*p') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS c,
+        |  CAST(SUM(CASE WHEN regexp_matches(s, '^[cv]+$') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS d
+        |  FROM seq)
+        |SELECT 'signup_then_purchase' AS pattern, a AS n_users FROM f
+        |UNION ALL SELECT 'view_to_purchase_direct', b FROM f
+        |UNION ALL SELECT 'error_then_purchase', c FROM f
+        |UNION ALL SELECT 'pure_browser', d FROM f""".stripMargin,
+    "q_anomaly" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |  COUNT(*) AS x FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, hour, x,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |  CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+        |  CAST(SUM(x*x) OVER (PARTITION BY event_type) AS HUGEINT) AS q
+        |  FROM h)
+        |SELECT event_type, hour, x, n, s FROM w
+        |WHERE (x*n - s)::HUGEINT * (x*n - s)::HUGEINT >
+        |  4 * (n::HUGEINT * q - s::HUGEINT * s::HUGEINT)""".stripMargin,
     "q_event_transition" ->
       """WITH seq AS (SELECT event_type AS from_type,
         |  lead(event_type) OVER (PARTITION BY user_id
