@@ -33,6 +33,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    [[vacuum]] removes torn manifests; it is a maintenance
   *    operation, not to be run concurrently with an in-flight commit.
   *  - **Time travel**: [[readVersion]] reads any retained snapshot.
+  *  - **Schema evolution**: an upsert may add columns (pre-evolution
+  *    files keep their schema; reads mergeSchema, so old rows surface
+  *    the new column as null) or omit existing ones (null-filled).
+  *    Changing an existing column's type is rejected at read — the
+  *    safe failure.
   *
   * Partition columns are not special here: files are range-clustered
   * by the merge key and pruned via parquet footer stats
@@ -156,13 +161,18 @@ object ManifestTable {
     readVersion(s, path, version(fsOf(s, root), root))
   }
 
-  /** Time travel: snapshot exactly as of version v. */
+  /** Time travel: snapshot exactly as of version v. `mergeSchema`
+    * because snapshots written before a column was added keep their
+    * original file schema — evolution happens at read time (added
+    * columns surface as null on pre-evolution files), exactly the
+    * Delta/Iceberg contract. */
   def readVersion(s: SparkSession, path: String, v: Long): DataFrame = {
     val root = new Path(path)
     val fs = fsOf(s, root)
     val files = manifestLines(fs, root, v).getOrElse(
       throw new IllegalArgumentException(s"$path has no complete snapshot v$v"))
-    s.read.parquet(files.map(f => new Path(root, f).toString): _*)
+    s.read.option("mergeSchema", "true")
+      .parquet(files.map(f => new Path(root, f).toString): _*)
   }
 
   /** Copy-on-write row-level MERGE with an atomic snapshot commit:
@@ -189,12 +199,19 @@ object ManifestTable {
     val absFiles = relFiles.map(f => new Path(root, f))
     val ranges = Sources.fileRangesOf(fs, absFiles, key)
     val touched = Sources.touchedFiles(s, ranges, updates, key)
-    val targetCols = s.read.parquet(absFiles.head.toString).columns
-    val merged =
-      if (touched.isEmpty) updates.select(targetCols.map(updates.col): _*)
+    // Schema EVOLUTION by construction: kept rows and updates are
+    // aligned by name with missing columns null-filled on either side,
+    // so an upsert may add columns (old rows read them as null via the
+    // mergeSchema read) or omit columns the table has. Type changes on
+    // an existing column are NOT supported — parquet mergeSchema
+    // rejects them at read, which is the safe failure.
+    val kept =
+      if (touched.isEmpty)
+        // empty frame in the CURRENT table schema anchors column order
+        s.read.parquet(absFiles.head.toString).limit(0)
       else s.read.parquet(touched: _*)
         .join(updates.select(key).distinct(), Seq(key), "left_anti")
-        .unionByName(updates.select(targetCols.map(updates.col): _*))
+    val merged = kept.unionByName(updates, allowMissingColumns = true)
     val staged = writeDataFiles(s, root,
       merged.coalesce(math.max(touched.size, 1)))
     val touchedRel = touched.map(rel(root, _)).toSet

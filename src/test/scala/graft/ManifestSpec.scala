@@ -146,6 +146,30 @@ class ManifestSpec extends AnyFunSuite {
       === Map(1L -> 111L, 2L -> 20L))
   }
 
+  test("schema evolution: a later upsert adds a column, old rows read null") {
+    import spark.implicits._
+    val dir = tmp()
+    ManifestTable.create(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    // evolve: new column `score` arrives with an update batch
+    ManifestTable.merge(spark, dir,
+      Seq((2L, "b2", 0.5), (3L, "c", 0.9)).toDF("id", "v", "score"), "id")
+    val now = ManifestTable.read(spark, dir)
+      .select($"id", $"v", $"score").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(now === Set((1L, "a", None), (2L, "b2", Some(0.5)),
+      (3L, "c", Some(0.9))))
+    // a later batch may OMIT the evolved column — null-filled, not an error
+    ManifestTable.merge(spark, dir, Seq((4L, "d")).toDF("id", "v"), "id")
+    val v3 = ManifestTable.read(spark, dir)
+    assert(v3.count() === 4 &&
+      v3.filter($"id" === 4L).select($"score").head().isNullAt(0))
+    // pre-evolution snapshot still time-travels with its own schema
+    assert(ManifestTable.readVersion(spark, dir, 1L).columns.toSeq
+      === Seq("id", "v"))
+  }
+
   test("vacuum drops old snapshots and their unreferenced files") {
     import spark.implicits._
     val dir = tmp()
