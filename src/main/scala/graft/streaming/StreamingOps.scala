@@ -379,6 +379,46 @@ object StreamingOps {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, Seq(key))
 
+  /** Windowed value HISTOGRAM over fixed integer buckets — the
+    * bounded-state streaming quantile primitive. State is one count
+    * per (window × bucket): O(active windows × value-range/width),
+    * independent of event volume, and the aggregation is an ordinary
+    * watermarked groupBy (map-side combined, Append-capable once the
+    * window closes). Any percentile is then a ≤-nBuckets scan of the
+    * emitted frame ([[histogramPercentile]]) with error ≤ one bucket
+    * width — the classic fixed-histogram sketch, which unlike a
+    * t-digest is deterministic under any merge order. */
+  def windowedHistogram(events: DataFrame, bucketWidth: Double,
+                        windowLen: String = "1 hour",
+                        watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen),
+        floor(col("value") / lit(bucketWidth)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("bucket"), col("n"))
+
+  /** Per-window percentile estimates from a [[windowedHistogram]]
+    * frame (a batch post-processing step — e.g. in foreachBatch or on
+    * the sink table): the smallest bucket whose cumulative count
+    * reaches p·total. Returns (window_start, lo, hi) — the true
+    * p-quantile lies in [lo, hi) by construction. */
+  def histogramPercentile(hist: DataFrame, p: Double,
+                          bucketWidth: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start")).orderBy(col("bucket").asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+    hist
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .filter(col("cum") >= lit(p) * col("total"))
+      .groupBy(col("window_start")).agg(min(col("bucket")).as("bucket"))
+      .select(col("window_start"),
+        (col("bucket") * bucketWidth).as("lo"),
+        ((col("bucket") + 1) * bucketWidth).as("hi"))
+  }
+
   /** Streaming ANN enrichment — the similarity primitive for a live
     * ingest pipeline: each query embedding on the stream is enriched
     * with its top-`k` cosine neighbors from a STATIC corpus, via the

@@ -59,6 +59,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming histogram brackets the exact quantile with bounded state") {
+    import spark.implicits._
+    val data = (1 to 400).map(i =>
+      ev(i, min = 5 + (i % 50), v = (i % 97) * 0.5)) // values 0..48
+    val in = MemoryStream[Ev](spark)
+    val q = StreamingOps.windowedHistogram(in.toDF(), bucketWidth = 4.0)
+      .writeStream.format("memory").queryName("hist")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      in.addData(ev(9999, min = 24 * 60)) // push watermark, close the window
+      q.processAllAvailable()
+      val hist = spark.table("hist").filter($"window_start" === ts(0))
+      // bounded state: at most ceil(48.5/4)+1 buckets regardless of rows
+      assert(hist.count() <= 14)
+      assert(hist.agg(org.apache.spark.sql.functions.sum($"n"))
+        .head.getLong(0) === 400L)
+      val Array(r) = StreamingOps.histogramPercentile(hist, 0.5, 4.0)
+        .collect()
+      val exact = data.map(_.value).sorted.apply((400 * 0.5).toInt)
+      assert(r.getDouble(1) <= exact && exact < r.getDouble(2),
+        s"p50=$exact not in [${r.getDouble(1)}, ${r.getDouble(2)})")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches purchases to in-window signups") {
     import spark.implicits._
     val signups = MemoryStream[Ev](spark)
