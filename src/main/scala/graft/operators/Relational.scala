@@ -224,6 +224,26 @@ object Relational {
         count(when($"o_orderstatus" === "P", 1)).as("n_pending"))
   }
 
+  /** UNPIVOT/melt — the inverse of [[qPivotStatus]]'s wide shape: a
+    * per-segment metrics row unpivots to (segment, metric, value)
+    * long form. Balance totals ride as exact integer cents (decimal
+    * sum × 100 → BIGINT) so every melted value shares one engine-exact
+    * LONG type — unpivot requires a common value type anyway, and
+    * floats would put a rounding ulp on the gate. */
+  def qUnpivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        countDistinct($"c_nationkey").as("n_nations"),
+        (sum($"c_acctbal".cast("decimal(18,2)")) * 100).cast("long")
+          .as("bal_cents"))
+      .unpivot(Array($"c_mktsegment"),
+        Array($"n_customers", $"n_nations", $"bal_cents"),
+        "metric", "value")
+  }
+
   def qRollup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, d)
@@ -648,6 +668,7 @@ object Relational {
     "q_window_range" -> (qWindowRange _),
     "q_first_last" -> (qFirstLast _),
     "q_pivot_status" -> (qPivotStatus _),
+    "q_unpivot" -> (qUnpivot _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -801,6 +822,16 @@ object Relational {
         |WINDOW w AS (PARTITION BY c_nationkey
         |  ORDER BY c_acctbal ASC, c_custkey ASC
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q_unpivot" ->
+      """WITH w AS (SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  COUNT(DISTINCT c_nationkey) AS n_nations,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS bal_cents
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, 'n_customers' AS metric,
+        |  n_customers AS value FROM w
+        |UNION ALL SELECT c_mktsegment, 'n_nations', n_nations FROM w
+        |UNION ALL SELECT c_mktsegment, 'bal_cents', bal_cents FROM w""".stripMargin,
     "q_pivot_status" ->
       """SELECT o_orderpriority,
         |COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
