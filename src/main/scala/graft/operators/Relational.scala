@@ -244,6 +244,25 @@ object Relational {
         "metric", "value")
   }
 
+  /** SKYLINE (Pareto frontier): parts no other part dominates on
+    * (cheaper price, larger size) — the multi-objective shortlist
+    * operator. One ordered pass, no pairwise join: sorted by (price,
+    * partkey), a part is on the frontier iff its size strictly beats
+    * the running max of everything cheaper. The global-order window
+    * runs on a DIMENSION-sized table; at 100 TB fact scale the same
+    * shape composes as per-partition local skylines (this filter per
+    * partition) whose union — orders of magnitude smaller — takes one
+    * final pass, since skyline(S) = skyline(∪ skyline(Sᵢ)). */
+  def qSkyline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"p_retailprice".asc, $"p_partkey".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.part(s, d)
+      .withColumn("best_prev", max($"p_size").over(w))
+      .filter($"best_prev".isNull || $"p_size" > $"best_prev")
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+  }
+
   def qRollup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, d)
@@ -669,6 +688,7 @@ object Relational {
     "q_first_last" -> (qFirstLast _),
     "q_pivot_status" -> (qPivotStatus _),
     "q_unpivot" -> (qUnpivot _),
+    "q_skyline" -> (qSkyline _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -822,6 +842,13 @@ object Relational {
         |WINDOW w AS (PARTITION BY c_nationkey
         |  ORDER BY c_acctbal ASC, c_custkey ASC
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q_skyline" ->
+      """WITH s AS (SELECT p_partkey, p_retailprice, p_size,
+        |  MAX(p_size) OVER (ORDER BY p_retailprice ASC, p_partkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+        |  FROM part)
+        |SELECT p_partkey, p_retailprice, p_size FROM s
+        |WHERE best_prev IS NULL OR p_size > best_prev""".stripMargin,
     "q_unpivot" ->
       """WITH w AS (SELECT c_mktsegment, COUNT(*) AS n_customers,
         |  COUNT(DISTINCT c_nationkey) AS n_nations,
