@@ -668,7 +668,24 @@ object Relational {
         round(cume_dist().over(w), 6).as("cd"))
   }
 
+  /** NTILE decile banding per segment (the remaining rank-family
+    * window verb): unique (bal, custkey) order so band edges are
+    * deterministic, then per-decile counts and exact integer-cent
+    * balance totals. */
+  def qNtile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".asc, $"c_custkey".asc)
+    Tables.customer(s, d)
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy($"c_mktsegment", $"decile")
+      .agg(count(lit(1)).as("n"),
+        (sum($"c_acctbal".cast("decimal(18,2)")) * 100).cast("long")
+          .as("bal_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ntile" -> (qNtile _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_unshipped" -> (q3TopUnshipped _),
     "q5_region_revenue" -> (q5RegionRevenue _),
@@ -721,6 +738,16 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ntile" ->
+      """WITH t AS (SELECT c_mktsegment, c_acctbal,
+        |  ntile(10) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+        |  FROM customer)
+        |SELECT c_mktsegment, CAST(decile AS BIGINT) AS decile,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS bal_cents
+        |FROM t GROUP BY c_mktsegment, decile""".stripMargin,
     "q_map_ops" ->
       """SELECT o_orderpriority,
         |CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
