@@ -12,7 +12,8 @@ object DumpPlans {
     "q_range_join", "q_decontaminate", "q_lsh_bucket_stats", "q_simhash_pairs",
     "q_bloom_decontam", "q_salted_agg", "q_pmi_bigrams", "q_streak",
     "q_jaccard_est", "q_incremental_dedup", "q_pii_scrub", "q_tfidf",
-    "q_event_transition")
+    "q_event_transition", "q_seq_pattern", "q_anomaly", "q_unpivot",
+    "q_skyline", "q_ntile")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("plans")
