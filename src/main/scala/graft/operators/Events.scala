@@ -336,7 +336,28 @@ object Events {
       .select($"event_type", $"hour", $"x", $"n", $"s")
   }
 
+  /** Rolling 7-day active users per day (the WAU verb) WITHOUT a
+    * sliding distinct-count window: dedupe to (day, user) once, then
+    * each active day COVERS the 7 report days it contributes to
+    * (explode of a constant 0–6 offset range) and a plain
+    * count-distinct per cover day finishes it. The explode is ×7 on
+    * the already-day-deduped frame — days×users rows, never raw
+    * events — and the final distinct shuffles on the report day.
+    * Report days trail 6 days past the last activity by construction
+    * (the window extends; oracle mirrors). */
+  def qRollingActive(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .select(date_trunc("day", $"ts").cast("date").as("d0"), $"user_id")
+      .distinct()
+      .select(explode(sequence(lit(0), lit(6))).as("off"), $"d0", $"user_id")
+      .select(date_add($"d0", $"off").as("day"), $"user_id")
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("wau"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_active" -> (qRollingActive _),
     "q_seq_pattern" -> (qSeqPattern _),
     "q_anomaly" -> (qAnomaly _),
     "q_event_transition" -> (qEventTransition _),
@@ -356,6 +377,14 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rolling_active" ->
+      """WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+        |    AS d0, user_id
+        |  FROM events),
+        |cov AS (SELECT d0 + CAST(x AS INTEGER) AS day, user_id
+        |  FROM du CROSS JOIN generate_series(0, 6) AS t(x))
+        |SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        |FROM cov GROUP BY day""".stripMargin,
     "q_seq_pattern" ->
       """WITH seq AS (SELECT user_id,
         |  string_agg(substr(event_type, 1, 1), '' ORDER BY ts ASC,
