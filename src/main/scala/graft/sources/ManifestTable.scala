@@ -175,6 +175,41 @@ object ManifestTable {
       .parquet(files.map(f => new Path(root, f).toString): _*)
   }
 
+  /** Pruned snapshot read: plans ONLY the data files whose parquet
+    * footer [min,max] range of `key` intersects the inclusive
+    * [lower, upper] bound, then applies the same bound as a row filter
+    * (a kept file may still hold out-of-range rows). This is the
+    * read-side twin of merge's [[Sources.touchedFiles]] pruning: files
+    * are range-clustered by the merge key, so a key-range read touches
+    * O(matching) files instead of the whole snapshot — the moral
+    * equivalent of partition pruning, without directory partitions.
+    * `null` bounds are open-ended. Files without footer stats for
+    * `key` are conservatively read. At 100 TB this is the difference
+    * between a point-lookup reading one file and reading the table;
+    * the footer harvest is manifest-sized driver work, amortizable
+    * into the manifest itself. */
+  def readWhere(s: SparkSession, path: String, key: String,
+                lower: Any, upper: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = new Path(path)
+    val fs = fsOf(s, root)
+    val v = version(fs, root)
+    val files = manifestLines(fs, root, v).getOrElse(
+      throw new IllegalArgumentException(s"$path has no complete snapshot v$v"))
+    val abs = files.map(f => new Path(root, f))
+    val ranges = Sources.fileRangesOf(fs, abs, key)
+    val kept = Sources.filesInRange(ranges, lower, upper)
+    val df =
+      if (kept.isEmpty)
+        // schema anchor: empty frame in the table schema
+        s.read.option("mergeSchema", "true")
+          .parquet(abs.head.toString).limit(0)
+      else s.read.option("mergeSchema", "true").parquet(kept: _*)
+    val lo = Option(lower).map(l => col(key) >= lit(l))
+    val hi = Option(upper).map(h => col(key) <= lit(h))
+    (lo.toSeq ++ hi.toSeq).reduceOption(_ && _).map(df.filter).getOrElse(df)
+  }
+
   /** Copy-on-write row-level MERGE with an atomic snapshot commit:
     * rewrites only the files whose footer key range contains an update
     * key, writes the merged replacements as NEW files, and commits

@@ -421,6 +421,22 @@ object Sources {
     (hit ++ statless).distinct
   }
 
+  /** Files whose footer [min,max] key range INTERSECTS the inclusive
+    * [lower, upper] bound — the read-side pruning primitive (driver-side
+    * filter over already-harvested ranges; no IO). Files without stats
+    * are conservatively kept. `null` bounds are open (−∞ / +∞). */
+  private[sources] def filesInRange(ranges: Seq[(String, Option[(Any, Any)])],
+                                    lower: Any, upper: Any): Seq[String] = {
+    val lo = Option(lower).map(statKeyOrd)
+    val hi = Option(upper).map(statKeyOrd)
+    ranges.collect {
+      case (f, None) => f
+      case (f, Some((mn, mx)))
+          if lo.forall(l => statOrdering.gteq(statKeyOrd(mx), l)) &&
+             hi.forall(h => statOrdering.lteq(statKeyOrd(mn), h)) => f
+    }
+  }
+
   /** Move every data file under `dir` to the same relative location
     * under `destRoot` (staged part- names are unique, so no clash). */
   private def moveDataFiles(fs: org.apache.hadoop.fs.FileSystem,

@@ -192,4 +192,33 @@ class ManifestSpec extends AnyFunSuite {
       .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
     assert(onDisk === referenced)
   }
+
+  test("readWhere prunes files by footer key range and still filters rows") {
+    import spark.implicits._
+    val dir = tmp()
+    // 4 range-clustered files: ids 1–1000 split into disjoint ranges
+    ManifestTable.create(spark,
+      (1L to 1000L).map(i => (i, i * 10)).toDF("id", "v")
+        .repartitionByRange(4, $"id"), dir)
+    val total = ManifestTable.read(spark, dir).inputFiles.length
+    assert(total === 4)
+    // a narrow key range plans a strict subset of the snapshot's files…
+    val pruned = ManifestTable.readWhere(spark, dir, "id", 10L, 20L)
+    assert(pruned.inputFiles.length < total)
+    // …and the result equals the unpruned filter exactly
+    assert(pruned.as[(Long, Long)].collect().toSet ===
+      (10L to 20L).map(i => (i, i * 10)).toSet)
+    // open-ended bounds work; a miss range reads nothing but keeps schema
+    assert(ManifestTable.readWhere(spark, dir, "id", 990L, null)
+      .count() === 11L)
+    val miss = ManifestTable.readWhere(spark, dir, "id", 5000L, 6000L)
+    assert(miss.inputFiles.length <= 1 && miss.count() === 0L &&
+      miss.columns.toSeq === Seq("id", "v"))
+    // pruning survives a merge (new files get footer stats too)
+    ManifestTable.merge(spark, dir, Seq((15L, 999L)).toDF("id", "v"), "id")
+    val after = ManifestTable.readWhere(spark, dir, "id", 10L, 20L)
+    assert(after.inputFiles.length <
+      ManifestTable.read(spark, dir).inputFiles.length)
+    assert(after.filter($"id" === 15L).select($"v").as[Long].head() === 999L)
+  }
 }
