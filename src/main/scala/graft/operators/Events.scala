@@ -356,7 +356,51 @@ object Events {
       .agg(countDistinct($"user_id").as("wau"))
   }
 
+  /** CONCENTRATION INDEX (Herfindahl–Hirschman) of user activity per
+    * event type: Σ share_u² over users, at integer 1e9 scale —
+    * hhi_1e9 = Σc_u² · 10⁹ div (Σc_u)², computed entirely in
+    * DECIMAL(38,0) (oracle mirrors in HUGEINT; different exact types,
+    * identical quotients — SURVEY §6). 10⁹·Σc² ≤ 10⁹·N² stays under
+    * 10³⁸ up to N = 10¹⁴ events per type, so the headroom outlives any
+    * realistic corpus. Scale shape: two map-side-combinable aggs
+    * ((type,user) then type) — no window, no join. */
+  def qConcentration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum($"c").as("n_events"),
+        sum($"c".cast("decimal(19,0)") * $"c".cast("decimal(19,0)")).as("sq"))
+      .select($"event_type", $"n_users", $"n_events",
+        expr("""sq * CAST(1000000000 AS DECIMAL(19,0)) div
+                (CAST(n_events AS DECIMAL(19,0)) *
+                 CAST(n_events AS DECIMAL(19,0)))""").as("hhi_1e9"))
+  }
+
+  /** ARG-MAX per group via struct ordering: the full row (who/when) of
+    * each type's maximum-value event in ONE aggregate —
+    * max(struct(value, ts, event_id, user_id)) compares field-by-field,
+    * so the tie-break (latest ts, then highest event_id) is part of the
+    * aggregate itself, not a second pass. No window, no self-join; the
+    * oracle mirrors with a row_number pick whose ORDER BY is the same
+    * field sequence DESC. Raw doubles only COMPARE here (never
+    * arithmetic), so cross-engine determinism holds. */
+  def qArgmax(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy($"event_type")
+      .agg(max(struct($"value", $"ts", $"event_id", $"user_id")).as("m"))
+      .select($"event_type", $"m.value".as("max_value"),
+        $"m.ts".as("at_ts"), $"m.event_id".as("event_id"),
+        $"m.user_id".as("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_concentration" -> (qConcentration _),
+    "q_argmax" -> (qArgmax _),
     "q_rolling_active" -> (qRollingActive _),
     "q_seq_pattern" -> (qSeqPattern _),
     "q_anomaly" -> (qAnomaly _),
@@ -377,6 +421,24 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_concentration" ->
+      """WITH c AS (SELECT event_type, user_id, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, COUNT(*) AS n_users,
+        |  CAST(SUM(c) AS BIGINT) AS n_events,
+        |  CAST(SUM(c::HUGEINT * c::HUGEINT) AS HUGEINT) AS sq
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, n_users, n_events,
+        |CAST(sq * 1000000000 // (n_events::HUGEINT * n_events::HUGEINT)
+        |  AS BIGINT) AS hhi_1e9
+        |FROM g""".stripMargin,
+    "q_argmax" ->
+      """WITH r AS (SELECT event_type, value, ts, event_id, user_id,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY value DESC, ts DESC, event_id DESC, user_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_type, value AS max_value, ts AS at_ts, event_id, user_id
+        |FROM r WHERE rn = 1""".stripMargin,
     "q_rolling_active" ->
       """WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
         |    AS d0, user_id

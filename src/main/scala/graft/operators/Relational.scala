@@ -684,7 +684,60 @@ object Relational {
           .as("bal_cents"))
   }
 
+  /** INTERVAL-CONCURRENCY SWEEP: how many orders are "open" each day,
+    * where an order stays open 30 days from o_orderdate. The classic
+    * sweep-line: +1 at the open day, −1 at the close day, running sum
+    * over days. Scale shape: the ±1 deltas are AGGREGATED PER DAY first
+    * (a plain shuffle agg over the fact table — map-side combinable),
+    * so the ordered running-sum window runs over the bounded CALENDAR
+    * domain (a few thousand rows regardless of fact size), never over
+    * raw orders. The single-partition window is on a frame whose size
+    * is set by the calendar, not the data — the one case where a
+    * global window is scale-safe by construction. */
+  def qOpenInterval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+      .select(date_trunc("day", $"o_orderdate").cast("date").as("d0"))
+    val deltas = o.select($"d0".as("day"), lit(1L).as("delta"))
+      .unionAll(o.select(date_add($"d0", 30).as("day"), lit(-1L).as("delta")))
+      .groupBy($"day").agg(sum($"delta").as("delta"))
+    val w = Window.orderBy($"day".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.select($"day", $"delta", sum($"delta").over(w).as("n_open"))
+  }
+
+  /** Exact WEIGHTED MEDIAN per segment: the account balance (in
+    * integer cents) at which half the segment's ORDER VOLUME sits on
+    * either side — weight = the customer's order count. Histogram
+    * form, not row form: weights are pre-aggregated per distinct
+    * (segment, cents) value, so the cumulative window runs over the
+    * value-histogram (distinct cents per segment), orders of magnitude
+    * smaller than the customer table, and the median is the smallest
+    * value whose cumulative weight reaches half the total. Everything
+    * is integer (cents, counts) — no float at the pick boundary. */
+  def qWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wgt = Tables.orders(s, d)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("w"))
+    val hist = Tables.customer(s, d)
+      .select($"c_custkey", $"c_mktsegment",
+        ($"c_acctbal".cast("decimal(18,2)") * 100).cast("long").as("bal_cents"))
+      .join(wgt, $"c_custkey" === $"o_custkey")
+      .groupBy($"c_mktsegment", $"bal_cents").agg(sum($"w").as("w"))
+    val cumW = Window.partitionBy($"c_mktsegment").orderBy($"bal_cents".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy($"c_mktsegment")
+    hist
+      .withColumn("cum", sum($"w").over(cumW))
+      .withColumn("tot", sum($"w").over(totW))
+      .filter($"cum" * 2 >= $"tot")
+      .groupBy($"c_mktsegment")
+      .agg(min($"bal_cents").as("median_cents"), max($"tot").as("total_w"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_open_interval" -> (qOpenInterval _),
+    "q_weighted_median" -> (qWeightedMedian _),
     "q_ntile" -> (qNtile _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_unshipped" -> (q3TopUnshipped _),
@@ -738,6 +791,35 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_open_interval" ->
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+        |    1 AS delta FROM orders
+        |  UNION ALL
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) + 30,
+        |    -1 FROM orders),
+        |g AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS delta
+        |  FROM d GROUP BY 1)
+        |SELECT day, delta,
+        |CAST(SUM(delta) OVER (ORDER BY day ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS n_open
+        |FROM g""".stripMargin,
+    "q_weighted_median" ->
+      """WITH w AS (SELECT o_custkey, COUNT(*) AS w FROM orders GROUP BY 1),
+        |h AS (SELECT c_mktsegment,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents,
+        |  CAST(SUM(w.w) AS BIGINT) AS w
+        |  FROM customer JOIN w ON c_custkey = o_custkey
+        |  GROUP BY 1, 2),
+        |c AS (SELECT c_mktsegment, bal_cents,
+        |  CAST(SUM(w) OVER (PARTITION BY c_mktsegment ORDER BY bal_cents ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(SUM(w) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS tot
+        |  FROM h)
+        |SELECT c_mktsegment, MIN(bal_cents) AS median_cents,
+        |  MAX(tot) AS total_w
+        |FROM c WHERE cum * 2 >= tot GROUP BY 1""".stripMargin,
     "q_ntile" ->
       """WITH t AS (SELECT c_mktsegment, c_acctbal,
         |  ntile(10) OVER (PARTITION BY c_mktsegment

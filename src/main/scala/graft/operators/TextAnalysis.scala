@@ -349,7 +349,29 @@ object TextAnalysis {
       .select($"doc_id", $"term", $"tf", $"df", $"score", $"rank")
   }
 
+  /** EXTRACT-ALL census: every ≥5-letter lowercase token pulled out of
+    * each document with regexp_extract_all (the multi-match extraction
+    * verb — one row per MATCH after the explode, vs [[qTokenRegex]]'s
+    * per-document match COUNT), then a per-source profile: matches,
+    * distinct vocabulary, docs hit, total matched characters. ASCII
+    * class only, so char-vs-byte length semantics can't diverge across
+    * engines. Scale shape: explode then shuffle-agg on source —
+    * map-side combinable, no window, no join. */
+  def qRegexExtractAll(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"source", $"doc_id",
+        explode(regexp_extract_all($"text", lit("[a-z]{5,}"), lit(0))).as("w"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_hits"),
+        countDistinct($"w").as("n_distinct"),
+        countDistinct($"doc_id").as("n_docs_with_hit"),
+        sum(length($"w")).as("sum_len"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_regex_extract_all" -> (qRegexExtractAll _),
     "q_tfidf" -> (qTfidf _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_lang_ngram" -> (qLangNgram _),
@@ -390,6 +412,15 @@ object TextAnalysis {
        |GROUP BY d.source""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_regex_extract_all" ->
+      """WITH h AS (SELECT source, doc_id,
+        |  unnest(regexp_extract_all(text, '[a-z]{5,}')) AS w
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_hits,
+        |COUNT(DISTINCT w) AS n_distinct,
+        |COUNT(DISTINCT doc_id) AS n_docs_with_hit,
+        |CAST(SUM(length(w)) AS BIGINT) AS sum_len
+        |FROM h GROUP BY 1""".stripMargin,
     "q_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |  FROM documents),
