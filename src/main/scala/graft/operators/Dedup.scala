@@ -360,6 +360,9 @@ object Dedup {
       .localCheckpoint()
     val nodes = edges.select($"u".as("id"))
       .union(edges.select($"v".as("id"))).distinct()
+    // carried across rounds: |edges| is last round's |small|, so each
+    // round pays ONE count action (on the just-checkpointed set), not two
+    var edgeCount = edges.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -382,9 +385,14 @@ object Dedup {
         .filter($"u" =!= $"v").distinct()
         .localCheckpoint()
       // fixpoint = edge set unchanged. Both sides are distinct sets, so
-      // equal counts + one-sided emptiness (small ⊆ edges) is an EXACT
+      // equal counts + one-sided containment (small ⊆ edges) is an EXACT
       // set-equality check at half the cost of a symmetric difference.
-      converged = small.count() == edges.count() && small.except(edges).isEmpty
+      // left_anti (not except) skips re-distincting two already-distinct
+      // checkpointed sets; the carried edgeCount makes the count half free.
+      val smallCount = small.count()
+      converged = smallCount == edgeCount &&
+        small.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edgeCount = smallCount
       edges = small
       i += 1
     }
