@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.operators.{AsofJoin, Curate, Dedup, Events, RangeJoin, Relational, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Curate, Dedup, Events, Pack, RangeJoin, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -15,12 +15,12 @@ object SparkEntry {
     Relational.queries ++ Events.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
       AsofJoin.queries ++ RangeJoin.queries ++ Sampling.queries ++
-      Curate.queries
+      Curate.queries ++ Pack.queries
 
   /** DuckDB-equivalent SQL for each oracle-checkable query. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Events.oracle ++ Dedup.oracle ++
       TextAnalysis.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
       AsofJoin.oracle ++ RangeJoin.oracle ++ Sampling.oracle ++
-      Curate.oracle
+      Curate.oracle ++ Pack.oracle
 }

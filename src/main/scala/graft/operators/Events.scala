@@ -171,6 +171,51 @@ object Events {
         when($"n".isNull, 1L).otherwise(0L).as("is_gap"))
   }
 
+  /** Deterministic sparse slice for [[qInterpolate]]: thin the event
+    * log so the daily spine actually has holes to interpolate. */
+  private val InterpMod = 97
+
+  /** LINEAR INTERPOLATION over calendar gaps — the time-series repair
+    * step downstream dashboards and anomaly baselines need: days with
+    * no observations get the linear blend of their nearest present
+    * neighbors. All arithmetic is integer-exact: daily sums are
+    * decimal-exact micro-units (×10⁶ BIGINT), and the blend is the
+    * cross-weighted form (pv·(nd−d) + nv·(d−pd)) div (nd−pd) — a
+    * non-negative BIGINT numerator, so trunc-vs-floor division can't
+    * diverge between engines. Scale shape: one shuffle agg over the
+    * fact table, then IGNORE-NULLS windows on the CALENDAR×type spine
+    * (domain-bounded, like [[qGapFill]]) — fact volume never enters
+    * the window. */
+  def qInterpolate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, d)
+      .filter($"user_id" % InterpMod === 0)
+      .groupBy($"event_type",
+        date_trunc("day", $"ts").cast("date").as("day"))
+      .agg((sum($"value".cast(Dec)) * 1000000).cast("long").as("v_e6"))
+    val spine = daily.groupBy($"event_type")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"event_type",
+        explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+    val before = Window.partitionBy($"event_type").orderBy($"day".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val after = Window.partitionBy($"event_type").orderBy($"day".asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", $"v_e6",
+        last($"v_e6", ignoreNulls = true).over(before).as("pv"),
+        last(when($"v_e6".isNotNull, $"day"), ignoreNulls = true)
+          .over(before).as("pd"),
+        first($"v_e6", ignoreNulls = true).over(after).as("nv"),
+        first(when($"v_e6".isNotNull, $"day"), ignoreNulls = true)
+          .over(after).as("nd"))
+      .select($"event_type", $"day",
+        coalesce($"v_e6",
+          expr("(pv * datediff(nd, day) + nv * datediff(day, pd))" +
+            " div datediff(nd, pd)")).as("filled_e6"),
+        when($"v_e6".isNull, 1L).otherwise(0L).as("is_interp"))
+  }
+
   /** GAPS-AND-ISLANDS — activity-streak mining: per user, runs of
     * CONSECUTIVE active hours via the classic hour − row_number()
     * island key (constant within a run, distinct across runs), then a
@@ -410,6 +455,7 @@ object Events {
     "q_cooccur" -> (qCooccur _),
     "q_streak" -> (qStreak _),
     "q_gap_fill" -> (qGapFill _),
+    "q_interpolate" -> (qInterpolate _),
     "q_session_window" -> (qSessionWindow _),
     "q_tumbling_hourly" -> (qTumblingHourly _),
     "q_sessionize" -> (qSessionize _),
@@ -526,6 +572,39 @@ object Events {
         |SELECT longest_streak, COUNT(*) AS n_users,
         |CAST(SUM(n_streaks) AS BIGINT) AS sum_streaks
         |FROM pu GROUP BY 1""".stripMargin,
+    "q_interpolate" ->
+      s"""WITH daily AS (SELECT event_type,
+         |  CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS v_e6
+         |  FROM events WHERE user_id % $InterpMod = 0 GROUP BY 1, 2),
+         |b AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+         |  FROM daily GROUP BY 1),
+         |spine AS (SELECT event_type,
+         |  CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+         |    AS day FROM b),
+         |j AS (SELECT sp.event_type, sp.day, d.v_e6,
+         |  LAST_VALUE(d.v_e6 IGNORE NULLS) OVER (
+         |    PARTITION BY sp.event_type ORDER BY sp.day ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         |  LAST_VALUE(CASE WHEN d.v_e6 IS NOT NULL THEN sp.day END
+         |    IGNORE NULLS) OVER (
+         |    PARTITION BY sp.event_type ORDER BY sp.day ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+         |  FIRST_VALUE(d.v_e6 IGNORE NULLS) OVER (
+         |    PARTITION BY sp.event_type ORDER BY sp.day ASC
+         |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+         |  FIRST_VALUE(CASE WHEN d.v_e6 IS NOT NULL THEN sp.day END
+         |    IGNORE NULLS) OVER (
+         |    PARTITION BY sp.event_type ORDER BY sp.day ASC
+         |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+         |  FROM spine sp LEFT JOIN daily d
+         |  ON d.event_type = sp.event_type AND d.day = sp.day)
+         |SELECT event_type, day,
+         |COALESCE(v_e6, (pv * (nd - day) + nv * (day - pd)) // (nd - pd))
+         |  AS filled_e6,
+         |CASE WHEN v_e6 IS NULL THEN CAST(1 AS BIGINT)
+         |  ELSE CAST(0 AS BIGINT) END AS is_interp
+         |FROM j""".stripMargin,
     "q_gap_fill" ->
       s"""WITH h AS (SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
          |  COUNT(*) AS n, ${sqlSum("value")} AS sum_value

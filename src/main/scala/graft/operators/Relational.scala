@@ -735,7 +735,31 @@ object Relational {
       .agg(min($"bal_cents").as("median_cents"), max($"tot").as("total_w"))
   }
 
+  /** Explicit CROSS JOIN surface — the dense-grid pattern: every
+    * (region × order status) cell, INCLUDING empty ones, so downstream
+    * pivots/charts see a complete matrix. The cross join multiplies
+    * two tiny domains (never fact×fact); the fact table arrives
+    * pre-aggregated to the same grain, left-joined onto the grid.
+    * Scale shape: fact side is one shuffle agg; the grid is
+    * dims-only and broadcasts. */
+  def qCrossJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grid = Tables.region(s, d).select($"r_regionkey", $"r_name")
+      .crossJoin(Tables.orders(s, d).select($"o_orderstatus").distinct())
+    val counts = Tables.orders(s, d)
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(Tables.nation(s, d), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_regionkey", $"o_orderstatus".as("st"))
+      .agg(count(lit(1)).as("n_orders"))
+    grid.join(counts,
+        $"r_regionkey" === $"n_regionkey" && $"o_orderstatus" === $"st",
+        "left")
+      .select($"r_name", $"o_orderstatus",
+        coalesce($"n_orders", lit(0L)).as("n_orders"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cross_join" -> (qCrossJoin _),
     "q_open_interval" -> (qOpenInterval _),
     "q_weighted_median" -> (qWeightedMedian _),
     "q_ntile" -> (qNtile _),
@@ -791,6 +815,19 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cross_join" ->
+      """WITH grid AS (SELECT r_regionkey, r_name, st
+        |  FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus AS st
+        |    FROM orders)),
+        |c AS (SELECT n_regionkey, o_orderstatus AS st, COUNT(*) AS n
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT g.r_name, g.st AS o_orderstatus,
+        |COALESCE(c.n, 0) AS n_orders
+        |FROM grid g LEFT JOIN c
+        |ON g.r_regionkey = c.n_regionkey AND g.st = c.st""".stripMargin,
     "q_open_interval" ->
       """WITH d AS (
         |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,

@@ -29,7 +29,8 @@ class EngineSpec extends AnyFunSuite {
     import graft.operators._
     val modules = Seq(Relational.queries, Events.queries, Dedup.queries,
       TextAnalysis.queries, Similarity.queries, Multimodal.queries,
-      AsofJoin.queries, RangeJoin.queries, Sampling.queries, Curate.queries)
+      AsofJoin.queries, RangeJoin.queries, Sampling.queries, Curate.queries,
+      Pack.queries)
     // ++ silently overwrites duplicates; the merged size must equal the sum
     assert(modules.map(_.size).sum === SparkEntry.queries.size,
       "two modules declare the same query name")
