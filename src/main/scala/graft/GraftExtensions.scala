@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.RangeStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),

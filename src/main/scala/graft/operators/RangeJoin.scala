@@ -38,31 +38,58 @@ object RangeJoin {
     * join is pure range containment). */
   def qRangeJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ev = Events.events(s, d).select($"event_id", $"user_id", $"ts_us")
-    val windows = ev.filter($"user_id" < 10)
-      .groupBy($"user_id".as("w_user"))
-      .agg(min($"ts_us").as("w_start"))
-      .withColumn("w_end", $"w_start" + 3600L * 1000000)
-      .select($"w_user", $"w_start", $"w_end")
+    val (ev, windows) = activeWindows(s, d)
     byBucket(ev, windows, "ts_us", "w_start", "w_end", 3600L * 1000000)
       .groupBy($"w_user")
       .agg(count(lit(1)).as("n_events_in_window"),
         countDistinct($"user_id").as("n_users_in_window"))
   }
 
+  private def activeWindows(s: SparkSession, d: String) = {
+    import s.implicits._
+    val ev = Events.events(s, d).select($"event_id", $"user_id", $"ts_us")
+    val windows = ev.filter($"user_id" < 10)
+      .groupBy($"user_id".as("w_user"))
+      .agg(min($"ts_us").as("w_start"))
+      .withColumn("w_end", $"w_start" + 3600L * 1000000)
+      .select($"w_user", $"w_start", $"w_end")
+    (ev, windows)
+  }
+
+  /** Same question and oracle as [[qRangeJoin]], answered by the
+    * dedicated physical operator ([[graft.plans.RangePhysical]]):
+    * the window set broadcasts as an augmented sorted array and every
+    * event probes it with one binary search — no bucket explode, no
+    * shuffle of the event side. The bucketized composition and this
+    * exec must be result-identical; the shared oracle enforces it. */
+  def qRangePhysical(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (ev, windows) = activeWindows(s, d)
+    graft.plans.RangePhysical.join(ev, windows, "ts_us", "w_start", "w_end")
+      .groupBy($"w_user")
+      .agg(count(lit(1)).as("n_events_in_window"),
+        countDistinct($"user_id").as("n_users_in_window"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_range_join" -> (qRangeJoin _)
+    "q_range_join" -> (qRangeJoin _),
+    "q_range_physical" -> (qRangePhysical _)
   )
 
+  /** One SQL for both formulations: the physical exec is an execution
+    * detail that must be result-invariant. */
+  private val rangeSql =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+      |w AS (SELECT user_id AS w_user, MIN(ts_us) AS w_start,
+      |  MIN(ts_us) + 3600000000 AS w_end
+      |  FROM e WHERE user_id < 10 GROUP BY 1)
+      |SELECT w_user, COUNT(*) AS n_events_in_window,
+      |COUNT(DISTINCT user_id) AS n_users_in_window
+      |FROM e JOIN w ON e.ts_us >= w.w_start AND e.ts_us <= w.w_end
+      |GROUP BY w_user""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "q_range_join" ->
-      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
-        |w AS (SELECT user_id AS w_user, MIN(ts_us) AS w_start,
-        |  MIN(ts_us) + 3600000000 AS w_end
-        |  FROM e WHERE user_id < 10 GROUP BY 1)
-        |SELECT w_user, COUNT(*) AS n_events_in_window,
-        |COUNT(DISTINCT user_id) AS n_users_in_window
-        |FROM e JOIN w ON e.ts_us >= w.w_start AND e.ts_us <= w.w_end
-        |GROUP BY w_user""".stripMargin
+    "q_range_physical" -> rangeSql,
+    "q_range_join" -> rangeSql
   )
 }

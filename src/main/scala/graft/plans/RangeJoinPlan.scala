@@ -1,0 +1,168 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.LongType
+
+/** Physical range (interval-containment) join: every (point ∈
+  * [start, end]) pair, with no equi key.
+  *
+  * The library's default formulation
+  * ([[graft.operators.RangeJoin.byBucket]]) decomposes the range
+  * predicate into a bucketized equi-join — the right shape when BOTH
+  * sides are fact-sized. This exec is the dedicated operator for the
+  * common asymmetric case (bounded interval set — sessions, campaign
+  * windows, maintenance windows — against a fact-scale point stream):
+  * the intervals broadcast ONCE as an augmented sorted array (sorted
+  * by start, with a running prefix-max over end), and each point probes
+  * it with one binary search + a bounded leftward walk that stops as
+  * soon as the prefix-max-end drops below the point — no bucket-width
+  * tuning knob, no per-interval explode, no shuffle of the point side
+  * at all.
+  *
+  * Per-point cost: O(log m + candidates scanned); the walk visits only
+  * prefixes that can still contain the point, so for short, roughly
+  * uniform intervals it is O(log m + matches). A single pathological
+  * full-span interval degrades the walk to O(overlapping starts) —
+  * the documented trade-off vs an interval tree, acceptable because m
+  * is broadcast-bounded anyway.
+  *
+  * Point, start and end must all be LONG (cast upstream — micros,
+  * cents, whatever the domain integer is). Null points and null-bounded
+  * intervals never match (SQL comparison semantics).
+  */
+case class RangeJoinNode(
+    point: Expression,
+    start: Expression,
+    end: Expression,
+    left: LogicalPlan,
+    right: LogicalPlan) extends BinaryNode {
+  // inner-join semantics: only matching pairs are emitted
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): RangeJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+case class RangeJoinExec(
+    point: Expression,
+    start: Expression,
+    end: Expression,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  // points stream wherever they already are; intervals broadcast whole
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution ::
+      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val bcRows = right.executeBroadcast[Array[InternalRow]]()
+    val (pt, st, en) = (point, start, end)
+    val (lOut, rOut, allOut) = (left.output, right.output, output)
+    left.execute().mapPartitions { lIt =>
+      // build the augmented index once per task from the broadcast set
+      val ptProj = UnsafeProjection.create(Seq(pt), lOut)
+      val boundProj = UnsafeProjection.create(Seq(st, en), rOut)
+      val rows = bcRows.value.filter { r =>
+        val b = boundProj(r); !b.isNullAt(0) && !b.isNullAt(1)
+      }
+      val order = rows.indices.sortBy(i => boundProj(rows(i)).getLong(0))
+      val m = order.length
+      val starts = new Array[Long](m)
+      val ends = new Array[Long](m)
+      val sorted = new Array[InternalRow](m)
+      val maxEnd = new Array[Long](m) // prefix max of ends
+      var i = 0
+      while (i < m) {
+        val b = boundProj(rows(order(i)))
+        starts(i) = b.getLong(0); ends(i) = b.getLong(1)
+        sorted(i) = rows(order(i))
+        maxEnd(i) = if (i == 0) ends(0) else math.max(maxEnd(i - 1), ends(i))
+        i += 1
+      }
+      val joined = new JoinedRow
+      val outProj = UnsafeProjection.create(allOut, allOut)
+      lIt.flatMap { l =>
+        val pRow = ptProj(l)
+        if (pRow.isNullAt(0) || m == 0) Iterator.empty
+        else {
+          val p = pRow.getLong(0)
+          // hi = last interval with start <= p
+          var lo = 0; var hi = m - 1; var last = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (starts(mid) <= p) { last = mid; lo = mid + 1 }
+            else hi = mid - 1
+          }
+          new Iterator[InternalRow] {
+            private var j = last
+            private def seek(): Unit = {
+              while (j >= 0 && maxEnd(j) >= p && ends(j) < p) j -= 1
+              if (j >= 0 && maxEnd(j) < p) j = -1 // nothing left can match
+            }
+            seek()
+            override def hasNext: Boolean = j >= 0
+            override def next(): InternalRow = {
+              val out = outProj(joined(l, sorted(j)))
+              j -= 1; seek()
+              out
+            }
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): RangeJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object RangeStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case RangeJoinNode(p, s, e, l, r) =>
+      RangeJoinExec(p, s, e, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** DataFrame-level API for the physical broadcast range join. Output:
+  * all point columns + all interval columns for every containment
+  * pair — same contract as [[graft.operators.RangeJoin.byBucket]]
+  * minus the `bucketWidth` knob. */
+object RangePhysical {
+  def join(points: DataFrame, intervals: DataFrame,
+           ptCol: String, startCol: String, endCol: String): DataFrame = {
+    val spark = points.sparkSession
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(RangeStrategy)) {
+      exp.extraStrategies = exp.extraStrategies :+ RangeStrategy
+    }
+    val lPlan = Bridge.analyzedPlan(points)
+    val rPlan = Bridge.analyzedPlan(intervals)
+    def attr(p: LogicalPlan, name: String) = p.output
+      .find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"range join: no column '$name' in ${p.output.map(_.name)}"))
+    val (pt, st, en) =
+      (attr(lPlan, ptCol), attr(rPlan, startCol), attr(rPlan, endCol))
+    // the exec probes with primitive long compares — reject anything
+    // else here rather than corrupt comparisons silently
+    Seq(pt, st, en).foreach { a =>
+      require(a.dataType == LongType,
+        s"range join: column '${a.name}' must be LONG, got ${a.dataType}")
+    }
+    Bridge.ofRows(spark, RangeJoinNode(pt, st, en, lPlan, rPlan))
+  }
+}

@@ -13,7 +13,8 @@ object DumpPlans {
     "q_bloom_decontam", "q_salted_agg", "q_pmi_bigrams", "q_streak",
     "q_jaccard_est", "q_incremental_dedup", "q_pii_scrub", "q_tfidf",
     "q_event_transition", "q_seq_pattern", "q_anomaly", "q_unpivot",
-    "q_skyline", "q_ntile")
+    "q_skyline", "q_ntile", "q_seq_pack", "q_shard_assign",
+    "q_corpus_stats", "q_interpolate", "q_cross_join")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("plans")
