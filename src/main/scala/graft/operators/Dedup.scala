@@ -342,13 +342,51 @@ object Dedup {
                           failOnNonConvergence: Boolean = true): DataFrame =
     connectedComponentsWithRounds(pairs, maxIter, failOnNonConvergence)._1
 
+  /** Edge-count threshold below which [[connectedComponents]] finishes
+    * with an exact driver-local union-find instead of more contraction
+    * rounds. Size-gated hybrid finish, the standard production CC
+    * shape: every distributed round costs ~4 jobs (two shuffles, a
+    * checkpoint, a count) regardless of data size, so once the
+    * CONTRACTED edge set is a few MB the remaining O(log n) rounds are
+    * pure scheduling overhead. 1M canonical edges ≈ 16 MB of longs —
+    * trivially driver-safe — while a 100 TB near-dup graph enters the
+    * loop distributed and only drops to the local finish after
+    * contraction has shrunk it below the gate. Results are provably
+    * identical (union-find computes the same min-labeled components
+    * the remaining rounds would); ConnectedComponentsSpec asserts
+    * exactly that on random graphs. */
+  val LocalFinishMaxEdges = 1000000L
+
+  /** Exact min-label union-find over a collected edge list (the local
+    * finish). Path-halving + union-by-min keeps roots at component
+    * minima throughout. */
+  private def unionFindLabels(es: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) { // path-halving
+        val gp = parent.getOrElse(p, p)
+        parent.update(x, gp); x = gp; p = parent.getOrElse(x, x)
+      }
+      x
+    }
+    es.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent.update(math.max(ru, rv), math.min(ru, rv))
+    }
+    val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+    nodes.iterator.map(n => n -> find(n)).filter(p => p._1 != p._2).toSeq
+  }
+
   /** [[connectedComponents]] plus the number of contraction rounds it
     * took — observable so the O(log n) convergence claim is testable
     * (ConnectedComponentsSpec asserts rounds ≤ log₂(n)+c on adversarial
     * random graphs, not just chains/cliques). */
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, maxIter: Int = 50,
-      failOnNonConvergence: Boolean = true): (DataFrame, Int) = {
+      failOnNonConvergence: Boolean = true,
+      localFinishMaxEdges: Long = LocalFinishMaxEdges): (DataFrame, Int) = {
     import pairs.sparkSession.implicits._
     // canonical undirected edges (u < v), materialized once — nodes are
     // derived from the checkpoint so the (possibly expensive) upstream
@@ -365,7 +403,7 @@ object Dedup {
     var edgeCount = edges.count()
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    while (!converged && i < maxIter && edgeCount > localFinishMaxEdges) {
       // large-star: group by each endpoint; attach every LARGER
       // neighbor to min(neighbors ∪ self)
       val dir = edges.union(edges.select($"v".as("u"), $"u".as("v")))
@@ -395,6 +433,17 @@ object Dedup {
       edgeCount = smallCount
       edges = small
       i += 1
+    }
+    if (!converged && edgeCount <= localFinishMaxEdges) {
+      // size-gated local finish: the contracted edge set is driver-
+      // bounded, so one exact union-find replaces the remaining rounds
+      // (contraction rewires edges but never drops a non-isolated node,
+      // so the round-k components equal the original ones)
+      val es = edges.select($"u".cast("long"), $"v".cast("long"))
+        .as[(Long, Long)].collect()
+      val lbl = unionFindLabels(es).toDF("id", "root")
+      return (nodes.join(lbl, Seq("id"), "left")
+        .select($"id", coalesce($"root", $"id").as("label")), i)
     }
     if (!converged) {
       val msg = s"[graft] connectedComponents: not converged after $maxIter rounds"

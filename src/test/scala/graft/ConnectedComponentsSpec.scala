@@ -27,7 +27,8 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val cliqueA = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
     val cliqueB = for (i <- 10L to 14L; j <- (i + 1) to 14L) yield (i, j)
     val pairs = (cliqueA ++ cliqueB :+ (4L, 10L)).toDF("doc_a", "doc_b")
-    val labels = Dedup.connectedComponents(pairs)
+    val labels = Dedup.connectedComponentsWithRounds(
+      pairs, localFinishMaxEdges = 0)._1
     assert(labels.count() === 10L)
     assert(labels.filter($"label" =!= 0L).count() === 0L)
   }
@@ -39,7 +40,9 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // (and throws on non-convergence, so success IS the assertion)
     val pairs = spark.range(999)
       .select($"id".as("doc_a"), ($"id" + 1).as("doc_b"))
-    val labels = Dedup.connectedComponents(pairs)
+    // gate off: this test exists to prove the DISTRIBUTED contraction
+    val labels = Dedup.connectedComponentsWithRounds(
+      pairs, localFinishMaxEdges = 0)._1
     assert(labels.count() === 1000L)
     assert(labels.filter($"label" =!= 0L).count() === 0L)
   }
@@ -59,6 +62,22 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // label = component minimum (find compresses to the min because
     // unions always root at the smaller id)
     (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  test("size-gated local finish equals the distributed contraction exactly") {
+    import spark.implicits._
+    val n = 5000
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(8000)(
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val (local, lr) = Dedup.connectedComponentsWithRounds(pairs)
+    assert(lr === 0, "small edge set must take the local finish, not rounds")
+    val (dist, dr) =
+      Dedup.connectedComponentsWithRounds(pairs, localFinishMaxEdges = 0)
+    assert(dr > 0)
+    assert(local.as[(Long, Long)].collect().toMap ===
+      dist.as[(Long, Long)].collect().toMap)
   }
 
   test("10^5-edge random graph: rounds ≤ log2(n)+c, labels match union-find") {
@@ -88,7 +107,8 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   private def runAgainstTruth(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     val pairs = edges.toDF("doc_a", "doc_b")
-    val (labelsDf, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    val (labelsDf, rounds) =
+      Dedup.connectedComponentsWithRounds(pairs, localFinishMaxEdges = 0)
     val bound = graft.functions.LshParams.floorLog2(n.toLong) + 4
     assert(rounds <= bound, s"$rounds rounds > log2($n)+4 = $bound")
     val got = labelsDf.as[(Long, Long)].collect().toMap
