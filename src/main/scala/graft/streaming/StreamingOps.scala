@@ -18,6 +18,14 @@ private case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
 /** First signup→purchase conversion emitted by the streaming funnel. */
 case class Conversion(userId: Long, signupUs: Long, purchaseUs: Long, lagUs: Long)
 
+/** One document entering the incremental packer (pre-hashed: `h` is
+  * the engine's md5-prefix60 of the doc id, `nTok` its token count). */
+case class PackDoc(docId: Long, h: Long, nTok: Long)
+
+/** A document's context-window placement from the incremental packer
+  * (same semantics as batch `q_seq_pack`'s per-doc assignment). */
+case class PackOut(docId: Long, shard: Long, firstBin: Long, lastBin: Long)
+
 private case class FunnelState(firstSignupUs: Long,
                                pendingPurchaseUs: Long, converted: Boolean)
 
@@ -349,6 +357,40 @@ object StreamingOps {
       .groupByKey(_.userId)
       .transformWithState(new FunnelProcessor(horizonMinutes),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** INCREMENTAL SEQUENCE PACKING — the streaming twin of batch
+    * `q_seq_pack`: documents arriving on a stream are appended to
+    * their shard's token tail and assigned context-window bins
+    * immediately, without repacking what was already emitted — the
+    * shape an online ingest pipeline needs (new crawl data lands, the
+    * trainer's next shard files keep growing deterministically).
+    *
+    * Per-shard state is ONE long (the running token count): bounded by
+    * construction, no watermark needed, survives restarts via the
+    * state store. Within a micro-batch documents are packed in
+    * (h, docId) order, so a replayed batch assigns identical bins;
+    * across batches the order is arrival order, exactly like the
+    * files-appended-in-order batch equivalent (StreamingSpec feeds
+    * both the same order and asserts per-doc equality with a plain
+    * batch cumulative pack). */
+  def packDocs(docs: Dataset[PackDoc], budget: Long = 512L,
+               shards: Int = 8): Dataset[PackOut] = {
+    import docs.sparkSession.implicits._
+    def onShard(shard: Long, ds: Iterator[PackDoc],
+                state: GroupState[Long]): Iterator[PackOut] = {
+      var cum = state.getOption.getOrElse(0L)
+      val out = ds.toSeq.sortBy(d => (d.h, d.docId)).map { d =>
+        cum += d.nTok
+        PackOut(d.docId, shard, (cum - d.nTok) / budget, (cum - 1) / budget)
+      }
+      state.update(cum)
+      out.iterator
+    }
+    docs
+      .groupByKey(d => ((d.h % shards) + shards) % shards.toLong)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(onShard)
   }
 
   /** Streaming exact dedup on event id, with state bounded by the

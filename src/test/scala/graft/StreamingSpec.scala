@@ -567,6 +567,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental packer matches a plain cumulative pack, state spans batches") {
+    import spark.implicits._
+    import graft.streaming.{PackDoc, PackOut}
+    val budget = 10L
+    val shards = 4
+    // deterministic "hashes" chosen to hit several shards and force
+    // bin-boundary spans (nTok up to 7 against budget 10)
+    val docs = (1L to 40L).map(i => PackDoc(i, i * 37 % 101, i % 7 + 1))
+    val batches = docs.grouped(20).toSeq
+    // expected: arrival-order append, (h, docId)-sorted within a batch
+    val cums = scala.collection.mutable.Map.empty[Long, Long]
+    val expected = batches.flatMap { b =>
+      b.groupBy(d => ((d.h % shards) + shards) % shards).toSeq.flatMap {
+        case (shard, ds) =>
+          ds.sortBy(d => (d.h, d.docId)).map { d =>
+            val cum = cums.getOrElse(shard, 0L) + d.nTok
+            cums(shard) = cum
+            PackOut(d.docId, shard, (cum - d.nTok) / budget, (cum - 1) / budget)
+          }
+      }
+    }.toSet
+    val in = MemoryStream[PackDoc](spark)
+    val q = StreamingOps.packDocs(in.toDS(), budget, shards)
+      .writeStream.format("memory").queryName("pk")
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("pk").as[PackOut].collect().toSet
+      assert(got === expected)
+      // the second batch MUST have continued shard tails, not restarted
+      val secondBatchIds = batches(1).map(_.docId).toSet
+      assert(got.exists(p => secondBatchIds(p.docId) && p.firstBin > 0),
+        "batch-2 docs should land in later bins via carried state")
+    } finally q.stop()
+  }
+
   test("restart from checkpoint neither loses nor duplicates output") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ckpt").toFile.getAbsolutePath
