@@ -71,9 +71,38 @@ object RangeJoin {
         countDistinct($"user_id").as("n_users_in_window"))
   }
 
+  /** INTERVAL–INTERVAL OVERLAP join (the general range-join verb, vs
+    * the point probes above): which other early users' first-hour
+    * activity windows overlap each user's own — the concurrency
+    * question behind co-activity, contention and double-booking
+    * analyses. Runs on the same broadcast exec with the probe side
+    * carrying [start, end] (match ⇔ start ≤ p_end AND end ≥ p_start);
+    * zero-overlap users are kept via a left join back to the window
+    * set. Scale shape: the interval set is bounded and broadcasts;
+    * the probe side can be fact-scale — here it is the same window
+    * set, probing itself. */
+  def qIntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Events.events(s, d).select($"user_id", $"ts_us")
+    val w = ev.filter($"user_id" < 50)
+      .groupBy($"user_id".as("w_user"))
+      .agg(min($"ts_us").as("w_start"))
+      .withColumn("w_end", $"w_start" + 3600L * 1000000)
+      .select($"w_user", $"w_start", $"w_end")
+    val probes = w.select($"w_user".as("p_user"),
+      $"w_start".as("p_start"), $"w_end".as("p_end"))
+    val counts = graft.plans.RangePhysical
+      .overlapJoin(probes, w, "p_start", "p_end", "w_start", "w_end")
+      .filter($"p_user" =!= $"w_user")
+      .groupBy($"p_user").agg(count(lit(1)).as("n"))
+    w.join(counts, $"w_user" === $"p_user", "left")
+      .select($"w_user", coalesce($"n", lit(0L)).as("n_overlapping"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_join" -> (qRangeJoin _),
-    "q_range_physical" -> (qRangePhysical _)
+    "q_range_physical" -> (qRangePhysical _),
+    "q_interval_overlap" -> (qIntervalOverlap _)
   )
 
   /** One SQL for both formulations: the physical exec is an execution
@@ -90,6 +119,18 @@ object RangeJoin {
 
   val oracle: Map[String, String] = Map(
     "q_range_physical" -> rangeSql,
-    "q_range_join" -> rangeSql
+    "q_range_join" -> rangeSql,
+    "q_interval_overlap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |w AS (SELECT user_id AS w_user, MIN(ts_us) AS w_start,
+        |  MIN(ts_us) + 3600000000 AS w_end
+        |  FROM e WHERE user_id < 50 GROUP BY 1),
+        |p AS (SELECT a.w_user AS u, COUNT(*) AS n
+        |  FROM w a JOIN w b
+        |  ON a.w_start <= b.w_end AND a.w_end >= b.w_start
+        |    AND a.w_user <> b.w_user
+        |  GROUP BY 1)
+        |SELECT w.w_user, COALESCE(p.n, 0) AS n_overlapping
+        |FROM w LEFT JOIN p ON w.w_user = p.u""".stripMargin
   )
 }

@@ -10,8 +10,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.LongType
 
-/** Physical range (interval-containment) join: every (point ∈
-  * [start, end]) pair, with no equi key.
+/** Physical range join: every (probe ∩ [start, end] ≠ ∅) pair, with
+  * no equi key. The probe side carries an interval [lo, hi]; a point
+  * probe is the degenerate lo == hi case, interval–interval OVERLAP
+  * the general one (match ⇔ start ≤ hi AND end ≥ lo).
   *
   * The library's default formulation
   * ([[graft.operators.RangeJoin.byBucket]]) decomposes the range
@@ -38,7 +40,8 @@ import org.apache.spark.sql.types.LongType
   * intervals never match (SQL comparison semantics).
   */
 case class RangeJoinNode(
-    point: Expression,
+    lo: Expression,
+    hi: Expression,
     start: Expression,
     end: Expression,
     left: LogicalPlan,
@@ -51,7 +54,8 @@ case class RangeJoinNode(
 }
 
 case class RangeJoinExec(
-    point: Expression,
+    lo: Expression,
+    hi: Expression,
     start: Expression,
     end: Expression,
     left: SparkPlan,
@@ -68,11 +72,11 @@ case class RangeJoinExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val bcRows = right.executeBroadcast[Array[InternalRow]]()
-    val (pt, st, en) = (point, start, end)
+    val (plo, phi, st, en) = (lo, hi, start, end)
     val (lOut, rOut, allOut) = (left.output, right.output, output)
     left.execute().mapPartitions { lIt =>
       // build the augmented index once per task from the broadcast set
-      val ptProj = UnsafeProjection.create(Seq(pt), lOut)
+      val ptProj = UnsafeProjection.create(Seq(plo, phi), lOut)
       val boundProj = UnsafeProjection.create(Seq(st, en), rOut)
       val rows = bcRows.value.filter { r =>
         val b = boundProj(r); !b.isNullAt(0) && !b.isNullAt(1)
@@ -95,21 +99,24 @@ case class RangeJoinExec(
       val outProj = UnsafeProjection.create(allOut, allOut)
       lIt.flatMap { l =>
         val pRow = ptProj(l)
-        if (pRow.isNullAt(0) || m == 0) Iterator.empty
+        if (pRow.isNullAt(0) || pRow.isNullAt(1) || m == 0) Iterator.empty
         else {
-          val p = pRow.getLong(0)
-          // hi = last interval with start <= p
-          var lo = 0; var hi = m - 1; var last = -1
-          while (lo <= hi) {
-            val mid = (lo + hi) >>> 1
-            if (starts(mid) <= p) { last = mid; lo = mid + 1 }
-            else hi = mid - 1
+          // probe interval [ps, pe]; a point probe has ps == pe.
+          // match condition: start <= pe AND end >= ps
+          val ps = pRow.getLong(0)
+          val pe = pRow.getLong(1)
+          // rightmost interval with start <= pe
+          var bLo = 0; var bHi = m - 1; var last = -1
+          while (bLo <= bHi) {
+            val mid = (bLo + bHi) >>> 1
+            if (starts(mid) <= pe) { last = mid; bLo = mid + 1 }
+            else bHi = mid - 1
           }
           new Iterator[InternalRow] {
             private var j = last
             private def seek(): Unit = {
-              while (j >= 0 && maxEnd(j) >= p && ends(j) < p) j -= 1
-              if (j >= 0 && maxEnd(j) < p) j = -1 // nothing left can match
+              while (j >= 0 && maxEnd(j) >= ps && ends(j) < ps) j -= 1
+              if (j >= 0 && maxEnd(j) < ps) j = -1 // nothing left can match
             }
             seek()
             override def hasNext: Boolean = j >= 0
@@ -131,38 +138,52 @@ case class RangeJoinExec(
 
 object RangeStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case RangeJoinNode(p, s, e, l, r) =>
-      RangeJoinExec(p, s, e, planLater(l), planLater(r)) :: Nil
+    case RangeJoinNode(lo, hi, s, e, l, r) =>
+      RangeJoinExec(lo, hi, s, e, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
-/** DataFrame-level API for the physical broadcast range join. Output:
-  * all point columns + all interval columns for every containment
-  * pair — same contract as [[graft.operators.RangeJoin.byBucket]]
-  * minus the `bucketWidth` knob. */
+/** DataFrame-level API for the physical broadcast range join.
+  *
+  * [[join]]: point containment — all point columns + all interval
+  * columns for every (point ∈ [start, end]) pair; same contract as
+  * [[graft.operators.RangeJoin.byBucket]] minus the `bucketWidth`
+  * knob. [[overlapJoin]]: interval–interval overlap — every pair with
+  * `l.start <= r.end AND l.end >= r.start` (the point probe is the
+  * degenerate lo == hi case of the same exec). */
 object RangePhysical {
   def join(points: DataFrame, intervals: DataFrame,
-           ptCol: String, startCol: String, endCol: String): DataFrame = {
-    val spark = points.sparkSession
+           ptCol: String, startCol: String, endCol: String): DataFrame =
+    build(points, intervals, ptCol, ptCol, startCol, endCol)
+
+  def overlapJoin(left: DataFrame, intervals: DataFrame,
+                  leftStartCol: String, leftEndCol: String,
+                  startCol: String, endCol: String): DataFrame =
+    build(left, intervals, leftStartCol, leftEndCol, startCol, endCol)
+
+  private def build(left: DataFrame, intervals: DataFrame,
+                    loCol: String, hiCol: String,
+                    startCol: String, endCol: String): DataFrame = {
+    val spark = left.sparkSession
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(RangeStrategy)) {
       exp.extraStrategies = exp.extraStrategies :+ RangeStrategy
     }
-    val lPlan = Bridge.analyzedPlan(points)
+    val lPlan = Bridge.analyzedPlan(left)
     val rPlan = Bridge.analyzedPlan(intervals)
     def attr(p: LogicalPlan, name: String) = p.output
       .find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(
         s"range join: no column '$name' in ${p.output.map(_.name)}"))
-    val (pt, st, en) =
-      (attr(lPlan, ptCol), attr(rPlan, startCol), attr(rPlan, endCol))
+    val (lo, hi) = (attr(lPlan, loCol), attr(lPlan, hiCol))
+    val (st, en) = (attr(rPlan, startCol), attr(rPlan, endCol))
     // the exec probes with primitive long compares — reject anything
     // else here rather than corrupt comparisons silently
-    Seq(pt, st, en).foreach { a =>
+    Seq(lo, hi, st, en).foreach { a =>
       require(a.dataType == LongType,
         s"range join: column '${a.name}' must be LONG, got ${a.dataType}")
     }
-    Bridge.ofRows(spark, RangeJoinNode(pt, st, en, lPlan, rPlan))
+    Bridge.ofRows(spark, RangeJoinNode(lo, hi, st, en, lPlan, rPlan))
   }
 }

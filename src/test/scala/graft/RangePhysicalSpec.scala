@@ -41,6 +41,30 @@ class RangePhysicalSpec extends AnyFunSuite {
     assert(!got.exists(_._2 == 7L))
   }
 
+  test("overlap join matches the predicate on adversarial interval pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // random short intervals + touching + nested + inverted probes
+    val ivs = ((1L to 60L).map { i =>
+      val lo = rnd.nextInt(200).toLong; (i, lo, lo + rnd.nextInt(12))
+    } :+ (98L, 0L, 250L)).toDF("iid", "lo", "hi")
+    val probes = ((1L to 60L).map { i =>
+      val lo = rnd.nextInt(200).toLong
+      (100L + i, lo, lo + rnd.nextInt(12))
+    } :+ (199L, 50L, 40L)).toDF("pid", "ps", "pe") // inverted probe
+    val got = RangePhysical.overlapJoin(probes, ivs, "ps", "pe", "lo", "hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    val want = probes.join(ivs,
+        probes("ps") <= ivs("hi") && probes("pe") >= ivs("lo"))
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    // the exec implements the raw SQL predicate, so even the inverted
+    // probe [50, 40] matches intervals covering [40, 50] — exactly as
+    // the reference join does
+    assert(got.contains((199L, 98L)))
+    assert(got.count(_._2 == 98L) == 61, "full-span interval hits every probe")
+  }
+
   test("null points and null-bounded intervals never match") {
     import spark.implicits._
     val ivs = Seq((1L, Some(10L), Some(20L)), (2L, None, Some(20L)),

@@ -603,6 +603,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental packer resumes shard tails across a restart") {
+    import spark.implicits._
+    import graft.streaming.{PackDoc, PackOut}
+    val dir = java.nio.file.Files.createTempDirectory("pkck").toFile.getAbsolutePath
+    val in = MemoryStream[PackDoc](spark)
+    def start() = StreamingOps.packDocs(in.toDS(), budget = 10L, shards = 2)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ck")
+      .outputMode(OutputMode.Append)
+      .start()
+    val q1 = start()
+    // shard of h: h % 2 → docs 1..6 alternate shards; 9 tokens each
+    in.addData((1L to 6L).map(i => PackDoc(i, i, 9L)): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    try {
+      in.addData((7L to 8L).map(i => PackDoc(i, i, 9L)): _*)
+      q2.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/out").as[PackOut]
+        .collect().map(p => p.docId -> p).toMap
+      // pre-restart: three 9-token docs per shard → cums 9,18,27
+      // post-restart doc 7 (shard 1) and 8 (shard 0) are each their
+      // shard's FOURTH doc: cum 36, bins (27/10, 35/10) = (2, 3)
+      assert(got.size === 8)
+      for (id <- Seq(7L, 8L)) {
+        assert(got(id).firstBin === 2L, s"doc $id must resume, not restart")
+        assert(got(id).lastBin === 3L)
+      }
+    } finally q2.stop()
+  }
+
   test("restart from checkpoint neither loses nor duplicates output") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ckpt").toFile.getAbsolutePath
