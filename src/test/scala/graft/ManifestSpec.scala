@@ -55,6 +55,35 @@ class ManifestSpec extends AnyFunSuite {
     assert(old.size === 100 && old(7L) === 70L && !old.contains(200L))
   }
 
+  test("readChanges returns added-file rows only, never untouched files") {
+    import spark.implicits._
+    val dir = tmp()
+    // two range-disjoint files: merge touches only the low-key file
+    val low = (1L to 50L).map(i => (i, i))
+    val high = (1001L to 1050L).map(i => (i, i))
+    ManifestTable.create(spark, low.toDF("id", "v").repartition(1), dir)
+    ManifestTable.merge(spark, dir,
+      high.toDF("id", "v").repartition(1), "id") // v2: pure insert
+    ManifestTable.merge(spark, dir,
+      Seq((7L, 777L)).toDF("id", "v"), "id") // v3: rewrite of the low file
+    // since v1: the inserted high file + the rewritten low file
+    val since1 = ManifestTable.readChanges(spark, dir, 1L)
+      .as[(Long, Long)].collect().toMap
+    assert(since1(7L) === 777L && since1(1001L) === 1001L)
+    assert(since1.size === 100) // low rewrite (50) + high insert (50)
+    // since v2: only the rewritten low file; the high file is untouched
+    val since2 = ManifestTable.readChanges(spark, dir, 2L)
+      .as[(Long, Long)].collect().toMap
+    assert(since2(7L) === 777L && since2.size === 50)
+    assert(!since2.contains(1001L), "untouched file must not be re-read")
+    // since the current version: empty, schema intact
+    val since3 = ManifestTable.readChanges(spark, dir, 3L)
+    assert(since3.count() === 0 && since3.columns.toSeq === Seq("id", "v"))
+    intercept[IllegalArgumentException] {
+      ManifestTable.readChanges(spark, dir, 99L)
+    }
+  }
+
   test("reader pinned before a merge keeps its snapshot (no duplicate window)") {
     import spark.implicits._
     val dir = tmp()
