@@ -282,19 +282,31 @@ object Dedup {
 
   /** Shared pair pipeline: intersection size + both set sizes. Set
     * sizes (na/nb) count ALL distinct shingles; only the join is
-    * restricted to shingles rarer than [[DfCap]]. */
+    * restricted to shingles rarer than [[DfCap]].
+    *
+    * The exploded (doc, shingle-hash) posting table is MATERIALIZED
+    * once (localCheckpoint): it is read three times below (df
+    * aggregation + both self-join sides), and without materialization
+    * each read re-runs the scan + per-shingle md5 pass — measured 4
+    * full passes in the physical plan (both join sides are broadcast
+    * at bench SF, so ReuseExchange never kicks in). One pass + block
+    * reads is the shape a production minhash pipeline uses: the
+    * posting list is built once, then joined against itself. The
+    * df-capped table is checkpointed too, saving the second df-agg +
+    * semi-join pass the self-join would otherwise duplicate. */
   private[graft] def jaccardPairsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val ds = docs
       .select($"doc_id",
         array_distinct(MinHash.shingleHash60(tokens($"text"), JaccardN)).as("shs"))
       .select($"doc_id", size($"shs").cast("long").as("n"), explode($"shs").as("s"))
+      .localCheckpoint()
     // document frequency per shingle hash; ds is distinct per (doc, s)
     // so count(*) IS the df. The semi-join shuffles on the same key as
     // the aggregation, so no extra partitioning is introduced.
     val rare = ds.groupBy($"s").agg(count(lit(1)).as("df"))
       .filter($"df" <= DfCap).select($"s")
-    val dsr = ds.join(rare, Seq("s"), "left_semi")
+    val dsr = ds.join(rare, Seq("s"), "left_semi").localCheckpoint()
     dsr.as("a")
       .join(dsr.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
