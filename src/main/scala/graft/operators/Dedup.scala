@@ -139,9 +139,13 @@ object Dedup {
     import docs.sparkSession.implicits._
     val cap = LshParams.BucketCap
     val w = Window.partitionBy($"band", $"bucket")
+    // materialized once: both self-join sides would otherwise re-run
+    // the whole signature pass (shingle md5 + K minhash lanes + band
+    // window) — the dominant cost of the query
     val banded = minhashBandedOf(docs)
       .withColumn("f", count(lit(1)).over(w))
       .withColumn("bmin", min($"doc_id").over(w))
+      .localCheckpoint()
     banded.as("a")
       .join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&

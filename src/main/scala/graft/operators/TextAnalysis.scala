@@ -180,8 +180,12 @@ object TextAnalysis {
     // keys, codegen'd in one pass; collision odds ~n²/2⁶¹, immaterial
     val sh = array_distinct(
       graft.functions.MinHash.shingleHash60(tokens($"text"), DecontamN))
+    // materialized once: the shingle-array scan feeds the bench set,
+    // the probe explode AND the final per-source rollup — three full
+    // scan+md5 passes without it
     val docs = Tables.documents(s, d)
       .select($"doc_id", $"source", sh.as("shs"))
+      .localCheckpoint()
     val isBench = pmod($"doc_id", lit(BenchMod)) === 0
     val benchShingles = docs.filter(isBench)
       .select(explode($"shs").as("sh")).distinct()
@@ -214,8 +218,11 @@ object TextAnalysis {
     import org.apache.spark.sql.graft.Bridge
     val sh = array_distinct(
       graft.functions.MinHash.shingleHash60(tokens($"text"), DecontamN))
+    // materialized once — same three-consumer shape as qDecontaminate,
+    // plus the driver-side bloom build is a fourth consumer
     val docs = Tables.documents(s, d)
       .select($"doc_id", $"source", sh.as("shs"))
+      .localCheckpoint()
     val isBench = pmod($"doc_id", lit(BenchMod)) === 0
     val benchShingles = docs.filter(isBench)
       .select(explode($"shs").as("sh")).distinct()
