@@ -63,8 +63,12 @@ object Dedup {
     * slice; in production it is the incoming partition. */
   def qIncrementalDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // materialized once: the corpus and batch sides both derive from
+    // this scan, and fingerprint = md5(regex-normalize(text)) is the
+    // dominant cost — two passes without it
     val docs = Tables.documents(s, d)
       .select($"doc_id", $"source", fingerprint($"text").as("fp"))
+      .localCheckpoint()
     val isBatch = pmod($"doc_id", lit(BatchMod)) === BatchRem
     // no distinct(): a LEFT SEMI probe is set-semantics already, so
     // pre-deduplicating the corpus side is a pure extra shuffle+agg
