@@ -99,10 +99,34 @@ object RangeJoin {
       .select($"w_user", coalesce($"n", lit(0L)).as("n_overlapping"))
   }
 
+  /** ANTI range join — the complement question ([[qRangePhysical]]
+    * finds events INSIDE windows): per event type, how many events
+    * fall outside EVERY active window. Runs as the exec's LEFT OUTER
+    * mode + a null filter — unmatched probes emit one null-interval
+    * row, so "outside all windows" is `w_user IS NULL`, computed in
+    * the same single broadcast pass (no second scan, no NOT EXISTS
+    * subquery re-probing the fact table). */
+  def qRangeAnti(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Events.events(s, d)
+      .select($"event_id", $"event_type", $"ts_us")
+    val windows = Events.events(s, d).filter($"user_id" < 10)
+      .groupBy($"user_id".as("w_user"))
+      .agg(min($"ts_us").as("w_start"))
+      .withColumn("w_end", $"w_start" + 3600L * 1000000)
+      .select($"w_user", $"w_start", $"w_end")
+    graft.plans.RangePhysical
+      .join(ev, windows, "ts_us", "w_start", "w_end", outer = true)
+      .filter($"w_user".isNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_outside"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_join" -> (qRangeJoin _),
     "q_range_physical" -> (qRangePhysical _),
-    "q_interval_overlap" -> (qIntervalOverlap _)
+    "q_interval_overlap" -> (qIntervalOverlap _),
+    "q_range_anti" -> (qRangeAnti _)
   )
 
   /** One SQL for both formulations: the physical exec is an execution
@@ -120,6 +144,16 @@ object RangeJoin {
   val oracle: Map[String, String] = Map(
     "q_range_physical" -> rangeSql,
     "q_range_join" -> rangeSql,
+    "q_range_anti" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |w AS (SELECT user_id AS w_user, MIN(epoch_us(ts)) AS w_start,
+        |  MIN(epoch_us(ts)) + 3600000000 AS w_end
+        |  FROM events WHERE user_id < 10 GROUP BY 1)
+        |SELECT event_type, COUNT(*) AS n_outside FROM e
+        |WHERE NOT EXISTS (SELECT 1 FROM w
+        |  WHERE e.ts_us >= w.w_start AND e.ts_us <= w.w_end)
+        |GROUP BY event_type""".stripMargin,
     "q_interval_overlap" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
         |w AS (SELECT user_id AS w_user, MIN(ts_us) AS w_start,

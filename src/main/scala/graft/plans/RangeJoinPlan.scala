@@ -44,10 +44,14 @@ case class RangeJoinNode(
     hi: Expression,
     start: Expression,
     end: Expression,
+    outer: Boolean,
     left: LogicalPlan,
     right: LogicalPlan) extends BinaryNode {
-  // inner-join semantics: only matching pairs are emitted
-  override def output: Seq[Attribute] = left.output ++ right.output
+  // inner: only matching pairs; left outer: unmatched probes emit one
+  // row with null interval columns
+  override def output: Seq[Attribute] =
+    if (outer) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): RangeJoinNode =
     copy(left = newLeft, right = newRight)
@@ -58,10 +62,13 @@ case class RangeJoinExec(
     hi: Expression,
     start: Expression,
     end: Expression,
+    outer: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (outer) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   // points stream wherever they already are; intervals broadcast whole
   override def requiredChildDistribution: Seq[Distribution] =
@@ -72,7 +79,7 @@ case class RangeJoinExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val bcRows = right.executeBroadcast[Array[InternalRow]]()
-    val (plo, phi, st, en) = (lo, hi, start, end)
+    val (plo, phi, st, en, isOuter) = (lo, hi, start, end, outer)
     val (lOut, rOut, allOut) = (left.output, right.output, output)
     left.execute().mapPartitions { lIt =>
       // build the augmented index once per task from the broadcast set
@@ -97,9 +104,14 @@ case class RangeJoinExec(
       }
       val joined = new JoinedRow
       val outProj = UnsafeProjection.create(allOut, allOut)
+      val nullRight = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(rOut.size)
+      def unmatched(l: InternalRow): Iterator[InternalRow] =
+        if (isOuter) Iterator.single(outProj(joined(l, nullRight)))
+        else Iterator.empty
       lIt.flatMap { l =>
         val pRow = ptProj(l)
-        if (pRow.isNullAt(0) || pRow.isNullAt(1) || m == 0) Iterator.empty
+        if (pRow.isNullAt(0) || pRow.isNullAt(1) || m == 0) unmatched(l)
         else {
           // probe interval [ps, pe]; a point probe has ps == pe.
           // match condition: start <= pe AND end >= ps
@@ -112,7 +124,7 @@ case class RangeJoinExec(
             if (starts(mid) <= pe) { last = mid; bLo = mid + 1 }
             else bHi = mid - 1
           }
-          new Iterator[InternalRow] {
+          val matches = new Iterator[InternalRow] {
             private var j = last
             private def seek(): Unit = {
               while (j >= 0 && maxEnd(j) >= ps && ends(j) < ps) j -= 1
@@ -126,6 +138,7 @@ case class RangeJoinExec(
               out
             }
           }
+          if (matches.hasNext) matches else unmatched(l)
         }
       }
     }
@@ -138,8 +151,8 @@ case class RangeJoinExec(
 
 object RangeStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case RangeJoinNode(lo, hi, s, e, l, r) =>
-      RangeJoinExec(lo, hi, s, e, planLater(l), planLater(r)) :: Nil
+    case RangeJoinNode(lo, hi, s, e, o, l, r) =>
+      RangeJoinExec(lo, hi, s, e, o, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -154,17 +167,20 @@ object RangeStrategy extends SparkStrategy {
   * degenerate lo == hi case of the same exec). */
 object RangePhysical {
   def join(points: DataFrame, intervals: DataFrame,
-           ptCol: String, startCol: String, endCol: String): DataFrame =
-    build(points, intervals, ptCol, ptCol, startCol, endCol)
+           ptCol: String, startCol: String, endCol: String,
+           outer: Boolean = false): DataFrame =
+    build(points, intervals, ptCol, ptCol, startCol, endCol, outer)
 
   def overlapJoin(left: DataFrame, intervals: DataFrame,
                   leftStartCol: String, leftEndCol: String,
-                  startCol: String, endCol: String): DataFrame =
-    build(left, intervals, leftStartCol, leftEndCol, startCol, endCol)
+                  startCol: String, endCol: String,
+                  outer: Boolean = false): DataFrame =
+    build(left, intervals, leftStartCol, leftEndCol, startCol, endCol, outer)
 
   private def build(left: DataFrame, intervals: DataFrame,
                     loCol: String, hiCol: String,
-                    startCol: String, endCol: String): DataFrame = {
+                    startCol: String, endCol: String,
+                    outer: Boolean): DataFrame = {
     val spark = left.sparkSession
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(RangeStrategy)) {
@@ -184,6 +200,6 @@ object RangePhysical {
       require(a.dataType == LongType,
         s"range join: column '${a.name}' must be LONG, got ${a.dataType}")
     }
-    Bridge.ofRows(spark, RangeJoinNode(lo, hi, st, en, lPlan, rPlan))
+    Bridge.ofRows(spark, RangeJoinNode(lo, hi, st, en, outer, lPlan, rPlan))
   }
 }

@@ -65,6 +65,25 @@ class RangePhysicalSpec extends AnyFunSuite {
     assert(got.count(_._2 == 98L) == 61, "full-span interval hits every probe")
   }
 
+  test("left outer mode matches the reference left join, nulls for misses") {
+    import spark.implicits._
+    val ivs = Seq((1L, 10L, 20L), (2L, 15L, 30L)).toDF("iid", "lo", "hi")
+    val pts = Seq((1L, 5L), (2L, 15L), (3L, 25L), (4L, 99L))
+      .toDF("pid", "p")
+    val got = RangePhysical.join(pts, ivs, "p", "lo", "hi", outer = true)
+      .select($"pid", $"iid").as[(Long, Option[Long])].collect().toSet
+    val want = pts.join(ivs, pts("p") >= ivs("lo") && pts("p") <= ivs("hi"),
+        "left")
+      .select($"pid", $"iid").as[(Long, Option[Long])].collect().toSet
+    assert(got === want)
+    assert(got.contains((1L, None)) && got.contains((4L, None)))
+    assert(got.contains((2L, Some(1L))) && got.contains((2L, Some(2L))))
+    // outer against an EMPTY interval side: every probe emits one null row
+    val none = Seq.empty[(Long, Long, Long)].toDF("iid", "lo", "hi")
+    assert(RangePhysical.join(pts, none, "p", "lo", "hi", outer = true)
+      .count() === 4)
+  }
+
   test("null points and null-bounded intervals never match") {
     import spark.implicits._
     val ivs = Seq((1L, Some(10L), Some(20L)), (2L, None, Some(20L)),
