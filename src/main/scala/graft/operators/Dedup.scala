@@ -511,7 +511,47 @@ object Dedup {
         sum(when($"keep", $"n_chars").otherwise(0L)).as("chars_kept"))
   }
 
+  private val FuzzyMaxDist = 3
+  private val FuzzyBlockCap = 4096
+
+  /** FUZZY string matching (edit-distance record linkage) — the
+    * dedup verb for near-identical NAMES rather than near-identical
+    * documents: part-name pairs within Levenshtein distance
+    * [[FuzzyMaxDist]]. Classic blocking join: candidates must share
+    * the head noun (second word) AND have lengths within the distance
+    * bound (an edit-distance-d pair can't differ in length by more
+    * than d — the standard length-pruning rule), so the quadratic
+    * explosion is confined to vocabulary-sized blocks; blocks larger
+    * than [[FuzzyBlockCap]] are dropped entirely (the DfCap pattern —
+    * a degenerate block means the key carries no signal), mirrored in
+    * the oracle so the gate runs with the cap ACTIVE. The checksum
+    * bit_xors each matching pair's key pair, proving the exact match
+    * set. levenshtein is the same unweighted DP in both engines —
+    * integer-exact. */
+  def qFuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(s, d).select($"p_partkey", $"p_name",
+      split($"p_name", " ").getItem(1).as("w"),
+      length($"p_name").as("len"))
+    val pc = p
+      .withColumn("bf", count(lit(1)).over(Window.partitionBy($"w")))
+      .filter($"bf" <= FuzzyBlockCap)
+    pc.as("a").join(pc.as("b"),
+        $"a.w" === $"b.w" && $"a.p_partkey" < $"b.p_partkey" &&
+          abs($"a.len" - $"b.len") <= FuzzyMaxDist)
+      .withColumn("dist", levenshtein($"a.p_name", $"b.p_name"))
+      .filter($"dist" <= FuzzyMaxDist)
+      .groupBy($"a.w".as("block"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min($"dist").as("min_dist"),
+        sum($"dist").as("sum_dist"),
+        bit_xor($"a.p_partkey" * lit(1073741824L) + $"b.p_partkey")
+          .as("pair_checksum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_dup_clusters" -> (qDupClusters _),
     "q_dedup_keep" -> (qDedupKeep _),
     "q_chunk_dedup" -> (qChunkDedup _),
@@ -599,6 +639,23 @@ object Dedup {
       |FROM s0 CROSS JOIN pp""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_fuzzy_match" ->
+      s"""WITH p AS (SELECT p_partkey, p_name,
+         |  string_split(p_name, ' ')[2] AS w,
+         |  length(p_name) AS len,
+         |  COUNT(*) OVER (PARTITION BY string_split(p_name, ' ')[2]) AS bf
+         |  FROM part),
+         |pc AS (SELECT * FROM p WHERE bf <= $FuzzyBlockCap),
+         |m AS (SELECT a.w AS block, a.p_partkey AS ka, b.p_partkey AS kb,
+         |  levenshtein(a.p_name, b.p_name) AS dist
+         |  FROM pc a JOIN pc b
+         |  ON a.w = b.w AND a.p_partkey < b.p_partkey
+         |    AND abs(a.len - b.len) <= $FuzzyMaxDist)
+         |SELECT block, COUNT(*) AS n_pairs,
+         |CAST(MIN(dist) AS INTEGER) AS min_dist,
+         |CAST(SUM(dist) AS BIGINT) AS sum_dist,
+         |bit_xor(ka * 1073741824 + kb) AS pair_checksum
+         |FROM m WHERE dist <= $FuzzyMaxDist GROUP BY block""".stripMargin,
     "q_dup_clusters" ->
       s"""$ccLabelsCtes
          |SELECT label, COUNT(*) AS n_docs, CAST(MAX(id) AS BIGINT) AS max_doc
