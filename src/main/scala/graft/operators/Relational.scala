@@ -359,6 +359,33 @@ object Relational {
         round(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1), 2).as("variance"))
   }
 
+  /** PEARSON CORRELATION per group, engine-exact: every moment
+    * (Σx, Σy, Σxy, Σx², Σy²) accumulates in DECIMAL (exact,
+    * order-independent — the built-in corr() is a float stream that
+    * differs run-to-run in partial-agg order), converts to double
+    * once, and the final r = cov/√(varx·vary) is the identical IEEE
+    * expression in both engines. Products are squared IN decimal at
+    * (18,2)×(18,2) → (37,4), inside both engines' 38-digit cap. One
+    * map-combinable shuffle agg — linear at 100 TB. */
+  def qCorrelation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val x = $"l_quantity".cast("decimal(18,2)")
+    val y = $"l_extendedprice".cast("decimal(18,2)")
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+      .select($"l_returnflag", $"n".cast("long").as("n"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+            ($"n" * $"syy" - $"sy" * $"sy")), 6).as("r"))
+  }
+
   /** Hive LATERAL VIEW explode: one row per (order, lineitem-ish token).
     * Here: explode the words of o_comment-like priority text — shaped as
     * explode over a computed array with the parent row retained. */
@@ -790,6 +817,7 @@ object Relational {
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_quantiles" -> (qQuantiles _),
     "q_stats_moments" -> (qStatsMoments _),
+    "q_correlation" -> (qCorrelation _),
     "q_lateral_explode" -> (qLateralExplode _),
     "q_collect_set" -> (qCollectSet _),
     "q_global_sort" -> (qGlobalSort _),
@@ -1069,6 +1097,24 @@ object Relational {
          |  - ${sqlSum("o_totalprice")} * ${sqlSum("o_totalprice")} / COUNT(*))
          |  / (COUNT(*) - 1), 2) AS variance
          |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_correlation" -> {
+      def dsum2(e: String) =
+        s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
+      def dprod(a: String, b: String) =
+        s"CAST(SUM(CAST($a AS DECIMAL(18,2)) * CAST($b AS DECIMAL(18,2))) AS DOUBLE)"
+      s"""WITH m AS (SELECT l_returnflag,
+         |  CAST(COUNT(*) AS DOUBLE) AS n,
+         |  ${dsum2("l_quantity")} AS sx,
+         |  ${dsum2("l_extendedprice")} AS sy,
+         |  ${dprod("l_quantity", "l_extendedprice")} AS sxy,
+         |  ${dprod("l_quantity", "l_quantity")} AS sxx,
+         |  ${dprod("l_extendedprice", "l_extendedprice")} AS syy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+         |ROUND((n * sxy - sx * sy) /
+         |  sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r
+         |FROM m""".stripMargin
+    },
     "q_lateral_explode" ->
       """SELECT pri_tok, COUNT(*) AS n, COUNT(DISTINCT o_orderkey) AS n_orders
         |FROM (SELECT o_orderkey, unnest(string_split(o_orderpriority, '-')) AS pri_tok
