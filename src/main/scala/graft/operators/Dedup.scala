@@ -517,11 +517,15 @@ object Dedup {
   /** FUZZY string matching (edit-distance record linkage) — the
     * dedup verb for near-identical NAMES rather than near-identical
     * documents: part-name pairs within Levenshtein distance
-    * [[FuzzyMaxDist]]. Classic blocking join: candidates must share
-    * the head noun (second word) AND have lengths within the distance
-    * bound (an edit-distance-d pair can't differ in length by more
-    * than d — the standard length-pruning rule), so the quadratic
-    * explosion is confined to vocabulary-sized blocks; blocks larger
+    * [[FuzzyMaxDist]]. Classic COMPOSITE blocking join: candidates
+    * must share the head noun (second word) AND the brand, and have
+    * lengths within the distance bound (an edit-distance-d pair can't
+    * differ in length by more than d — the standard length-pruning
+    * rule), so the quadratic explosion is confined to small
+    * (brand × noun) blocks — the multi-key blocking every production
+    * record-linkage system uses (recall is bounded by the blocking
+    * keys, by design; a deletion-neighborhood join would make d ≤ 2
+    * recall exact and is the R8 upgrade path); blocks larger
     * than [[FuzzyBlockCap]] are dropped entirely (the DfCap pattern —
     * a degenerate block means the key carries no signal), mirrored in
     * the oracle so the gate runs with the cap ACTIVE. The checksum
@@ -531,14 +535,16 @@ object Dedup {
   def qFuzzyMatch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val p = Tables.part(s, d).select($"p_partkey", $"p_name",
+    val p = Tables.part(s, d).select($"p_partkey", $"p_name", $"p_brand",
       split($"p_name", " ").getItem(1).as("w"),
       length($"p_name").as("len"))
     val pc = p
-      .withColumn("bf", count(lit(1)).over(Window.partitionBy($"w")))
+      .withColumn("bf",
+        count(lit(1)).over(Window.partitionBy($"w", $"p_brand")))
       .filter($"bf" <= FuzzyBlockCap)
     pc.as("a").join(pc.as("b"),
-        $"a.w" === $"b.w" && $"a.p_partkey" < $"b.p_partkey" &&
+        $"a.w" === $"b.w" && $"a.p_brand" === $"b.p_brand" &&
+          $"a.p_partkey" < $"b.p_partkey" &&
           abs($"a.len" - $"b.len") <= FuzzyMaxDist)
       .withColumn("dist", levenshtein($"a.p_name", $"b.p_name"))
       .filter($"dist" <= FuzzyMaxDist)
@@ -640,16 +646,18 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "q_fuzzy_match" ->
-      s"""WITH p AS (SELECT p_partkey, p_name,
+      s"""WITH p AS (SELECT p_partkey, p_name, p_brand,
          |  string_split(p_name, ' ')[2] AS w,
          |  length(p_name) AS len,
-         |  COUNT(*) OVER (PARTITION BY string_split(p_name, ' ')[2]) AS bf
+         |  COUNT(*) OVER (PARTITION BY string_split(p_name, ' ')[2],
+         |    p_brand) AS bf
          |  FROM part),
          |pc AS (SELECT * FROM p WHERE bf <= $FuzzyBlockCap),
          |m AS (SELECT a.w AS block, a.p_partkey AS ka, b.p_partkey AS kb,
          |  levenshtein(a.p_name, b.p_name) AS dist
          |  FROM pc a JOIN pc b
-         |  ON a.w = b.w AND a.p_partkey < b.p_partkey
+         |  ON a.w = b.w AND a.p_brand = b.p_brand
+         |    AND a.p_partkey < b.p_partkey
          |    AND abs(a.len - b.len) <= $FuzzyMaxDist)
          |SELECT block, COUNT(*) AS n_pairs,
          |CAST(MIN(dist) AS INTEGER) AS min_dist,

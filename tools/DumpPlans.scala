@@ -14,7 +14,8 @@ object DumpPlans {
     "q_jaccard_est", "q_incremental_dedup", "q_pii_scrub", "q_tfidf",
     "q_event_transition", "q_seq_pattern", "q_anomaly", "q_unpivot",
     "q_skyline", "q_ntile", "q_seq_pack", "q_shard_assign",
-    "q_corpus_stats", "q_interpolate", "q_cross_join", "q_range_physical")
+    "q_corpus_stats", "q_interpolate", "q_cross_join", "q_range_physical",
+    "q_interval_overlap", "q_range_anti", "q_fuzzy_match", "q_correlation")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("plans")
