@@ -512,7 +512,7 @@ object Dedup {
   }
 
   private val FuzzyMaxDist = 3
-  private val FuzzyBlockCap = 4096
+  private val FuzzyBlockCap = 256
 
   /** FUZZY string matching (edit-distance record linkage) — the
     * dedup verb for near-identical NAMES rather than near-identical
@@ -525,10 +525,12 @@ object Dedup {
     * (brand × noun) blocks — the multi-key blocking every production
     * record-linkage system uses (recall is bounded by the blocking
     * keys, by design; a deletion-neighborhood join would make d ≤ 2
-    * recall exact and is the R8 upgrade path); blocks larger
-    * than [[FuzzyBlockCap]] are dropped entirely (the DfCap pattern —
-    * a degenerate block means the key carries no signal), mirrored in
-    * the oracle so the gate runs with the cap ACTIVE. The checksum
+    * recall exact and is the R8 upgrade path). Blocks larger than
+    * [[FuzzyBlockCap]] fall back to star comparison (every member vs
+    * the block-min row only — the same cap [[qMinhashPairs]] uses), so
+    * a degenerate block costs f−1 comparisons, never f²; the cap is
+    * mirrored in the oracle so the gate runs with it ACTIVE. The
+    * checksum
     * bit_xors each matching pair's key pair, proving the exact match
     * set. levenshtein is the same unweighted DP in both engines —
     * integer-exact. */
@@ -538,13 +540,14 @@ object Dedup {
     val p = Tables.part(s, d).select($"p_partkey", $"p_name", $"p_brand",
       split($"p_name", " ").getItem(1).as("w"),
       length($"p_name").as("len"))
+    val bw = Window.partitionBy($"w", $"p_brand")
     val pc = p
-      .withColumn("bf",
-        count(lit(1)).over(Window.partitionBy($"w", $"p_brand")))
-      .filter($"bf" <= FuzzyBlockCap)
+      .withColumn("bf", count(lit(1)).over(bw))
+      .withColumn("bmin", min($"p_partkey").over(bw))
     pc.as("a").join(pc.as("b"),
         $"a.w" === $"b.w" && $"a.p_brand" === $"b.p_brand" &&
           $"a.p_partkey" < $"b.p_partkey" &&
+          ($"a.bf" <= FuzzyBlockCap || $"a.p_partkey" === $"a.bmin") &&
           abs($"a.len" - $"b.len") <= FuzzyMaxDist)
       .withColumn("dist", levenshtein($"a.p_name", $"b.p_name"))
       .filter($"dist" <= FuzzyMaxDist)
@@ -646,18 +649,20 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "q_fuzzy_match" ->
-      s"""WITH p AS (SELECT p_partkey, p_name, p_brand,
+      s"""WITH pc AS (SELECT p_partkey, p_name, p_brand,
          |  string_split(p_name, ' ')[2] AS w,
          |  length(p_name) AS len,
          |  COUNT(*) OVER (PARTITION BY string_split(p_name, ' ')[2],
-         |    p_brand) AS bf
+         |    p_brand) AS bf,
+         |  MIN(p_partkey) OVER (PARTITION BY string_split(p_name, ' ')[2],
+         |    p_brand) AS bmin
          |  FROM part),
-         |pc AS (SELECT * FROM p WHERE bf <= $FuzzyBlockCap),
          |m AS (SELECT a.w AS block, a.p_partkey AS ka, b.p_partkey AS kb,
          |  levenshtein(a.p_name, b.p_name) AS dist
          |  FROM pc a JOIN pc b
          |  ON a.w = b.w AND a.p_brand = b.p_brand
          |    AND a.p_partkey < b.p_partkey
+         |    AND (a.bf <= $FuzzyBlockCap OR a.p_partkey = a.bmin)
          |    AND abs(a.len - b.len) <= $FuzzyMaxDist)
          |SELECT block, COUNT(*) AS n_pairs,
          |CAST(MIN(dist) AS INTEGER) AS min_dist,
