@@ -42,6 +42,14 @@ object Bench {
           System.err.println(s"[bench] $name: $e"); -1.0
         }
       }.drop(1) // rep 0 is the per-query warmup, never reported
+      // free localCheckpoint blocks between queries (outside the timed
+      // region): the dedup family pins checkpointed RDDs that the
+      // ContextCleaner only drops on GC, and 127 queries of accumulated
+      // blocks tax storage memory for everything downstream (the round-7
+      // q_json_path 0.4→3.0 s sweep anomaly). Each query still pays its
+      // OWN checkpoint cost inside its timed reps.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       // a failure anywhere marks the query failed (-1) in the JSON —
       // a broken query must not read as a fast one
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
@@ -73,8 +81,17 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},""" +
       s""""n_reported":${picked.size},"full":"BENCH_FULL.json"}"""
+    // The harness keeps only the TAIL of the combined process output;
+    // rounds 6-7 lost the JSON line because WARN chatter (WindowExec,
+    // shutdown hooks) printed AFTER it. Silence ALL logging — the
+    // SparkContext level and the log4j2 root logger (shutdown hooks log
+    // through the root logger after main returns) — before emitting.
+    spark.sparkContext.setLogLevel("OFF")
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.OFF)
     spark.stop()
     // after stop() so no Spark shutdown chatter can follow it on stdout
     println(line)
+    System.out.flush()
   }
 }

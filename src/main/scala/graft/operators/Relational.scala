@@ -246,21 +246,34 @@ object Relational {
 
   /** SKYLINE (Pareto frontier): parts no other part dominates on
     * (cheaper price, larger size) — the multi-objective shortlist
-    * operator. One ordered pass, no pairwise join: sorted by (price,
-    * partkey), a part is on the frontier iff its size strictly beats
-    * the running max of everything cheaper. The global-order window
-    * runs on a DIMENSION-sized table; at 100 TB fact scale the same
-    * shape composes as per-partition local skylines (this filter per
-    * partition) whose union — orders of magnitude smaller — takes one
-    * final pass, since skyline(S) = skyline(∪ skyline(Sᵢ)). */
+    * operator. No pairwise join and NO single-partition pass:
+    * skyline(S) = skyline(∪ skyline(Sᵢ)), and the strict-inequality
+    * running-max filter makes the two-level composition EXACT — for
+    * any row, the first predecessor attaining the global running max
+    * is itself locally undominated, so the max over surviving
+    * candidates equals the max over all predecessors. Level 1 runs
+    * the ordered filter per input partition (window keyed by a
+    * materialized spark_partition_id — parallel, shuffles only by
+    * pid); level 2 reruns it once over the union of local frontiers,
+    * which is bounded by |skyline| × partitions, orders of magnitude
+    * smaller than the table. That final window is keyed by the
+    * constant pid of a 1-partition exchange — a non-empty partition
+    * spec, so no `WindowExec: No Partition Defined` scan-the-world
+    * plan at any scale. */
   def qSkyline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Window.orderBy($"p_retailprice".asc, $"p_partkey".asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.part(s, d)
-      .withColumn("best_prev", max($"p_size").over(w))
-      .filter($"best_prev".isNull || $"p_size" > $"best_prev")
+    def frontier(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"pid")
+        .orderBy($"p_retailprice".asc, $"p_partkey".asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("best_prev", max($"p_size").over(w))
+        .filter($"best_prev".isNull || $"p_size" > $"best_prev")
+        .select($"p_partkey", $"p_retailprice", $"p_size")
+    }
+    val base = Tables.part(s, d)
       .select($"p_partkey", $"p_retailprice", $"p_size")
+    val local = frontier(base.withColumn("pid", spark_partition_id()))
+    frontier(local.repartition(1).withColumn("pid", spark_partition_id()))
   }
 
   def qRollup(s: SparkSession, d: String): DataFrame = {
