@@ -559,8 +559,83 @@ object Dedup {
           .as("pair_checksum"))
   }
 
+  private[graft] val FuzzyExactMaxDist = 2
+
+  /** Deletion neighborhood of `nm` up to 2 deletions — the FastSS /
+    * SymSpell candidate key set. Exactness: for any optimal alignment
+    * of u,v with s substitutions, i insertions, j deletions
+    * (s+i+j ≤ d), deleting the substituted+deleted positions from u
+    * (≤ d deletions) and the substituted+inserted ones from v (≤ d
+    * deletions) yields the SAME matched-character subsequence, so
+    * every pair within edit distance d shares a common member of the
+    * two neighborhoods — candidate generation misses nothing, unlike
+    * key blocking. Cost is C(len,2)+len+1 variants per string, the
+    * documented price of exact recall (right for short keys like
+    * names; for long documents use the shingle/MinHash family). */
+  private[graft] def deletionVariants2(nm: Column): Column = {
+    val ln = length(nm)
+    val d1 = transform(sequence(lit(1), ln), i =>
+      concat(nm.substr(lit(1), i - 1), nm.substr(i + 1, ln)))
+    val d2 = flatten(transform(sequence(lit(1), ln - 1), i =>
+      transform(sequence(i + 1, ln), j =>
+        concat(nm.substr(lit(1), i - 1), nm.substr(i + 1, j - i - 1),
+          nm.substr(j + 1, ln)))))
+    array_distinct(concat(array(nm), d1,
+      when(ln >= 2, d2).otherwise(array().cast("array<string>"))))
+  }
+
+  /** FastSS pair join over a name DICTIONARY: all distinct-name pairs
+    * within Levenshtein distance [[FuzzyExactMaxDist]], found by
+    * equi-joining deletion-neighborhood variants (exact recall — see
+    * [[deletionVariants2]]), length-pruned, deduplicated, then
+    * verified with the real DP. `dict` columns: name, rep, n_parts,
+    * head, len. */
+  private[graft] def fuzzyExactPairs(dict: DataFrame): DataFrame = {
+    import dict.sparkSession.implicits._
+    val v = dict.withColumn("variant", explode(deletionVariants2($"name")))
+    v.as("a").join(v.as("b"),
+        $"a.variant" === $"b.variant" && $"a.name" < $"b.name" &&
+          abs($"a.len" - $"b.len") <= FuzzyExactMaxDist)
+      .select($"a.name".as("na"), $"b.name".as("nb"),
+        $"a.rep".as("ra"), $"b.rep".as("rb"),
+        ($"a.n_parts" * $"b.n_parts").as("mult"),
+        ($"a.head" === $"b.head").as("same_head"))
+      .distinct()
+      .withColumn("dist", levenshtein($"na", $"nb"))
+      .filter($"dist" <= FuzzyExactMaxDist)
+  }
+
+  /** EXACT-recall fuzzy matching — the deletion-neighborhood upgrade
+    * [[qFuzzyMatch]]'s scaladoc names: every distinct part-NAME pair
+    * within edit distance 2, including pairs whose brand or head noun
+    * differ (invisible to any blocking join by construction;
+    * `n_cross_head` counts exactly those). SymSpell-shaped for scale:
+    * the quadratic work runs over the NAME DICTIONARY (vocabulary-
+    * bounded — it grows with distinct names, not corpus rows; the only
+    * corpus-sized pass is the dictionary groupBy), and each matched
+    * name pair carries its occurrence multiplicity (`n_part_pairs` =
+    * Σ na_count·nb_count) so the row-level pair count is reported
+    * without materializing row pairs. Checksum bit_xors each name
+    * pair's representative (min) partkeys, proving the exact match
+    * set; levenshtein is the same unweighted DP in both engines. */
+  def qFuzzyExact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dict = Tables.part(s, d)
+      .groupBy($"p_name".as("name"))
+      .agg(min($"p_partkey").as("rep"), count(lit(1)).as("n_parts"))
+      .withColumn("head", split($"name", " ").getItem(0))
+      .withColumn("len", length($"name"))
+    fuzzyExactPairs(dict)
+      .groupBy($"dist")
+      .agg(count(lit(1)).as("n_name_pairs"),
+        sum($"mult").as("n_part_pairs"),
+        sum(when(!$"same_head", 1L).otherwise(0L)).as("n_cross_head"),
+        bit_xor($"ra" * lit(1073741824L) + $"rb").as("pair_checksum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_match" -> (qFuzzyMatch _),
+    "q_fuzzy_exact" -> (qFuzzyExact _),
     "q_dup_clusters" -> (qDupClusters _),
     "q_dedup_keep" -> (qDedupKeep _),
     "q_chunk_dedup" -> (qChunkDedup _),
@@ -669,6 +744,32 @@ object Dedup {
          |CAST(SUM(dist) AS BIGINT) AS sum_dist,
          |bit_xor(ka * 1073741824 + kb) AS pair_checksum
          |FROM m WHERE dist <= $FuzzyMaxDist GROUP BY block""".stripMargin,
+    "q_fuzzy_exact" ->
+      s"""WITH dict AS (SELECT p_name AS name, MIN(p_partkey) AS rep,
+         |  COUNT(*) AS n_parts, string_split(p_name, ' ')[1] AS head,
+         |  length(p_name) AS len FROM part GROUP BY p_name),
+         |v AS (SELECT name, rep, n_parts, head, len, unnest(list_distinct(
+         |  [name]
+         |  || list_transform(generate_series(1, len),
+         |       i -> name[1:i-1] || name[i+1:len])
+         |  || CASE WHEN len >= 2 THEN
+         |       flatten(list_transform(generate_series(1, len-1),
+         |         i -> list_transform(generate_series(i+1, len),
+         |           j -> name[1:i-1] || name[i+1:j-1] || name[j+1:len])))
+         |     ELSE [] END)) AS variant FROM dict),
+         |cand AS (SELECT DISTINCT a.name AS na, b.name AS nb,
+         |  a.rep AS ra, b.rep AS rb, a.n_parts * b.n_parts AS mult,
+         |  (a.head = b.head) AS same_head
+         |  FROM v a JOIN v b ON a.variant = b.variant AND a.name < b.name
+         |  AND abs(a.len - b.len) <= $FuzzyExactMaxDist),
+         |m AS (SELECT *, levenshtein(na, nb) AS dist FROM cand
+         |  WHERE levenshtein(na, nb) <= $FuzzyExactMaxDist)
+         |SELECT CAST(dist AS INTEGER) AS dist, COUNT(*) AS n_name_pairs,
+         |CAST(SUM(mult) AS BIGINT) AS n_part_pairs,
+         |CAST(SUM(CASE WHEN NOT same_head THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_cross_head,
+         |bit_xor(ra * 1073741824 + rb) AS pair_checksum
+         |FROM m GROUP BY dist""".stripMargin,
     "q_dup_clusters" ->
       s"""$ccLabelsCtes
          |SELECT label, COUNT(*) AS n_docs, CAST(MAX(id) AS BIGINT) AS max_doc

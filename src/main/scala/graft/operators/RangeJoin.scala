@@ -122,11 +122,42 @@ object RangeJoin {
       .agg(count(lit(1)).as("n_outside"))
   }
 
+  /** FULL OUTER range join — all three row classes of a full join in
+    * one pass: events inside windows (matched), events outside every
+    * window (the null-window group), and windows NO event touched
+    * (zero-count rows — five synthetic windows placed past the global
+    * max timestamp are empty by construction, so the gate exercises
+    * the unmatched-interval path non-trivially). The global max is a
+    * 1-row aggregate cross-joined in (broadcast scalar, the declared
+    * pattern); the exec computes the matched-interval set with its
+    * bitset pre-pass and unions the untouched windows null-extended. */
+  def qRangeFull(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Events.events(s, d).select($"event_id", $"user_id", $"ts_us")
+    val real = ev.filter($"user_id" < 10)
+      .groupBy($"user_id".as("w_user"))
+      .agg(min($"ts_us").as("w_start"))
+      .withColumn("w_end", $"w_start" + 3600L * 1000000)
+      .select($"w_user", $"w_start", $"w_end")
+    val gmax = ev.agg(max($"ts_us").as("gmax"))
+    val empty = s.range(5).crossJoin(gmax)
+      .select(($"id" + 1000L).as("w_user"),
+        ($"gmax" + ($"id" + 1) * 3600000000L).as("w_start"),
+        ($"gmax" + ($"id" + 1) * 3600000000L + 1800000000L).as("w_end"))
+    val windows = real.unionByName(empty)
+    graft.plans.RangePhysical
+      .fullJoin(ev, windows, "ts_us", "w_start", "w_end")
+      .groupBy($"w_user")
+      .agg(count($"event_id").as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_join" -> (qRangeJoin _),
     "q_range_physical" -> (qRangePhysical _),
     "q_interval_overlap" -> (qIntervalOverlap _),
-    "q_range_anti" -> (qRangeAnti _)
+    "q_range_anti" -> (qRangeAnti _),
+    "q_range_full" -> (qRangeFull _)
   )
 
   /** One SQL for both formulations: the physical exec is an execution
@@ -154,6 +185,20 @@ object RangeJoin {
         |WHERE NOT EXISTS (SELECT 1 FROM w
         |  WHERE e.ts_us >= w.w_start AND e.ts_us <= w.w_end)
         |GROUP BY event_type""".stripMargin,
+    "q_range_full" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |w AS (SELECT user_id AS w_user, MIN(ts_us) AS w_start,
+        |  MIN(ts_us) + 3600000000 AS w_end
+        |  FROM e WHERE user_id < 10 GROUP BY 1
+        |  UNION ALL
+        |  SELECT 1000 + k, (SELECT MAX(ts_us) FROM e) + (k+1) * 3600000000,
+        |    (SELECT MAX(ts_us) FROM e) + (k+1) * 3600000000 + 1800000000
+        |  FROM (SELECT unnest([0,1,2,3,4]) AS k))
+        |SELECT w_user, COUNT(event_id) AS n_events,
+        |COUNT(DISTINCT user_id) AS n_users
+        |FROM e FULL JOIN w ON e.ts_us >= w.w_start AND e.ts_us <= w.w_end
+        |GROUP BY w_user""".stripMargin,
     "q_interval_overlap" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
         |w AS (SELECT user_id AS w_user, MIN(ts_us) AS w_start,

@@ -3,12 +3,25 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnknownPartitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.LongType
+
+/** Join mode of [[RangeJoinExec]]. Inner: matching pairs only.
+  * LeftOuter: unmatched probes additionally emit one row with null
+  * interval columns (the anti join is this + an IS NULL filter).
+  * FullOuter: LeftOuter plus one null-probe row per interval no probe
+  * touched — empty windows stay visible. */
+sealed abstract class RangeJoinMode(
+    val probeNullable: Boolean, val intervalNullable: Boolean)
+object RangeJoinMode {
+  case object Inner extends RangeJoinMode(false, false)
+  case object LeftOuter extends RangeJoinMode(false, true)
+  case object FullOuter extends RangeJoinMode(true, true)
+}
 
 /** Physical range join: every (probe ∩ [start, end] ≠ ∅) pair, with
   * no equi key. The probe side carries an interval [lo, hi]; a point
@@ -35,23 +48,36 @@ import org.apache.spark.sql.types.LongType
   * the documented trade-off vs an interval tree, acceptable because m
   * is broadcast-bounded anyway.
   *
+  * FullOuter needs the set of intervals SOME probe matched — global
+  * information no single task has — so it runs one extra pre-pass job
+  * over the probe side that folds per-partition matched bitsets
+  * (bitset size = broadcast interval count, driver-trivial; the same
+  * eager-pre-job shape Spark's BroadcastNestedLoopJoinExec uses for
+  * build-side outer joins), then unions the unmatched intervals as one
+  * extra null-extended partition.
+  *
   * Point, start and end must all be LONG (cast upstream — micros,
   * cents, whatever the domain integer is). Null points and null-bounded
-  * intervals never match (SQL comparison semantics).
+  * intervals never match (SQL comparison semantics); in FullOuter a
+  * null-bounded interval still emits its unmatched row, like any SQL
+  * full join.
   */
 case class RangeJoinNode(
     lo: Expression,
     hi: Expression,
     start: Expression,
     end: Expression,
-    outer: Boolean,
+    mode: RangeJoinMode,
     left: LogicalPlan,
     right: LogicalPlan) extends BinaryNode {
-  // inner: only matching pairs; left outer: unmatched probes emit one
-  // row with null interval columns
-  override def output: Seq[Attribute] =
-    if (outer) left.output ++ right.output.map(_.withNullability(true))
-    else left.output ++ right.output
+  override def output: Seq[Attribute] = {
+    val l = if (mode.probeNullable) left.output.map(_.withNullability(true))
+            else left.output
+    val r = if (mode.intervalNullable)
+              right.output.map(_.withNullability(true))
+            else right.output
+    l ++ r
+  }
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): RangeJoinNode =
     copy(left = newLeft, right = newRight)
@@ -62,85 +88,136 @@ case class RangeJoinExec(
     hi: Expression,
     start: Expression,
     end: Expression,
-    outer: Boolean,
+    mode: RangeJoinMode,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] =
-    if (outer) left.output ++ right.output.map(_.withNullability(true))
-    else left.output ++ right.output
+  override def output: Seq[Attribute] = {
+    val l = if (mode.probeNullable) left.output.map(_.withNullability(true))
+            else left.output
+    val r = if (mode.intervalNullable)
+              right.output.map(_.withNullability(true))
+            else right.output
+    l ++ r
+  }
 
   // points stream wherever they already are; intervals broadcast whole
   override def requiredChildDistribution: Seq[Distribution] =
     UnspecifiedDistribution ::
       BroadcastDistribution(IdentityBroadcastMode) :: Nil
 
-  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputPartitioning: Partitioning = mode match {
+    // the unioned unmatched-interval partition breaks any inherited
+    // partitioning guarantee
+    case RangeJoinMode.FullOuter => UnknownPartitioning(0)
+    case _ => left.outputPartitioning
+  }
+
+  /** Augmented sorted index over the broadcast intervals: position i
+    * holds the i-th smallest start, its end, the prefix max of ends,
+    * and the ORIGINAL broadcast-array index (so matched-bitset bits
+    * are stable across tasks regardless of sort ties). Null-bounded
+    * intervals are excluded (they can never match). */
+  private class IntervalIndex(all: Array[InternalRow],
+                              boundProj: UnsafeProjection) {
+    private val keyed = all.indices.flatMap { i =>
+      val b = boundProj(all(i))
+      if (b.isNullAt(0) || b.isNullAt(1)) None
+      else Some((b.getLong(0), b.getLong(1), i))
+    }.sortBy(t => (t._1, t._3)).toArray
+    val m: Int = keyed.length
+    val starts: Array[Long] = keyed.map(_._1)
+    val ends: Array[Long] = keyed.map(_._2)
+    val origIdx: Array[Int] = keyed.map(_._3)
+    val rows: Array[InternalRow] = keyed.map(t => all(t._3))
+    val maxEnd: Array[Long] = {
+      val a = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        a(i) = if (i == 0) ends(0) else math.max(a(i - 1), ends(i)); i += 1
+      }
+      a
+    }
+    /** Sorted positions of intervals overlapping [ps, pe]: binary
+      * search for the rightmost start ≤ pe, then walk left while the
+      * prefix-max-end can still reach ps. */
+    def probe(ps: Long, pe: Long): Iterator[Int] = new Iterator[Int] {
+      private var j = {
+        var bLo = 0; var bHi = m - 1; var last = -1
+        while (bLo <= bHi) {
+          val mid = (bLo + bHi) >>> 1
+          if (starts(mid) <= pe) { last = mid; bLo = mid + 1 }
+          else bHi = mid - 1
+        }
+        last
+      }
+      private def seek(): Unit = {
+        while (j >= 0 && maxEnd(j) >= ps && ends(j) < ps) j -= 1
+        if (j >= 0 && maxEnd(j) < ps) j = -1 // nothing left can match
+      }
+      seek()
+      override def hasNext: Boolean = j >= 0
+      override def next(): Int = { val out = j; j -= 1; seek(); out }
+    }
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val bcRows = right.executeBroadcast[Array[InternalRow]]()
-    val (plo, phi, st, en, isOuter) = (lo, hi, start, end, outer)
+    val (plo, phi, st, en, jm) = (lo, hi, start, end, mode)
     val (lOut, rOut, allOut) = (left.output, right.output, output)
-    left.execute().mapPartitions { lIt =>
-      // build the augmented index once per task from the broadcast set
+
+    // FullOuter pre-pass: which ORIGINAL interval indices did any
+    // probe match, folded across partitions.
+    val matchedIntervals: java.util.BitSet =
+      if (jm != RangeJoinMode.FullOuter) null
+      else left.execute().mapPartitions { lIt =>
+        val ptProj = UnsafeProjection.create(Seq(plo, phi), lOut)
+        val boundProj = UnsafeProjection.create(Seq(st, en), rOut)
+        val idx = new IntervalIndex(bcRows.value, boundProj)
+        val bits = new java.util.BitSet(bcRows.value.length)
+        lIt.foreach { l =>
+          val pRow = ptProj(l)
+          if (!pRow.isNullAt(0) && !pRow.isNullAt(1) && idx.m > 0)
+            idx.probe(pRow.getLong(0), pRow.getLong(1))
+              .foreach(p => bits.set(idx.origIdx(p)))
+        }
+        Iterator.single(bits)
+      }.fold(new java.util.BitSet) { (a, b) => a.or(b); a }
+
+    val streamed = left.execute().mapPartitions { lIt =>
       val ptProj = UnsafeProjection.create(Seq(plo, phi), lOut)
       val boundProj = UnsafeProjection.create(Seq(st, en), rOut)
-      val rows = bcRows.value.filter { r =>
-        val b = boundProj(r); !b.isNullAt(0) && !b.isNullAt(1)
-      }
-      val order = rows.indices.sortBy(i => boundProj(rows(i)).getLong(0))
-      val m = order.length
-      val starts = new Array[Long](m)
-      val ends = new Array[Long](m)
-      val sorted = new Array[InternalRow](m)
-      val maxEnd = new Array[Long](m) // prefix max of ends
-      var i = 0
-      while (i < m) {
-        val b = boundProj(rows(order(i)))
-        starts(i) = b.getLong(0); ends(i) = b.getLong(1)
-        sorted(i) = rows(order(i))
-        maxEnd(i) = if (i == 0) ends(0) else math.max(maxEnd(i - 1), ends(i))
-        i += 1
-      }
+      val idx = new IntervalIndex(bcRows.value, boundProj)
       val joined = new JoinedRow
       val outProj = UnsafeProjection.create(allOut, allOut)
-      val nullRight = new org.apache.spark.sql.catalyst.expressions
-        .GenericInternalRow(rOut.size)
+      val nullRight = new GenericInternalRow(rOut.size)
       def unmatched(l: InternalRow): Iterator[InternalRow] =
-        if (isOuter) Iterator.single(outProj(joined(l, nullRight)))
+        if (jm != RangeJoinMode.Inner)
+          Iterator.single(outProj(joined(l, nullRight)))
         else Iterator.empty
       lIt.flatMap { l =>
         val pRow = ptProj(l)
-        if (pRow.isNullAt(0) || pRow.isNullAt(1) || m == 0) unmatched(l)
+        if (pRow.isNullAt(0) || pRow.isNullAt(1) || idx.m == 0) unmatched(l)
         else {
-          // probe interval [ps, pe]; a point probe has ps == pe.
-          // match condition: start <= pe AND end >= ps
-          val ps = pRow.getLong(0)
-          val pe = pRow.getLong(1)
-          // rightmost interval with start <= pe
-          var bLo = 0; var bHi = m - 1; var last = -1
-          while (bLo <= bHi) {
-            val mid = (bLo + bHi) >>> 1
-            if (starts(mid) <= pe) { last = mid; bLo = mid + 1 }
-            else bHi = mid - 1
-          }
-          val matches = new Iterator[InternalRow] {
-            private var j = last
-            private def seek(): Unit = {
-              while (j >= 0 && maxEnd(j) >= ps && ends(j) < ps) j -= 1
-              if (j >= 0 && maxEnd(j) < ps) j = -1 // nothing left can match
-            }
-            seek()
-            override def hasNext: Boolean = j >= 0
-            override def next(): InternalRow = {
-              val out = outProj(joined(l, sorted(j)))
-              j -= 1; seek()
-              out
-            }
-          }
+          val matches = idx.probe(pRow.getLong(0), pRow.getLong(1))
+            .map(p => outProj(joined(l, idx.rows(p))))
           if (matches.hasNext) matches else unmatched(l)
         }
       }
+    }
+
+    if (jm != RangeJoinMode.FullOuter) streamed
+    else {
+      // null-extended rows for intervals no probe touched, emitted from
+      // the driver-held broadcast value as one extra partition
+      val all = bcRows.value
+      val joined = new JoinedRow
+      val outProj = UnsafeProjection.create(allOut, allOut)
+      val nullLeft = new GenericInternalRow(lOut.size)
+      val extra = all.indices.filterNot(matchedIntervals.get).map { i =>
+        outProj(joined(nullLeft, all(i))).copy(): InternalRow
+      }
+      streamed.union(sparkContext.parallelize(extra, 1))
     }
   }
 
@@ -151,8 +228,8 @@ case class RangeJoinExec(
 
 object RangeStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case RangeJoinNode(lo, hi, s, e, o, l, r) =>
-      RangeJoinExec(lo, hi, s, e, o, planLater(l), planLater(r)) :: Nil
+    case RangeJoinNode(lo, hi, s, e, m, l, r) =>
+      RangeJoinExec(lo, hi, s, e, m, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -164,28 +241,39 @@ object RangeStrategy extends SparkStrategy {
   * [[graft.operators.RangeJoin.byBucket]] minus the `bucketWidth`
   * knob. [[overlapJoin]]: interval–interval overlap — every pair with
   * `l.start <= r.end AND l.end >= r.start` (the point probe is the
-  * degenerate lo == hi case of the same exec). */
+  * degenerate lo == hi case of the same exec). [[fullJoin]]: FULL
+  * OUTER point containment — unmatched points AND untouched intervals
+  * both surface as null-extended rows.
+  *
+  * Requires a session built with [[graft.GraftExtensions]] (which
+  * injects [[RangeStrategy]]); there is deliberately no fallback
+  * mutation of `experimental.extraStrategies` here — that mutation is
+  * session-global and not thread-safe. */
 object RangePhysical {
+  import RangeJoinMode._
+
   def join(points: DataFrame, intervals: DataFrame,
            ptCol: String, startCol: String, endCol: String,
            outer: Boolean = false): DataFrame =
-    build(points, intervals, ptCol, ptCol, startCol, endCol, outer)
+    build(points, intervals, ptCol, ptCol, startCol, endCol,
+      if (outer) LeftOuter else Inner)
+
+  def fullJoin(points: DataFrame, intervals: DataFrame,
+               ptCol: String, startCol: String, endCol: String): DataFrame =
+    build(points, intervals, ptCol, ptCol, startCol, endCol, FullOuter)
 
   def overlapJoin(left: DataFrame, intervals: DataFrame,
                   leftStartCol: String, leftEndCol: String,
                   startCol: String, endCol: String,
                   outer: Boolean = false): DataFrame =
-    build(left, intervals, leftStartCol, leftEndCol, startCol, endCol, outer)
+    build(left, intervals, leftStartCol, leftEndCol, startCol, endCol,
+      if (outer) LeftOuter else Inner)
 
   private def build(left: DataFrame, intervals: DataFrame,
                     loCol: String, hiCol: String,
                     startCol: String, endCol: String,
-                    outer: Boolean): DataFrame = {
+                    mode: RangeJoinMode): DataFrame = {
     val spark = left.sparkSession
-    val exp = spark.experimental
-    if (!exp.extraStrategies.contains(RangeStrategy)) {
-      exp.extraStrategies = exp.extraStrategies :+ RangeStrategy
-    }
     val lPlan = Bridge.analyzedPlan(left)
     val rPlan = Bridge.analyzedPlan(intervals)
     def attr(p: LogicalPlan, name: String) = p.output
@@ -200,6 +288,6 @@ object RangePhysical {
       require(a.dataType == LongType,
         s"range join: column '${a.name}' must be LONG, got ${a.dataType}")
     }
-    Bridge.ofRows(spark, RangeJoinNode(lo, hi, st, en, outer, lPlan, rPlan))
+    Bridge.ofRows(spark, RangeJoinNode(lo, hi, st, en, mode, lPlan, rPlan))
   }
 }

@@ -84,6 +84,32 @@ class RangePhysicalSpec extends AnyFunSuite {
       .count() === 4)
   }
 
+  test("full outer mode matches the reference full join on both sides") {
+    import spark.implicits._
+    // interval 3 is touched by no point; points 1 and 4 hit no interval;
+    // interval 9 is null-bounded (never matches, still emitted unmatched)
+    val ivs = Seq((1L, Some(10L), Some(20L)), (2L, Some(15L), Some(30L)),
+      (3L, Some(50L), Some(60L)), (9L, None, Some(20L)))
+      .toDF("iid", "lo", "hi")
+    val pts = Seq((1L, 5L), (2L, 15L), (3L, 25L), (4L, 99L))
+      .toDF("pid", "p")
+    val got = RangePhysical.fullJoin(pts, ivs, "p", "lo", "hi")
+      .select($"pid", $"iid").as[(Option[Long], Option[Long])]
+      .collect().toSet
+    val want = pts.join(ivs, pts("p") >= ivs("lo") && pts("p") <= ivs("hi"),
+        "full")
+      .select($"pid", $"iid").as[(Option[Long], Option[Long])]
+      .collect().toSet
+    assert(got === want)
+    assert(got.contains((None, Some(3L))) && got.contains((None, Some(9L))))
+    assert(got.contains((Some(1L), None)) && got.contains((Some(4L), None)))
+    // fully empty sides: all-unmatched in both directions
+    val none = Seq.empty[(Long, Long, Long)].toDF("iid", "lo", "hi")
+    assert(RangePhysical.fullJoin(pts, none, "p", "lo", "hi").count() === 4)
+    val noPts = Seq.empty[(Long, Long)].toDF("pid", "p")
+    assert(RangePhysical.fullJoin(noPts, ivs, "p", "lo", "hi").count() === 4)
+  }
+
   test("null points and null-bounded intervals never match") {
     import spark.implicits._
     val ivs = Seq((1L, Some(10L), Some(20L)), (2L, None, Some(20L)),
