@@ -185,7 +185,13 @@ object Events {
     * diverge between engines. Scale shape: one shuffle agg over the
     * fact table, then IGNORE-NULLS windows on the CALENDAR×type spine
     * (domain-bounded, like [[qGapFill]]) — fact volume never enters
-    * the window. */
+    * the window.
+    *
+    * PRECONDITION (pinned by EngineSpec): events.value ≥ 0, so the
+    * blend numerator pv·(nd−d) + nv·(d−pd) is non-negative and
+    * Spark's `div` (truncation) ≡ DuckDB's `//` ≡ floor. A negative
+    * value stream would need floor-division explicitly on both
+    * sides. */
   def qInterpolate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val daily = events(s, d)

@@ -200,10 +200,7 @@ object ManifestTable {
     val ranges = Sources.fileRangesOf(fs, abs, key)
     val kept = Sources.filesInRange(ranges, lower, upper)
     val df =
-      if (kept.isEmpty)
-        // schema anchor: empty frame in the table schema
-        s.read.option("mergeSchema", "true")
-          .parquet(abs.head.toString).limit(0)
+      if (kept.isEmpty) emptyFrame(s, root, fs, files, v)
       else s.read.option("mergeSchema", "true").parquet(kept: _*)
     val lo = Option(lower).map(l => col(key) >= lit(l))
     val hi = Option(upper).map(h => col(key) <= lit(h))
@@ -231,13 +228,31 @@ object ManifestTable {
     def filesOf(v: Long) = manifestLines(fs, root, v).getOrElse(
       throw new IllegalArgumentException(s"$path has no complete snapshot v$v"))
     val base = filesOf(sinceVersion).toSet
-    val added = filesOf(cur).filterNot(base)
-    if (added.isEmpty)
-      s.read.option("mergeSchema", "true")
-        .parquet(new Path(root, filesOf(cur).head).toString).limit(0)
+    val curFiles = filesOf(cur)
+    val added = curFiles.filterNot(base)
+    if (added.isEmpty) emptyFrame(s, root, fs, curFiles, cur)
     else
       s.read.option("mergeSchema", "true")
         .parquet(added.map(f => new Path(root, f).toString): _*)
+  }
+
+  /** Zero-row frame carrying the FULL table schema. Anchors on every
+    * file of the given manifest list (mergeSchema across ALL footers,
+    * not just the first — pre-evolution files may lack columns), and
+    * when that list is itself empty (a valid all-deleted snapshot)
+    * walks earlier snapshots for any file to read a schema from. */
+  private def emptyFrame(s: SparkSession, root: Path, fs: FileSystem,
+                         files: Seq[String], fromVersion: Long): DataFrame = {
+    val anchor =
+      if (files.nonEmpty) files
+      else (fromVersion to 1L by -1L).iterator
+        .flatMap(v => manifestLines(fs, root, v))
+        .find(_.nonEmpty)
+        .getOrElse(throw new IllegalStateException(
+          s"$root: no data files in any snapshot — table schema unknown"))
+    s.read.option("mergeSchema", "true")
+      .parquet(anchor.map(f => new Path(root, f).toString): _*)
+      .limit(0)
   }
 
   /** Copy-on-write row-level MERGE with an atomic snapshot commit:

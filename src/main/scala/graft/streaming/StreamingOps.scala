@@ -393,6 +393,28 @@ object StreamingOps {
         GroupStateTimeout.NoTimeout)(onShard)
   }
 
+  /** [[packDocs]] composed with the ManifestTable sink: packed bin
+    * assignments land in an ATOMIC snapshot table keyed by docId
+    * instead of an append-only file sink. The packer's emission is
+    * deterministic given its (checkpointed) shard state, so a
+    * crash-replayed micro-batch re-merges byte-identical rows — a
+    * content no-op under the manifest's row-level merge — and
+    * at-least-once batch delivery yields exactly-once TABLE state:
+    * the packed-layout manifest a 100 TB training-data writer hands
+    * to the shuffle/loader stage. Caller sets checkpointLocation and
+    * calls .start(). */
+  def packToManifest(docs: Dataset[PackDoc], path: String,
+                     budget: Long = 512L, shards: Int = 8) =
+    packDocs(docs, budget, shards).toDF()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // empty recovery/idle batches must not commit empty snapshots
+        if (!batch.isEmpty)
+          graft.sources.ManifestTable.upsert(
+            batch.sparkSession, batch, path, "docId")
+      }
+
   /** Streaming exact dedup on event id, with state bounded by the
     * watermark — the streaming twin of exact dedup. */
   def dedup(events: DataFrame, watermark: String = "30 minutes"): DataFrame =

@@ -80,6 +80,31 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       dist.as[(Long, Long)].collect().toMap)
   }
 
+  test("hybrid handoff: distributed rounds contract below the gate, local finish on PARTIALLY contracted edges") {
+    import spark.implicits._
+    // dense graph on few nodes: distinct-edge count collapses fast
+    // under contraction (multi-edges merge), so a mid-range gate is
+    // crossed after ≥1 distributed round but BEFORE convergence —
+    // the production handoff, where union-find runs on rewired
+    // edges, not the input. Contraction rewires but never drops a
+    // non-isolated node, so labels must equal the fully distributed
+    // run's exactly.
+    val n = 500
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(20000)(
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val (dist, dr) =
+      Dedup.connectedComponentsWithRounds(pairs, localFinishMaxEdges = 0)
+    val (hybrid, hr) = Dedup.connectedComponentsWithRounds(
+      pairs, localFinishMaxEdges = 1500)
+    assert(hr > 0, "gate must not be crossed before the first round")
+    assert(hr < dr, "must exit to the local finish BEFORE convergence " +
+      s"(hybrid $hr rounds vs distributed $dr)")
+    assert(hybrid.as[(Long, Long)].collect().toMap ===
+      dist.as[(Long, Long)].collect().toMap)
+  }
+
   test("10^5-edge random graph: rounds ≤ log2(n)+c, labels match union-find") {
     import spark.implicits._
     val n = 20000

@@ -43,6 +43,17 @@ class EngineSpec extends AnyFunSuite {
     assert(q -- o === Set("q_approx_stats", "q_chunk_dedup", "q_ann_ivf_trained"))
   }
 
+  test("qInterpolate precondition: event values are non-negative") {
+    // the interpolation blend's div==floor bit-exactness argument
+    // (Events.qInterpolate scaladoc) requires value >= 0; pin the
+    // data invariant here so a generator change fails loudly instead
+    // of silently breaking the sf gates
+    import org.apache.spark.sql.functions._
+    val mn = Tables.events(spark, sf)
+      .agg(min(col("value"))).head().getDouble(0)
+    assert(mn >= 0.0, s"events.value has negative min $mn")
+  }
+
   test("approximate aggregates stay within tolerance of exact values") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -636,6 +636,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("packer → manifest sink: exactly-once packed table state under restart") {
+    import spark.implicits._
+    import graft.streaming.{PackDoc, PackOut}
+    val base = java.nio.file.Files.createTempDirectory("pkmf")
+      .toFile.getAbsolutePath
+    val (dir, ck) = (s"$base/table", s"$base/ck")
+    val in = MemoryStream[PackDoc](spark)
+    def start() = StreamingOps.packToManifest(in.toDS(), dir,
+        budget = 10L, shards = 2)
+      .option("checkpointLocation", ck).start()
+    def state() = graft.sources.ManifestTable.read(spark, dir)
+      .as[PackOut].collect().map(p => p.docId -> p).toMap
+    val q1 = start()
+    in.addData((1L to 6L).map(i => PackDoc(i, i, 9L)): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    try {
+      in.addData((7L to 8L).map(i => PackDoc(i, i, 9L)): _*)
+      q2.processAllAvailable()
+      val got = state()
+      // same arithmetic as the parquet-sink restart test: post-restart
+      // docs are each their shard's fourth 9-token doc → bins (2, 3)
+      assert(got.size === 8)
+      for (id <- Seq(7L, 8L)) {
+        assert(got(id).firstBin === 2L, s"doc $id must resume, not restart")
+        assert(got(id).lastBin === 3L)
+      }
+      // at-least-once replay: re-merging a batch's deterministic rows
+      // is a content no-op — table state identical, just a new snapshot
+      graft.sources.ManifestTable.merge(spark, dir,
+        Seq(got(7L), got(8L)).toDF(), "docId")
+      assert(state() === got)
+    } finally q2.stop()
+  }
+
   test("restart from checkpoint neither loses nor duplicates output") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ckpt").toFile.getAbsolutePath
