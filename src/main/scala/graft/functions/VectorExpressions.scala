@@ -158,12 +158,72 @@ object VectorExpressions {
     best
   }
 
+  /** Index (1-based) of the L2-NEAREST codeword of subspace `space` —
+    * the product-quantization assignment primitive. Unlike
+    * [[NearestCentroid]] (cosine argmax, right for IVF cell routing),
+    * codeword choice must minimize the RECONSTRUCTION error of the
+    * residual subvector, i.e. squared L2 — a cosine argmin would
+    * ignore magnitude and wreck the ADC dot approximation. Ties go to
+    * the lowest index; eval and codegen share one static method, so
+    * the paths are bitwise identical. */
+  case class NearestCodeword(vec: Expression, space: Expression,
+                             codebooks: Array[Array[Array[Float]]])
+      extends BinaryExpression with ExpectsInputTypes {
+    override def left: Expression = vec
+    override def right: Expression = space
+    override def inputTypes = Seq(ArrayType(FloatType), IntegerType)
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "nearest_codeword"
+
+    override protected def nullSafeEval(v: Any, j: Any): Any =
+      VectorExpressions.nearestCodewordJava(
+        v.asInstanceOf[ArrayData], j.asInstanceOf[Int], codebooks)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+      nullSafeCodeGen(ctx, ev, (v, j) =>
+        s"${ev.value} = graft.functions.VectorExpressions" +
+          s".nearestCodewordJava($v, $j, $cRef);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(vec = newLeft, space = newRight)
+  }
+
+  // Called from generated code; argmin of squared L2, 1-based, ties →
+  // lowest index.
+  def nearestCodewordJava(v: ArrayData, space: Int,
+                          codebooks: Array[Array[Array[Float]]]): Int = {
+    val cws = codebooks(space)
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cws.length) {
+      val cw = cws(c)
+      val n = math.min(v.numElements(), cw.length)
+      var d = 0.0; var i = 0
+      while (i < n) {
+        val diff = v.getFloat(i).toDouble - cw(i).toDouble
+        d += diff * diff; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c + 1 }
+      c += 1
+    }
+    best
+  }
+
   def cosineFast(a: Column, b: Column): Column =
     Bridge.column(CosineSimFloat(
       Bridge.expression(a), Bridge.expression(b)))
 
   def nearestCentroid(v: Column, centroids: Array[Array[Float]]): Column =
     Bridge.column(NearestCentroid(Bridge.expression(v), centroids))
+
+  def nearestCodeword(v: Column, space: Column,
+                      codebooks: Array[Array[Array[Float]]]): Column =
+    Bridge.column(NearestCodeword(
+      Bridge.expression(v), Bridge.expression(space), codebooks))
 
   def signedProjBuckets(v: Column, planes: Array[Array[Double]]): Column =
     Bridge.column(SignedProjBuckets(Bridge.expression(v), planes))

@@ -348,6 +348,26 @@ object Similarity {
   def qAnnIvfTrained(s: SparkSession, d: String): DataFrame =
     annIvfTrained(s, d)
 
+  /** IVF-PQ search — the ~21× memory path ([[graft.functions.Pq]]):
+    * same pinned coarse centroids and probe shape as [[qAnnIvf]], but
+    * candidates are scored from m-byte PQ codes via per-query lookup
+    * tables (ADC), never from the float vectors. Library path, no SQL
+    * oracle (codeword training is k-means, like the trained IVF);
+    * PqSpec gates recall against the full-precision IVF and checks
+    * train determinism + code-size accounting. */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val centroids: Array[Array[Float]] = emb.filter($"vec_id" < Cells)
+      .orderBy($"vec_id").select($"embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val model = graft.functions.Pq.train(emb, centroids, Dims,
+      m = 16, ks = 64)
+    val encoded = graft.functions.Pq.encode(emb, centroids, model)
+    graft.functions.Pq.search(emb, encoded, centroids, model,
+      NQueries, K, NProbe, reRank = 4 * K)
+  }
+
   /** Brute KNN over int8-quantized embeddings — the 4×-smaller
     * memory/shuffle variant of [[qKnnBrute]] (quantize at write time,
     * search the codes). Library path, no oracle: round() inside the
