@@ -491,6 +491,51 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), max($"id").as("max_doc"))
   }
 
+  private val PrIters = 3
+
+  /** PAGERANK over the near-dup graph — iterative graph analytics as
+    * repeated join+aggregate (the canonical BSP-on-Spark shape:
+    * contributions shuffle on dst once per round, nothing else moves).
+    * Rank is FIXED-POINT (scale 1e9 longs) with floor division at
+    * every step — rank div deg per edge, 0.85·inflow via
+    * `85·x div 100` — so all three rounds are integer-exact and the
+    * DuckDB oracle (the same rounds unrolled as CTEs) matches
+    * bit-for-bit; damping mass from dangling docs is dropped, the
+    * documented simplification of the non-normalized variant. Edges
+    * reuse the materialized-once jaccard pair pipeline; [[PrIters]]
+    * rounds, then global top-20 by (rank, doc_id) — a
+    * TakeOrderedAndProject, never a full sort. At 100 TB each round
+    * is one shuffle on dst keyed like any fact agg; convergence runs
+    * just add rounds. */
+  def qPagerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id")
+    val und = jaccardPairs(s, d)
+      .filter(lit(3) * $"inter" > $"na" + $"nb")
+      .select($"doc_a", $"doc_b")
+    val edges = und.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(und.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .localCheckpoint() // read once per round + the degree agg
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    var ranks = docs.select($"doc_id", lit(1000000000L).as("rank_e9"))
+    for (_ <- 0 until PrIters) {
+      val inflow = edges.join(deg, Seq("src"))
+        .join(ranks, $"src" === $"doc_id")
+        .select($"dst", expr("rank_e9 div deg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("inflow"))
+      ranks = docs.join(inflow, $"doc_id" === $"dst", "left")
+        .select($"doc_id",
+          (lit(150000000L) +
+            expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
+            .as("rank_e9"))
+    }
+    ranks.join(deg, $"doc_id" === $"src", "left")
+      .select($"doc_id", $"rank_e9",
+        coalesce($"deg", lit(0L)).as("n_neighbors"))
+      .orderBy($"rank_e9".desc, $"doc_id".asc)
+      .limit(20)
+  }
+
   /** The dedup DECISION the cluster pipeline exists for: per source,
     * how much of the corpus survives near-dup removal when each cluster
     * keeps only its canonical (minimum-id) document. Unclustered docs
@@ -636,6 +681,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_fuzzy_exact" -> (qFuzzyExact _),
+    "q_pagerank" -> (qPagerank _),
     "q_dup_clusters" -> (qDupClusters _),
     "q_dedup_keep" -> (qDedupKeep _),
     "q_chunk_dedup" -> (qChunkDedup _),
@@ -685,19 +731,25 @@ object Dedup {
   /** Recursive-CTE prelude computing near-dup components: yields CTEs
     * up to `lab(id, label)` with label = component-min doc_id — shared
     * by the q_dup_clusters and q_dedup_keep oracles. */
+  /** Near-dup edge list (jaccard > 0.5 under the df cap) as a
+    * standalone SELECT — the shared graph substrate of the
+    * q_dup_clusters / q_dedup_keep / q_pagerank oracles, mirroring
+    * [[jaccardPairsOf]] + the cluster threshold. */
+  private lazy val jaccardEdgesSql: String =
+    s"""WITH $tokCte,
+       |sh AS (SELECT doc_id, unnest(${shingleExpr(JaccardN)}) AS s FROM tok),
+       |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
+       |rare AS (SELECT s FROM ds GROUP BY s HAVING COUNT(*) <= $DfCap),
+       |dsr AS (SELECT ds.doc_id, ds.s FROM ds JOIN rare USING (s)),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM dsr a JOIN dsr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+       |SELECT doc_a, doc_b FROM pr
+       |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE 3 * inter > sa.n + sb.n""".stripMargin
+
   private lazy val ccLabelsCtes: String = {
-    val ngram = // same pair pipeline as the q_ngram_jaccard oracle
-      s"""WITH $tokCte,
-         |sh AS (SELECT doc_id, unnest(${shingleExpr(JaccardN)}) AS s FROM tok),
-         |ds AS (SELECT DISTINCT doc_id, s FROM sh),
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
-         |rare AS (SELECT s FROM ds GROUP BY s HAVING COUNT(*) <= $DfCap),
-         |dsr AS (SELECT ds.doc_id, ds.s FROM ds JOIN rare USING (s)),
-         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-         |  FROM dsr a JOIN dsr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
-         |SELECT doc_a, doc_b FROM pr
-         |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-         |WHERE 3 * inter > sa.n + sb.n""".stripMargin
+    val ngram = jaccardEdgesSql // same pair pipeline as q_ngram_jaccard
     s"""WITH RECURSIVE pj AS ($ngram),
        |e AS (SELECT doc_a AS s, doc_b AS d FROM pj
        |  UNION SELECT doc_b, doc_a FROM pj),
@@ -770,6 +822,33 @@ object Dedup {
          |  AS n_cross_head,
          |bit_xor(ra * 1073741824 + rb) AS pair_checksum
          |FROM m GROUP BY dist""".stripMargin,
+    "q_pagerank" -> {
+      // the three fixed-point rounds unrolled; every division is //
+      // on non-negative BIGINTs (≡ Spark div), every SUM cast back to
+      // BIGINT before arithmetic (windowed/plain SUM widens to
+      // HUGEINT in DuckDB)
+      def round(prev: String, out: String) =
+        s"""i$out AS (SELECT e.dst,
+           |  CAST(SUM(r$prev.rank_e9 // deg.deg) AS BIGINT) AS inflow
+           |  FROM e JOIN deg USING (src) JOIN r$prev ON r$prev.doc_id = e.src
+           |  GROUP BY 1),
+           |r$out AS (SELECT n.doc_id,
+           |  150000000 + (85 * COALESCE(i$out.inflow, 0)) // 100 AS rank_e9
+           |  FROM n LEFT JOIN i$out ON n.doc_id = i$out.dst)""".stripMargin
+      s"""WITH pj AS ($jaccardEdgesSql),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pj
+         |  UNION ALL SELECT doc_b, doc_a FROM pj),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+         |n AS (SELECT doc_id FROM documents),
+         |r0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS rank_e9 FROM n),
+         |${round("0", "1")},
+         |${round("1", "2")},
+         |${round("2", "3")}
+         |SELECT n.doc_id, r3.rank_e9, COALESCE(deg.deg, 0) AS n_neighbors
+         |FROM n JOIN r3 ON n.doc_id = r3.doc_id
+         |LEFT JOIN deg ON n.doc_id = deg.src
+         |ORDER BY r3.rank_e9 DESC, n.doc_id ASC LIMIT 20""".stripMargin
+    },
     "q_dup_clusters" ->
       s"""$ccLabelsCtes
          |SELECT label, COUNT(*) AS n_docs, CAST(MAX(id) AS BIGINT) AS max_doc

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -449,7 +449,76 @@ object Events {
         $"m.user_id".as("user_id"))
   }
 
+  private val CmsDepth = 4
+  private val CmsWidth = 64L
+
+  /** COUNT-MIN SKETCH — the bounded-memory frequency sketch: a
+    * [[CmsDepth]]×[[CmsWidth]] integer counter matrix summarizes the
+    * whole user-frequency distribution in O(d·w) space regardless of
+    * stream volume or key cardinality, then point queries read
+    * min over rows of counter[d][hash_d(key)] — one-sided error
+    * (estimate ≥ truth, overshoot ≤ collisions in the LIGHTEST row).
+    * Hash family is the house md5 prefix keyed by the row index, so
+    * the sketch is deterministic and the DuckDB oracle reproduces the
+    * exact counter matrix — the estimates match bit-for-bit, not just
+    * approximately. Build = one explode(depth)+groupBy (map-side
+    * combined, state d·w counters); update-mergeability is what makes
+    * it the streaming/distributed heavy-hitter primitive. Probes here:
+    * the first ten users, estimate next to truth. */
+  def qCountmin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.md5Prefix60
+    def bucketOf(dd: Column, key: Column): Column =
+      pmod(md5Prefix60(
+        concat(dd.cast("string"), lit(":"), key.cast("string"))),
+        lit(CmsWidth))
+    val ev = events(s, d).select($"user_id")
+    val counters = ev
+      .select($"user_id", explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
+      .select($"d", bucketOf($"d", $"user_id").as("bucket"))
+      .groupBy($"d", $"bucket").agg(count(lit(1)).as("n"))
+    ev.filter($"user_id" < 10)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"n_events",
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
+      .select($"user_id", $"n_events", $"d",
+        bucketOf($"d", $"user_id").as("bucket"))
+      .join(counters, Seq("d", "bucket"))
+      .groupBy($"user_id", $"n_events")
+      .agg(min($"n").as("cms_estimate"))
+  }
+
+  private val HllBuckets = 64L // 2^6 registers
+
+  /** HYPERLOGLOG register construction — the mergeable
+    * distinct-count sketch, built DETERMINISTICALLY so the register
+    * table itself is oracle-checkable bit-for-bit (the one float step,
+    * the harmonic estimator, lives in [[graft.functions.Hll.estimate]]
+    * and is spec-gated for tolerance instead). Each key hashes to 60
+    * bits (house md5 family): low 6 bits pick one of [[HllBuckets]]
+    * registers, and the register keeps the max over keys of the
+    * first-1-bit position in the remaining 54 bits — computed with
+    * integer ops only (`55 − length(bin(rem))`, no logs). Build is one
+    * narrow map + a 64-group agg; registers merge by element-wise max,
+    * which is what makes the sketch union-able across shards/streams.
+    * O(registers) state for any cardinality. */
+  def qHllRegisters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.md5Prefix60
+    events(s, d)
+      .select(md5Prefix60($"user_id".cast("string")).as("h"))
+      .select(pmod($"h", lit(HllBuckets)).as("bucket"),
+        expr(s"h div $HllBuckets").as("rem"))
+      .select($"bucket",
+        when($"rem" === 0, lit(55L))
+          .otherwise(lit(55L) - length(bin($"rem")).cast("long")).as("rho"))
+      .groupBy($"bucket")
+      .agg(max($"rho").as("max_rho"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_registers" -> (qHllRegisters _),
+    "q_countmin" -> (qCountmin _),
     "q_concentration" -> (qConcentration _),
     "q_argmax" -> (qArgmax _),
     "q_rolling_active" -> (qRollingActive _),
@@ -473,6 +542,35 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_hll_registers" ->
+      s"""WITH h AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS
+         |  VARCHAR)), 1, 15)) AS BIGINT) AS h FROM events),
+         |r AS (SELECT h % $HllBuckets AS bucket, h // $HllBuckets AS rem
+         |  FROM h)
+         |SELECT bucket,
+         |MAX(CASE WHEN rem = 0 THEN 55
+         |  ELSE 55 - length(bin(rem)) END) AS max_rho
+         |FROM r GROUP BY bucket""".stripMargin,
+    "q_countmin" ->
+      s"""WITH ev AS (SELECT user_id FROM events),
+         |dd AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS d),
+         |cells AS (SELECT d,
+         |  CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' ||
+         |    CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % $CmsWidth
+         |    AS bucket
+         |  FROM ev CROSS JOIN dd),
+         |counters AS (SELECT d, bucket, COUNT(*) AS n
+         |  FROM cells GROUP BY 1, 2),
+         |truth AS (SELECT user_id, COUNT(*) AS n_events FROM ev
+         |  WHERE user_id < 10 GROUP BY 1),
+         |probe AS (SELECT t.user_id, t.n_events, d,
+         |  CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' ||
+         |    CAST(t.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % $CmsWidth
+         |    AS bucket
+         |  FROM truth t CROSS JOIN dd)
+         |SELECT p.user_id, p.n_events, MIN(c.n) AS cms_estimate
+         |FROM probe p JOIN counters c USING (d, bucket)
+         |GROUP BY 1, 2""".stripMargin,
     "q_concentration" ->
       """WITH c AS (SELECT event_type, user_id, COUNT(*) AS c
         |  FROM events GROUP BY 1, 2),

@@ -15,7 +15,9 @@ object DumpPlans {
     "q_event_transition", "q_seq_pattern", "q_anomaly", "q_unpivot",
     "q_skyline", "q_ntile", "q_seq_pack", "q_shard_assign",
     "q_corpus_stats", "q_interpolate", "q_cross_join", "q_range_physical",
-    "q_interval_overlap", "q_range_anti", "q_fuzzy_match", "q_correlation")
+    "q_interval_overlap", "q_range_anti", "q_fuzzy_match", "q_correlation",
+    "q_fuzzy_exact", "q_range_full", "q_pagerank", "q_countmin",
+    "q_hll_registers")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("plans")
