@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness captures the tail of `sbt runMain` output
+// and parses the final line as JSON. sbt's default LoggedOutput
+// prefixes the forked process's stdout with "[info] " and appends a
+// "[success] Total time" line after it — both break that parse (every
+// round so far: parsed=null). Pass the child's stdio through raw and
+// drop the success banner so the bench JSON line is the literal last
+// line of output.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

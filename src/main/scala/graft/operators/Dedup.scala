@@ -536,6 +536,40 @@ object Dedup {
       .limit(20)
   }
 
+  /** DUPLICATE-CHAIN DEPTH census via a RECURSIVE CTE — the SQL
+    * recursion surface (Spark 4's UnionLoopExec): multi-source BFS
+    * from each component's local-minimum docs over the near-dup
+    * graph, min hop distance per doc, then a depth histogram — "how
+    * long do duplicate chains stretch" (depth 1 = direct copies,
+    * deeper = drift chains an exact-dedup pass would miss).
+    * Spark's recursive CTE only allows UNION ALL, so each recursion
+    * step applies DISTINCT to its own output: layer k is then a SET
+    * (≤ |V| rows, no combinatorial path blowup on cliques) and
+    * MIN(d) over layers is exactly BFS depth. Depth is capped at 6
+    * (deterministic termination on cycles; near-dup chains beyond 6
+    * hops fall out of the census by design, mirrored in the oracle).
+    * Roots need no CC pass: with canonical doc_a < doc_b edges, a
+    * doc is a local minimum iff it never appears as doc_b. */
+  def qDupDepth(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    jaccardPairs(s, d).filter(lit(3) * $"inter" > $"na" + $"nb")
+      .select($"doc_a", $"doc_b")
+      .createOrReplaceTempView("graft_dup_edges")
+    s.sql(
+      """WITH RECURSIVE
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM graft_dup_edges
+        |      UNION ALL SELECT doc_b, doc_a FROM graft_dup_edges),
+        |roots AS (SELECT DISTINCT doc_a AS id FROM graft_dup_edges
+        |          WHERE doc_a NOT IN (SELECT doc_b FROM graft_dup_edges)),
+        |r(id, d) AS (
+        |  SELECT id, 0 FROM roots
+        |  UNION ALL
+        |  SELECT DISTINCT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id
+        |  WHERE r.d < 6),
+        |m AS (SELECT id, MIN(d) AS hops FROM r GROUP BY id)
+        |SELECT hops, COUNT(*) AS n_docs FROM m GROUP BY hops""".stripMargin)
+  }
+
   /** The dedup DECISION the cluster pipeline exists for: per source,
     * how much of the corpus survives near-dup removal when each cluster
     * keeps only its canonical (minimum-id) document. Unclustered docs
@@ -682,6 +716,7 @@ object Dedup {
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_fuzzy_exact" -> (qFuzzyExact _),
     "q_pagerank" -> (qPagerank _),
+    "q_dup_depth" -> (qDupDepth _),
     "q_dup_clusters" -> (qDupClusters _),
     "q_dedup_keep" -> (qDedupKeep _),
     "q_chunk_dedup" -> (qChunkDedup _),
@@ -822,6 +857,19 @@ object Dedup {
          |  AS n_cross_head,
          |bit_xor(ra * 1073741824 + rb) AS pair_checksum
          |FROM m GROUP BY dist""".stripMargin,
+    "q_dup_depth" ->
+      s"""WITH RECURSIVE pj AS ($jaccardEdgesSql),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pj
+         |      UNION ALL SELECT doc_b, doc_a FROM pj),
+         |roots AS (SELECT DISTINCT doc_a AS id FROM pj
+         |          WHERE doc_a NOT IN (SELECT doc_b FROM pj)),
+         |r(id, d) AS (
+         |  SELECT id, 0 FROM roots
+         |  UNION ALL
+         |  SELECT DISTINCT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id
+         |  WHERE r.d < 6),
+         |m AS (SELECT id, MIN(d) AS hops FROM r GROUP BY id)
+         |SELECT hops, COUNT(*) AS n_docs FROM m GROUP BY hops""".stripMargin,
     "q_pagerank" -> {
       // the three fixed-point rounds unrolled; every division is //
       // on non-negative BIGINTs (≡ Spark div), every SUM cast back to

@@ -532,6 +532,27 @@ object Relational {
         ntile(4).over(w).cast("long").as("quartile"))
   }
 
+  /** Correlated LATERAL subquery join — the per-row-subquery SQL
+    * surface (Catalyst LateralJoin + decorrelation): for every nation,
+    * its top-3 customers by balance, expressed as the correlated
+    * `ORDER BY … LIMIT 3` subquery a SQL user writes rather than the
+    * window/TopKPerGroup formulations the library also offers
+    * ([[qTopnPerGroup]], [[qTopnCustom]] — three spellings, one
+    * answer shape). Unique (acctbal, custkey) tie-break keeps the
+    * pick deterministic; balances are compared, never computed on, so
+    * raw doubles are engine-safe. */
+  def qLateralJoin(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation_lat")
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_lat")
+    s.sql(
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM graft_nation_lat n,
+        |LATERAL (SELECT c_name, c_acctbal FROM graft_customer_lat c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 3) t
+        |""".stripMargin)
+  }
+
   /** Chained correlated EXISTS + NOT EXISTS on the same key (TPC-H q21
     * flavor): orders with a late-shipped lineitem but no bulk lineitem.
     * Declared as a semi join followed by an anti join — exactly how
@@ -847,6 +868,7 @@ object Relational {
     "q_cust_distribution" -> (qCustDistribution _),
     "q_uncorrelated_scalar" -> (qUncorrelatedScalar _),
     "q_multi_exists" -> (qMultiExists _),
+    "q_lateral_join" -> (qLateralJoin _),
     "q_array_ops" -> (qArrayOps _),
     "q_higher_order" -> (qHigherOrder _),
     "q_map_ops" -> (qMapOps _),
@@ -1174,6 +1196,12 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate ASC, o_orderkey ASC
         |  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)""".stripMargin,
+    "q_lateral_join" ->
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 3) t""".stripMargin,
     "q_multi_exists" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n,
          |${sqlSum("o_totalprice")} AS total

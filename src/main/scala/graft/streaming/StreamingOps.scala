@@ -443,6 +443,63 @@ object StreamingOps {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, Seq(key))
 
+  /** Windowed COUNT-MIN sketch — the streaming twin of the batch
+    * q_countmin: per window, a depth×width counter matrix keyed by
+    * the same md5 row hashes, as an ordinary watermarked groupBy.
+    * State is O(active windows × depth × width) — volume- and
+    * cardinality-independent — and rows merge by ADDITION, so
+    * per-shard / per-window sketches combine losslessly (the CMS
+    * merge law; the batch oracle pins the hash family bit-exactly).
+    * Query side: min over depth of the (d, hash_d(key)) counters of
+    * a window, same as batch. */
+  def windowedCountMin(events: DataFrame, keyCol: String = "userId",
+                       depth: Int = 4, width: Long = 64L,
+                       windowLen: String = "1 hour",
+                       watermark: String = "30 minutes"): DataFrame = {
+    import graft.functions.TextFunctions.md5Prefix60
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"),
+        col(keyCol).cast("string").as("k"))
+      .select(col("ts"), col("d"),
+        pmod(md5Prefix60(concat(col("d").cast("string"), lit(":"),
+          col("k"))), lit(width)).as("bucket"))
+      .groupBy(window(col("ts"), windowLen), col("d"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("d"), col("bucket"), col("n"))
+  }
+
+  /** Windowed HYPERLOGLOG registers — the streaming twin of
+    * q_hll_registers: per window, 64 integer registers via the same
+    * md5/bin construction, state O(active windows × 64) for ANY
+    * distinct-key cardinality. Registers merge by element-wise MAX
+    * (proven in SketchSpec), so window sketches union across shards
+    * and re-aggregate to coarser windows without rescanning; feed a
+    * window's rows to [[graft.functions.Hll.estimate]] for the
+    * distinct count. */
+  def windowedHll(events: DataFrame, keyCol: String = "userId",
+                  buckets: Long = 64L,
+                  windowLen: String = "1 hour",
+                  watermark: String = "30 minutes"): DataFrame = {
+    import graft.functions.TextFunctions.md5Prefix60
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        md5Prefix60(col(keyCol).cast("string")).as("h"))
+      .select(col("ts"), pmod(col("h"), lit(buckets)).as("bucket"),
+        expr(s"h div $buckets").as("rem"))
+      .select(col("ts"), col("bucket"),
+        when(col("rem") === 0, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("rem"))).cast("long"))
+          .as("rho"))
+      .groupBy(window(col("ts"), windowLen), col("bucket"))
+      .agg(max(col("rho")).as("max_rho"))
+      .select(col("window.start").as("window_start"),
+        col("bucket"), col("max_rho"))
+  }
+
   /** Windowed value HISTOGRAM over fixed integer buckets — the
     * bounded-state streaming quantile primitive. State is one count
     * per (window × bucket): O(active windows × value-range/width),

@@ -44,6 +44,27 @@ class PqSpec extends AnyFunSuite {
         s"codebook ($j, $k) differs between runs")
   }
 
+  test("PQ index persists in a ManifestTable and searches identically") {
+    import spark.implicits._
+    // the production layout: codes live in a snapshot table (atomic
+    // re-index via merge), search runs off the TABLE, never the floats
+    val dir = java.nio.file.Files.createTempDirectory("pqidx")
+      .toString + "/index"
+    val emb = Tables.embeddings(spark, sf)
+    val cents = centroidsOf(sf)
+    val model = Pq.train(emb, cents, 64, m = 16, ks = 64)
+    val enc = Pq.encode(emb, cents, model)
+    graft.sources.ManifestTable.create(spark, enc, dir)
+    val loaded = graft.sources.ManifestTable.read(spark, dir)
+    def rows(encoded: org.apache.spark.sql.DataFrame) =
+      Pq.search(emb, encoded, cents, model, 20, 5, 2, reRank = 20)
+        .as[(Long, Long, Long, Double)].collect().toSet
+    assert(rows(loaded) === rows(enc))
+    // incremental re-index: merging the same codes is a content no-op
+    graft.sources.ManifestTable.merge(spark, dir, enc, "vec_id")
+    assert(rows(graft.sources.ManifestTable.read(spark, dir)) === rows(enc))
+  }
+
   test("encoded corpus carries m byte-sized codes + one norm per vector") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)

@@ -85,6 +85,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sketches agree with their batch twins per window") {
+    import spark.implicits._
+    // 300 events, 40 distinct users, one hour window
+    val data = (1 to 300).map(i => ev(i, min = i % 50, user = i % 40))
+    val in = MemoryStream[Ev](spark)
+    val qCm = StreamingOps.windowedCountMin(in.toDF())
+      .writeStream.format("memory").queryName("scm")
+      .outputMode(OutputMode.Append).start()
+    val qHll = StreamingOps.windowedHll(in.toDF())
+      .writeStream.format("memory").queryName("shll")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(data: _*)
+      qCm.processAllAvailable(); qHll.processAllAvailable()
+      in.addData(ev(9999, min = 24 * 60)) // push watermark, close window
+      qCm.processAllAvailable(); qHll.processAllAvailable()
+      val batch = data.toDF()
+      // CMS counters: identical to a batch groupBy over the same rows
+      import graft.functions.TextFunctions.md5Prefix60
+      import org.apache.spark.sql.functions.{explode, sequence, lit, pmod, concat, count}
+      val wantCm = batch
+        .select(explode(sequence(lit(0), lit(3))).as("d"),
+          $"userId".cast("string").as("k"))
+        .select($"d", pmod(md5Prefix60(concat($"d".cast("string"),
+          lit(":"), $"k")), lit(64L)).as("bucket"))
+        .groupBy($"d", $"bucket").agg(count(lit(1)).as("n"))
+        .as[(Int, Long, Long)].collect().toSet
+      val gotCm = spark.table("scm").filter($"window_start" === ts(0))
+        .select($"d", $"bucket", $"n").as[(Int, Long, Long)]
+        .collect().toSet
+      assert(gotCm === wantCm)
+      // HLL registers: identical to the batch construction, and the
+      // estimate lands near the true 40 distinct users
+      val gotHll = spark.table("shll").filter($"window_start" === ts(0))
+        .select($"bucket", $"max_rho").as[(Long, Long)].collect().toMap
+      val est = graft.functions.Hll.estimate(gotHll)
+      assert(math.abs(est - 40.0) / 40.0 <= 0.3, s"estimate $est vs 40")
+    } finally { qCm.stop(); qHll.stop() }
+  }
+
   test("stream-stream interval join matches purchases to in-window signups") {
     import spark.implicits._
     val signups = MemoryStream[Ev](spark)
