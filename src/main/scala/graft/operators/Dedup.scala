@@ -570,6 +570,54 @@ object Dedup {
         |SELECT hops, COUNT(*) AS n_docs FROM m GROUP BY hops""".stripMargin)
   }
 
+  /** TRIANGLE CENSUS over the near-dup graph — the local-clustering
+    * primitive (community density, clique detection: duplicate
+    * clusters are near-cliques, so triangle count measures how
+    * "bursty" duplication is vs chain-like drift). Uses the standard
+    * degree-ordered orientation: each undirected edge points toward
+    * its higher-(degree, id) endpoint, every triangle is then counted
+    * exactly once at its lowest-degree apex and per-vertex wedge work
+    * is bounded by out-degree ≤ O(√m) — the O(m^{3/2}) algorithm, not
+    * the hot-node-quadratic naive join. The oracle counts the same
+    * triangles with the naive canonical 3-way join (a < b < c), which
+    * is fine at oracle SF and proves set equality via the per-triangle
+    * bit_xor checksum (collision-spread sorted-triple encoding).
+    * n_wedges = Σ C(deg,2) closes the global clustering coefficient
+    * 3·tri/wedges downstream, kept as exact integers. */
+  def qTriangles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = jaccardPairs(s, d).filter(lit(3) * $"inter" > $"na" + $"nb")
+      .select($"doc_a", $"doc_b").localCheckpoint()
+    val deg = e.select(explode(array($"doc_a", $"doc_b")).as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+    val dir = e
+      .join(deg.select($"v".as("doc_a"), $"deg".as("da")), Seq("doc_a"))
+      .join(deg.select($"v".as("doc_b"), $"deg".as("db")), Seq("doc_b"))
+      .select(
+        when($"da" < $"db" || ($"da" === $"db" && $"doc_a" < $"doc_b"),
+          $"doc_a").otherwise($"doc_b").as("src"),
+        when($"da" < $"db" || ($"da" === $"db" && $"doc_a" < $"doc_b"),
+          $"doc_b").otherwise($"doc_a").as("dst"))
+      .localCheckpoint()
+    // wedges at the apex: unordered out-neighbor pairs; closing edge
+    // probed in canonical (min, max) form against the undirected set
+    val tri = dir.as("x")
+      .join(dir.as("y"), $"x.src" === $"y.src" && $"x.dst" < $"y.dst")
+      .select($"x.src".as("apex"), $"x.dst".as("u"), $"y.dst".as("v"))
+      .join(e.select($"doc_a".as("u2"), $"doc_b".as("v2")),
+        least($"u", $"v") === $"u2" && greatest($"u", $"v") === $"v2",
+        "left_semi")
+      .select(least($"apex", $"u", $"v").as("t1"),
+        greatest($"apex", $"u", $"v").as("t3"),
+        ($"apex" + $"u" + $"v").as("tsum"))
+      .select($"t1", ($"tsum" - $"t1" - $"t3").as("t2"), $"t3")
+    val wedges = deg.agg(
+      sum(expr("deg * (deg - 1) div 2")).cast("long").as("n_wedges"))
+    tri.agg(count(lit(1)).as("n_triangles"),
+        expr("bit_xor(t1 * 1000003 + t2 * 1009 + t3)").as("tri_checksum"))
+      .crossJoin(wedges)
+  }
+
   /** The dedup DECISION the cluster pipeline exists for: per source,
     * how much of the corpus survives near-dup removal when each cluster
     * keeps only its canonical (minimum-id) document. Unclustered docs
@@ -717,6 +765,7 @@ object Dedup {
     "q_fuzzy_exact" -> (qFuzzyExact _),
     "q_pagerank" -> (qPagerank _),
     "q_dup_depth" -> (qDupDepth _),
+    "q_triangles" -> (qTriangles _),
     "q_dup_clusters" -> (qDupClusters _),
     "q_dedup_keep" -> (qDedupKeep _),
     "q_chunk_dedup" -> (qChunkDedup _),
@@ -870,6 +919,20 @@ object Dedup {
          |  WHERE r.d < 6),
          |m AS (SELECT id, MIN(d) AS hops FROM r GROUP BY id)
          |SELECT hops, COUNT(*) AS n_docs FROM m GROUP BY hops""".stripMargin,
+    "q_triangles" ->
+      s"""WITH pj AS ($jaccardEdgesSql),
+         |tri AS (SELECT e1.doc_a AS t1, e1.doc_b AS t2, e2.doc_b AS t3
+         |  FROM pj e1
+         |  JOIN pj e2 ON e2.doc_a = e1.doc_b
+         |  JOIN pj e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+         |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS dg FROM
+         |  (SELECT doc_a AS v FROM pj
+         |   UNION ALL SELECT doc_b FROM pj) GROUP BY 1)
+         |SELECT (SELECT COUNT(*) FROM tri) AS n_triangles,
+         |(SELECT bit_xor(t1 * 1000003 + t2 * 1009 + t3) FROM tri)
+         |  AS tri_checksum,
+         |(SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) FROM deg)
+         |  AS n_wedges""".stripMargin,
     "q_pagerank" -> {
       // the three fixed-point rounds unrolled; every division is //
       // on non-negative BIGINTs (≡ Spark div), every SUM cast back to

@@ -222,6 +222,81 @@ object Events {
         when($"v_e6".isNull, 1L).otherwise(0L).as("is_interp"))
   }
 
+  /** EWMA horizon: lags beyond [[EwmaLags]] days carry weight
+    * < 2⁻²⁰ of the newest observation — below the e6 fixed-point
+    * resolution, so truncating there loses nothing representable. */
+  private val EwmaLags = 20
+
+  /** EXPONENTIALLY-WEIGHTED MOVING AVERAGE (α = 1/2) over the daily
+    * value series — the smoothing baseline behind alerting and trend
+    * dashboards, made integer-exact: weights are powers of two
+    * (shiftleft, no floats), values are ×10⁶ micro-unit BIGINTs, and
+    * the average is sum(v·w) div sum(w) with a non-negative numerator
+    * (value ≥ 0 pinned by EngineSpec) so trunc ≡ floor on both
+    * engines. Days with no observation contribute nothing and absorb
+    * no weight (observation-gated EWMA).
+    *
+    * Scale shape: one shuffle agg over the fact table to the daily
+    * spine, then a ×[[EwmaLags]] explode of the SPINE (domain-bounded:
+    * event_type × calendar, never fact volume) and one more bounded
+    * agg. The standard window-function EWMA is impossible to express
+    * exactly (position-dependent weights); the scatter-to-target form
+    * is, and it's embarrassingly parallel. */
+  def qEwma(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, d)
+      .filter($"user_id" % InterpMod === 0)
+      .groupBy($"event_type",
+        date_trunc("day", $"ts").cast("date").as("day"))
+      .agg((sum($"value".cast(Dec)) * 1000000).cast("long").as("v_e6"))
+    val top = EwmaLags - 1
+    // scatter: day's value contributes to targets day..day+19 with
+    // weight 2^(19 - lag); gather at the target, divide exactly
+    val contrib = daily
+      .select($"event_type", $"day", $"v_e6",
+        explode(sequence(lit(0), lit(top))).as("k"))
+      .select($"event_type", date_add($"day", $"k").as("day"),
+        expr(s"v_e6 * shiftleft(CAST(1 AS BIGINT), $top - k)").as("vw"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), $top - k)").as("w"))
+      .groupBy($"event_type", $"day")
+      .agg(sum($"vw").as("num"), sum($"w").as("den"))
+    contrib.join(daily.select($"event_type", $"day"),
+        Seq("event_type", "day"), "left_semi")
+      .select($"event_type", $"day",
+        expr("num div den").as("ewma_e6"))
+  }
+
+  /** Thinning modulus for [[qScd2]] (coprime to [[InterpMod]] so the
+    * two sliced queries exercise different user populations). */
+  private val Scd2Mod = 89
+
+  /** SCD TYPE-2 DIMENSION BUILD — the classic warehouse operator: the
+    * event stream's per-user `event_type` is treated as a mutable
+    * attribute, and each user's history is compacted into
+    * validity-interval rows (state, valid_from, valid_to, version,
+    * is_current) — consecutive repeats collapse, each change opens a
+    * new interval closing the previous one. Pure change-data-capture:
+    * lag() finds change points, lead() closes intervals, row_number()
+    * versions them; all on the (ts_us, event_id) unique total order so
+    * same-timestamp events break ties deterministically. Timestamps
+    * surface as epoch-micro longs (the engine's oracle-stable form).
+    * Scale shape: user-partitioned windows only — shuffle on user_id
+    * once, no joins; at 100 TB this is the same plan wider. */
+  def qScd2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+    events(s, d)
+      .filter($"user_id" % Scd2Mod === 0)
+      .select($"user_id", $"event_type".as("state"), $"ts_us", $"event_id")
+      .withColumn("prev", lag($"state", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"state")
+      .select($"user_id", $"state", $"ts_us".as("valid_from_us"),
+        lead($"ts_us", 1).over(w).as("valid_to_us"),
+        row_number().over(w).cast("long").as("version"))
+      .withColumn("is_current",
+        when($"valid_to_us".isNull, 1L).otherwise(0L))
+  }
+
   /** GAPS-AND-ISLANDS — activity-streak mining: per user, runs of
     * CONSECUTIVE active hours via the classic hour − row_number()
     * island key (constant within a run, distinct across runs), then a
@@ -531,6 +606,8 @@ object Events {
     "q_streak" -> (qStreak _),
     "q_gap_fill" -> (qGapFill _),
     "q_interpolate" -> (qInterpolate _),
+    "q_ewma" -> (qEwma _),
+    "q_scd2" -> (qScd2 _),
     "q_session_window" -> (qSessionWindow _),
     "q_tumbling_hourly" -> (qTumblingHourly _),
     "q_sessionize" -> (qSessionize _),
@@ -709,6 +786,37 @@ object Events {
          |CASE WHEN v_e6 IS NULL THEN CAST(1 AS BIGINT)
          |  ELSE CAST(0 AS BIGINT) END AS is_interp
          |FROM j""".stripMargin,
+    "q_ewma" ->
+      s"""WITH daily AS (SELECT event_type,
+         |  CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS v_e6
+         |  FROM events WHERE user_id % $InterpMod = 0 GROUP BY 1, 2),
+         |kk AS (SELECT unnest(generate_series(0, ${EwmaLags - 1})) AS k),
+         |c AS (SELECT event_type, day + CAST(k AS INTEGER) AS day,
+         |  v_e6 * (CAST(1 AS BIGINT) << (${EwmaLags - 1} - k)) AS vw,
+         |  CAST(1 AS BIGINT) << (${EwmaLags - 1} - k) AS w
+         |  FROM daily CROSS JOIN kk),
+         |a AS (SELECT event_type, day, CAST(SUM(vw) AS BIGINT) AS num,
+         |  CAST(SUM(w) AS BIGINT) AS den FROM c GROUP BY 1, 2)
+         |SELECT a.event_type, a.day, num // den AS ewma_e6
+         |FROM a JOIN daily d ON d.event_type = a.event_type
+         |  AND d.day = a.day""".stripMargin,
+    "q_scd2" ->
+      s"""WITH e AS (SELECT user_id, event_type AS state,
+         |  epoch_us(ts) AS ts_us, event_id,
+         |  lag(event_type) OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev
+         |  FROM events WHERE user_id % $Scd2Mod = 0),
+         |c AS (SELECT user_id, state, ts_us, event_id FROM e
+         |  WHERE prev IS NULL OR prev <> state)
+         |SELECT user_id, state, ts_us AS valid_from_us,
+         |lead(ts_us) OVER w AS valid_to_us,
+         |CAST(row_number() OVER w AS BIGINT) AS version,
+         |CASE WHEN lead(ts_us) OVER w IS NULL THEN CAST(1 AS BIGINT)
+         |  ELSE CAST(0 AS BIGINT) END AS is_current
+         |FROM c
+         |WINDOW w AS (PARTITION BY user_id
+         |  ORDER BY ts_us ASC, event_id ASC)""".stripMargin,
     "q_gap_fill" ->
       s"""WITH h AS (SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
          |  COUNT(*) AS n, ${sqlSum("value")} AS sum_value

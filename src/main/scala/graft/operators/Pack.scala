@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -126,10 +126,95 @@ object Pack {
           |AS (metric, value)""".stripMargin))
   }
 
+  /** Morton/Z-ORDER interleave of two 16-bit coordinates — the
+    * multi-dimensional clustering key behind data-skipping layouts
+    * (Delta/Iceberg OPTIMIZE ZORDER): sorting by z keeps BOTH
+    * dimensions locally bounded in every file, so min/max footer stats
+    * prune on either predicate. Built from the classic mask-shift bit
+    * spread (4 rounds each side) — pure BIGINT `&`/`|`/shiftleft,
+    * codegen-friendly, oracle-mirrorable. */
+  def mortonZ(x: Column, y: Column): Column = {
+    def spread(c: Column): Column = {
+      val s0 = c.bitwiseAND(lit(65535L))
+      val s1 = s0.bitwiseOR(shiftleft(s0, 8)).bitwiseAND(lit(16711935L))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(252645135L))
+      val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(858993459L))
+      s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(1431655765L))
+    }
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+  }
+
+  /** [[mortonZ]] as engine-neutral SQL (DuckDB `<<` / `&` / `|`). */
+  def sqlMortonZ(x: String, y: String): String = {
+    def spread(c: String): String = {
+      val s0 = s"($c & 65535)"
+      val s1 = s"(($s0 | ($s0 << 8)) & 16711935)"
+      val s2 = s"(($s1 | ($s1 << 4)) & 252645135)"
+      val s3 = s"(($s2 | ($s2 << 2)) & 858993459)"
+      s"(($s3 | ($s3 << 1)) & 1431655765)"
+    }
+    s"(${spread(x)} | (${spread(y)} << 1))"
+  }
+
+  /** Z-ORDER LAYOUT CENSUS over lineitem on (l_partkey, l_suppkey):
+    * per 256×256 z-cell (z div 65536 — a joint block of both key
+    * ranges), the row count and the min/max of each dimension — the
+    * exact footer stats a z-ordered file would carry — plus a
+    * bit_xor over (z ⊕ row identity) proving every row's z-value.
+    * Cells are BOUNDED in both dims by construction; the assertion a
+    * skipping layer needs. One narrow map + one shuffle agg; the
+    * write path is [[writeZOrdered]] (spec-covered: per-file ranges
+    * stay bounded in both dimensions simultaneously, which no
+    * single-column sort achieves). */
+  def qZorder(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+        mortonZ($"l_partkey", $"l_suppkey").as("z"))
+      .groupBy(expr("z div 65536").as("cell"))
+      .agg(count(lit(1)).as("n"),
+        min($"l_partkey".bitwiseAND(lit(65535L))).as("pk_min"),
+        max($"l_partkey".bitwiseAND(lit(65535L))).as("pk_max"),
+        min($"l_suppkey".bitwiseAND(lit(65535L))).as("sk_min"),
+        max($"l_suppkey".bitwiseAND(lit(65535L))).as("sk_max"),
+        bit_xor($"z".bitwiseXOR(
+          $"l_orderkey" * lit(1000003L) + $"l_linenumber"))
+          .as("z_checksum"))
+  }
+
+  /** Physical z-ordered writer: each column is first min/max-scaled
+    * to the full 16-bit width (otherwise the wider-domain column owns
+    * every significant interleaved bit and the narrow one never
+    * bounds — the reason production ZORDER implementations rank- or
+    * range-normalize columns before interleaving), then the rows are
+    * range-partitioned on the interleaved z key and sorted within
+    * partitions — every output file covers one compact z-range, i.e.
+    * a bounded region of BOTH dimensions (the data-skipping property;
+    * asserted in PackSpec). The min/max pre-pass is a one-row agg —
+    * column statistics, not data. At 100 TB this is the same plan
+    * with more range partitions — the range exchange samples the z
+    * distribution, no global sort. */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+                    path: String, numFiles: Int): Unit = {
+    val b = df.agg(min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
+      min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).head()
+    def norm(c: String, lo: Double, hi: Double): Column =
+      if (hi > lo) ((col(c) - lo) / (hi - lo) * 65535.0).cast("long")
+      else lit(0L)
+    df.withColumn("__z", mortonZ(
+        norm(xCol, b.getDouble(0), b.getDouble(1)),
+        norm(yCol, b.getDouble(2), b.getDouble(3))))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seq_pack" -> (qSeqPack _),
     "q_shard_assign" -> (qShardAssign _),
-    "q_corpus_stats" -> (qCorpusStats _)
+    "q_corpus_stats" -> (qCorpusStats _),
+    "q_zorder" -> (qZorder _)
   )
 
   /** `h` on the oracle side: the engine's md5-prefix60 of the doc id. */
@@ -190,6 +275,16 @@ object Pack {
         |UNION ALL SELECT 'n_tokens', n_tokens FROM g
         |UNION ALL SELECT 'n_chars', n_chars FROM g
         |UNION ALL SELECT 'max_doc_tokens', max_doc_tokens FROM g
-        |UNION ALL SELECT 'n_dup_docs', n_dup_docs FROM dd""".stripMargin
+        |UNION ALL SELECT 'n_dup_docs', n_dup_docs FROM dd""".stripMargin,
+    "q_zorder" ->
+      s"""WITH z AS (SELECT l_orderkey, l_linenumber,
+         |  l_partkey & 65535 AS pk, l_suppkey & 65535 AS sk,
+         |  ${sqlMortonZ("l_partkey", "l_suppkey")} AS z FROM lineitem)
+         |SELECT z // 65536 AS cell, COUNT(*) AS n,
+         |MIN(pk) AS pk_min, MAX(pk) AS pk_max,
+         |MIN(sk) AS sk_min, MAX(sk) AS sk_max,
+         |bit_xor(xor(z, l_orderkey * 1000003 + l_linenumber))
+         |  AS z_checksum
+         |FROM z GROUP BY 1""".stripMargin
   )
 }

@@ -156,6 +156,32 @@ object TextAnalysis {
       .limit(TopNgrams)
   }
 
+  /** Posting-list report width for [[qPostingIndex]]. */
+  private val IndexTopTerms = 50
+
+  /** INVERTED-INDEX BUILD — the search-engine side of the corpus: for
+    * each term, its document frequency, total term frequency, and a
+    * positional-postings checksum (bit_xor over doc_id ⊕ position ×
+    * 1000003 — an oracle match proves every (doc, position) posting,
+    * not just the counts). This is the batch index-construction shape:
+    * one posexplode (term, position) + one shuffle agg on term —
+    * map-side combinable, skew-bounded because even the hottest term's
+    * postings reduce to three longs per partition before the shuffle.
+    * Reported for the [[IndexTopTerms]] highest-df terms (unique term
+    * tie-break); production writes the full agg bucketed by term. */
+  def qPostingIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "term")))
+      .groupBy($"term")
+      .agg(countDistinct($"doc_id").as("df"),
+        count(lit(1)).as("tf"),
+        expr("bit_xor(doc_id ^ (CAST(pos AS BIGINT) * 1000003))")
+          .as("postings_checksum"))
+      .orderBy($"df".desc, $"term".asc)
+      .limit(IndexTopTerms)
+  }
+
   /** Word n-gram strings of width n (clipped at the end, min one). */
   private def wordGrams(toks: Column, n: Int): Column =
     transform(
@@ -379,6 +405,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_regex_extract_all" -> (qRegexExtractAll _),
+    "q_posting_index" -> (qPostingIndex _),
     "q_tfidf" -> (qTfidf _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_lang_ngram" -> (qLangNgram _),
@@ -419,6 +446,18 @@ object TextAnalysis {
        |GROUP BY d.source""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_posting_index" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents),
+         |p AS (SELECT doc_id, t,
+         |  unnest(generate_series(1, len(t))) AS i FROM tok),
+         |terms AS (SELECT doc_id, t[i] AS term,
+         |  CAST(i - 1 AS BIGINT) AS pos FROM p)
+         |SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+         |COUNT(*) AS tf,
+         |bit_xor(xor(doc_id, pos * 1000003)) AS postings_checksum
+         |FROM terms GROUP BY term
+         |ORDER BY df DESC, term ASC LIMIT $IndexTopTerms""".stripMargin,
     "q_regex_extract_all" ->
       """WITH h AS (SELECT source, doc_id,
         |  unnest(regexp_extract_all(text, '[a-z]{5,}')) AS w

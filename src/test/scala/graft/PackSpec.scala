@@ -56,6 +56,67 @@ class PackSpec extends AnyFunSuite {
     assert(m.size === 7)
   }
 
+  test("mortonZ interleaves bits exactly (reference scalar model)") {
+    def ref(x: Long, y: Long): Long = {
+      var z = 0L
+      for (b <- 0 until 16) {
+        z |= ((x >> b) & 1L) << (2 * b)
+        z |= ((y >> b) & 1L) << (2 * b + 1)
+      }
+      z
+    }
+    val rnd = new scala.util.Random(7)
+    val cases = Seq((0L, 0L), (65535L, 65535L), (1L, 0L), (0L, 1L)) ++
+      Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = cases.toDF("x", "y")
+      .select(Pack.mortonZ($"x", $"y").as("z")).as[Long].collect()
+    cases.zip(got).foreach { case ((x, y), z) =>
+      assert(z === ref(x, y), s"mortonZ($x, $y)")
+    }
+  }
+
+  test("z-ordered layout bounds BOTH dims per file; linear sort doesn't") {
+    // z-order's selling point: every file's footer min/max is narrow
+    // on both interleaved dimensions at once, so a skipping layer
+    // prunes on either predicate. A single-column sort gives perfect
+    // pk ranges but full-width sk ranges.
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey")
+    val (okLo, okHi) = li.agg(min($"l_orderkey"), max($"l_orderkey"))
+      .as[(Long, Long)].head()
+    val (pkLo, pkHi) = li.agg(min($"l_partkey"), max($"l_partkey"))
+      .as[(Long, Long)].head()
+    val okSpan = (okHi - okLo).toDouble.max(1)
+    val pkSpan = (pkHi - pkLo).toDouble.max(1)
+    val dir = java.nio.file.Files.createTempDirectory("zord").toString
+    Pack.writeZOrdered(li, "l_orderkey", "l_partkey", dir + "/z", 16)
+    li.repartitionByRange(16, $"l_orderkey")
+      .sortWithinPartitions($"l_orderkey")
+      .write.mode("overwrite").parquet(dir + "/lin")
+    def normRanges(path: String): Seq[(Double, Double)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min($"l_orderkey"), max($"l_orderkey"),
+          min($"l_partkey"), max($"l_partkey"))
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+        .map { case (_, a, b, c, d2) =>
+          ((b - a) / okSpan, (d2 - c) / pkSpan) }
+    val z = normRanges(dir + "/z")
+    val lin = normRanges(dir + "/lin")
+    def avg(xs: Seq[Double]) = xs.sum / xs.size
+    val (zOk, zPk) = (avg(z.map(_._1)), avg(z.map(_._2)))
+    val (linOk, linPk) = (avg(lin.map(_._1)), avg(lin.map(_._2)))
+    // linear sort: near-zero ok ranges but full-width pk ranges
+    assert(linPk > 0.85, s"linear layout pk range $linPk")
+    // z-order: BOTH dims bounded — each file covers a fraction of
+    // both key ranges, and the worse dim is far below full width
+    assert(zOk < 0.6 && zPk < 0.6,
+      s"z-order ranges ok=$zOk pk=$zPk not bounded in both dims")
+    assert(avg(z.map(t => t._1.max(t._2))) <
+      avg(lin.map(t => t._1.max(t._2))),
+      "z-order must beat linear sort on the max-dim-range metric")
+  }
+
   test("interpolated days are bounded by their neighbors") {
     val r = graft.operators.Events.qInterpolate(spark, sf)
     val interp = r.filter($"is_interp" === 1).count()
