@@ -552,8 +552,13 @@ object Dedup {
     * doc is a local minimum iff it never appears as doc_b. */
   def qDupDepth(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // materialize the (small) edge set once: the CTE references it
+    // three times (forward, reversed, roots anti-probe) and each
+    // recursion round references `e` again — without the checkpoint
+    // every reference re-runs the full shingle pair join
     jaccardPairs(s, d).filter(lit(3) * $"inter" > $"na" + $"nb")
       .select($"doc_a", $"doc_b")
+      .localCheckpoint()
       .createOrReplaceTempView("graft_dup_edges")
     s.sql(
       """WITH RECURSIVE

@@ -82,6 +82,146 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H q7 VOLUME SHIPPING shape: bidirectional trade flow between
+    * two nations by ship year. Both nation dims are pre-filtered to
+    * the pair BEFORE their joins (supplier and customer shrink ~2/25
+    * each side, and broadcast), so the only large shuffle is
+    * lineitem ⋈ orders on orderkey; the cross-side pair predicate
+    * runs after both sides are bound. */
+  def q7NationTrade(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pair = Seq("NATION_1", "NATION_2")
+    val n1 = Tables.nation(s, d).filter($"n_name".isin(pair: _*))
+      .select($"n_nationkey".as("snk"), $"n_name".as("supp_nation"))
+    val n2 = Tables.nation(s, d).filter($"n_name".isin(pair: _*))
+      .select($"n_nationkey".as("cnk"), $"n_name".as("cust_nation"))
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(n1), $"s_nationkey" === $"snk")
+    val cust = Tables.customer(s, d)
+      .join(broadcast(n2), $"c_nationkey" === $"cnk")
+    val l = Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= ts("1996-01-01") && $"l_shipdate" < ts("1999-01-01"))
+    l.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+        ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+  }
+
+  /** TPC-H q8 NATIONAL MARKET SHARE shape: of the revenue from orders
+    * placed by customers in one region, what fraction is supplied by
+    * one nation, per order year. The share is engine-exact: both
+    * decimal sums are materialized as micro-unit BIGINTs and divided
+    * as doubles — two exact integers < 2⁵³, so the IEEE quotient is
+    * identical on both engines (no order-dependent float sum
+    * anywhere). */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = broadcast(Tables.region(s, d).filter($"r_name" === "EUROPE")
+      .join(Tables.nation(s, d), $"r_regionkey" === $"n_regionkey"))
+    val cust = Tables.customer(s, d)
+      .join(dim, $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey")
+    val supN = broadcast(Tables.supplier(s, d)
+      .join(Tables.nation(s, d).select($"n_nationkey".as("snk"),
+        $"n_name".as("supp_nation")), $"s_nationkey" === $"snk")
+      .select($"s_suppkey", $"supp_nation"))
+    val o = Tables.orders(s, d)
+      .filter($"o_orderdate" >= ts("1996-01-01") && $"o_orderdate" < ts("1998-01-01"))
+    Tables.lineitem(s, d)
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey", "left_semi")
+      .join(supN, $"l_suppkey" === $"s_suppkey")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg(
+        (sum(when($"supp_nation" === "NATION_3",
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(Dec))
+          .otherwise(lit(0).cast(Dec))) * 1000000).cast("long").as("num_e6"),
+        (sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(Dec))
+          * 1000000).cast("long").as("den_e6"))
+      .select($"o_year", $"num_e6", $"den_e6",
+        ($"num_e6".cast("double") / $"den_e6".cast("double")).as("mkt_share"))
+  }
+
+  /** TPC-H q10 RETURNED-ITEM LOSS shape: the 20 customers with the
+    most revenue on returned lineitems in one quarter; unique custkey
+    tie-break under the (deterministic, decimal-exact) revenue sort. */
+  def q10Returns(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+      .filter($"o_orderdate" >= ts("1996-01-01") && $"o_orderdate" < ts("1996-04-01"))
+    val l = Tables.lineitem(s, d).filter($"l_returnflag" === "R")
+    val nat = broadcast(Tables.nation(s, d))
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(nat, $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey".asc)
+      .limit(20)
+  }
+
+  /** TPC-H q19 DISJUNCTIVE PREDICATE shape: an OR-of-ANDs across both
+    * join sides. Catalyst extracts the common p_brand/p_size bounds
+    * below the join and evaluates the residual disjunction above it —
+    * the predicate-pushdown stress test. Quantity bounds are integer
+    * constants compared against the double column (integer-exact
+    * boundaries, SURVEY §6). */
+  def q19Disjunct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = broadcast(Tables.part(s, d))
+    Tables.lineitem(s, d)
+      .join(p, $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#11" && $"p_size".between(1, 15) &&
+          $"l_quantity" >= 1.0 && $"l_quantity" <= 11.0) ||
+        ($"p_brand" === "Brand#22" && $"p_size".between(1, 25) &&
+          $"l_quantity" >= 10.0 && $"l_quantity" <= 20.0) ||
+        ($"p_brand" === "Brand#6" && $"p_size".between(1, 35) &&
+          $"l_quantity" >= 20.0 && $"l_quantity" <= 30.0))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** DATA-QUALITY CENSUS (Deequ-style constraint suite): one report of
+    * violation counts a pipeline gates on before training — primary-key
+    * uniqueness, referential integrity both directions, null
+    * completeness, domain and range conformance. Every check is a
+    * shuffle agg or a broadcast/shuffle anti-join — no windows, no
+    * collect; at 100 TB each check is one pass and they share scans
+    * where Catalyst can. All counts are exact BIGINTs (0 = pass). */
+  def qDqChecks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    val c = Tables.customer(s, d)
+    val checks = Seq(
+      o.agg((count(lit(1)) - countDistinct($"o_orderkey")).as("v"))
+        .select(lit("orders_pk_dupes").as("check_name"), $"v".as("violations")),
+      o.join(c, $"o_custkey" === $"c_custkey", "left_anti")
+        .agg(count(lit(1)).as("v"))
+        .select(lit("orders_fk_orphans").as("check_name"), $"v".as("violations")),
+      l.join(o, $"l_orderkey" === $"o_orderkey", "left_anti")
+        .agg(count(lit(1)).as("v"))
+        .select(lit("lineitem_fk_orphans").as("check_name"), $"v".as("violations")),
+      o.agg(sum(when($"o_orderstatus".isin("F", "O", "P"), 0L)
+          .otherwise(1L)).as("v"))
+        .select(lit("orders_status_domain").as("check_name"), $"v".as("violations")),
+      l.agg(sum(when($"l_quantity".isNull || $"l_quantity" < 1.0 ||
+          $"l_quantity" > 50.0, 1L).otherwise(0L)).as("v"))
+        .select(lit("lineitem_qty_range").as("check_name"), $"v".as("violations")),
+      c.agg(sum(when($"c_name".isNull || length($"c_name") === 0, 1L)
+          .otherwise(0L)).as("v"))
+        .select(lit("customer_name_complete").as("check_name"), $"v".as("violations")),
+      l.agg(sum(when($"l_discount" < 0.0 || $"l_discount" > 1.0, 1L)
+          .otherwise(0L)).as("v"))
+        .select(lit("lineitem_discount_range").as("check_name"), $"v".as("violations")))
+    checks.reduce(_.unionAll(_))
+  }
+
   def qSemiJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, d).filter($"o_totalprice" > 300000.0)
@@ -828,6 +968,11 @@ object Relational {
     "q3_top_unshipped" -> (q3TopUnshipped _),
     "q5_region_revenue" -> (q5RegionRevenue _),
     "q6_forecast" -> (q6Forecast _),
+    "q7_nation_trade" -> (q7NationTrade _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q10_returns" -> (q10Returns _),
+    "q19_disjunct" -> (q19Disjunct _),
+    "q_dq_checks" -> (qDqChecks _),
     "q_semi_join" -> (qSemiJoin _),
     "q_anti_join" -> (qAntiJoin _),
     "q_distinct_agg" -> (qDistinctAgg _),
@@ -981,6 +1126,95 @@ object Relational {
          |AND o_orderdate >= TIMESTAMP '1996-01-01'
          |AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY n_name""".stripMargin,
+    "q7_nation_trade" ->
+      s"""WITH base AS (SELECT n1.n_name AS supp_nation,
+         |  n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  l_extendedprice * (1.0 - l_discount) AS vol
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |AND l_shipdate < TIMESTAMP '1999-01-01')
+         |SELECT supp_nation, cust_nation, l_year,
+         |${sqlSum("vol")} AS revenue
+         |FROM base GROUP BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      s"""WITH base AS (SELECT
+         |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  sn.n_name AS supp_nation,
+         |  l_extendedprice * (1.0 - l_discount) AS vol
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE o_custkey IN (SELECT c_custkey FROM customer
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'EUROPE')
+         |AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |AND o_orderdate < TIMESTAMP '1998-01-01'),
+         |a AS (SELECT o_year,
+         |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+         |    THEN CAST(vol AS DECIMAL(28,6))
+         |    ELSE CAST(0 AS DECIMAL(28,6)) END) * 1000000 AS BIGINT)
+         |    AS num_e6,
+         |  CAST(SUM(CAST(vol AS DECIMAL(28,6))) * 1000000 AS BIGINT)
+         |    AS den_e6
+         |  FROM base GROUP BY 1)
+         |SELECT o_year, num_e6, den_e6,
+         |CAST(num_e6 AS DOUBLE) / CAST(den_e6 AS DOUBLE) AS mkt_share
+         |FROM a""".stripMargin,
+    "q10_returns" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |${sqlSum("l_extendedprice*(1.0-l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |AND o_orderdate < TIMESTAMP '1996-04-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q19_disjunct" ->
+      s"""SELECT ${sqlSum("l_extendedprice*(1.0-l_discount)")} AS revenue,
+         |COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity >= 1 AND l_quantity <= 11)
+         |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+         |    AND l_quantity >= 10 AND l_quantity <= 20)
+         |   OR (p_brand = 'Brand#6' AND p_size BETWEEN 1 AND 35
+         |    AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
+    "q_dq_checks" ->
+      """SELECT 'orders_pk_dupes' AS check_name,
+        |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+        |    AS violations FROM orders
+        |UNION ALL SELECT 'orders_fk_orphans', CAST(COUNT(*) AS BIGINT)
+        |  FROM orders WHERE o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer)
+        |UNION ALL SELECT 'lineitem_fk_orphans', CAST(COUNT(*) AS BIGINT)
+        |  FROM lineitem WHERE l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders)
+        |UNION ALL SELECT 'orders_status_domain',
+        |  CAST(SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0
+        |    ELSE 1 END) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'lineitem_qty_range',
+        |  CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+        |    OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |UNION ALL SELECT 'customer_name_complete',
+        |  CAST(SUM(CASE WHEN c_name IS NULL OR length(c_name) = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM customer
+        |UNION ALL SELECT 'lineitem_discount_range',
+        |  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem""".stripMargin,
     "q6_forecast" ->
       s"""SELECT ${sqlSum("l_extendedprice*l_discount")} AS revenue,
          |COUNT(*) AS n_items

@@ -16,7 +16,7 @@ class EngineSpec extends AnyFunSuite {
       .getOrElse(fail("SURVEY.md has no §2 section"))
     // query names appear in §2 table rows (lines starting with '|')
     val names = sect2.linesIterator.filter(_.trim.startsWith("|"))
-      .flatMap("""\bq[0-9]?_[a-z0-9_]+""".r.findAllIn(_)).toSet
+      .flatMap("""\bq[0-9]{0,2}_[a-z0-9_]+""".r.findAllIn(_)).toSet
     val queries = SparkEntry.queries.keySet
     assert(names -- queries === Set.empty,
       "SURVEY §2 names a query that doesn't exist")
