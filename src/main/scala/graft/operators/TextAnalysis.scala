@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.TextFunctions._
 
@@ -154,6 +155,38 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"gram".asc)
       .limit(TopNgrams)
+  }
+
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV drift statistic between the
+    * English and non-English length distributions — the
+    * dataset-monitoring primitive (did this ingest batch's length
+    * profile drift from the reference corpus?), computed EXACTLY: the
+    * KS statistic max|F1(v) − F2(v)| is kept as the integer numerator
+    * max|c1·n2 − c2·n1| over the distinct-value spine and only divided
+    * (two exact ints < 2⁵³ → identical IEEE quotient) at the very end.
+    * No floats anywhere in the comparison, so the oracle matches
+    * bit-for-bit. Scale shape: one shuffle agg to the DISTINCT VALUE
+    * domain (n_chars — bounded by the value domain, not corpus size),
+    * then one cumulative window over that bounded spine and a global
+    * max. The same plan at 100 TB runs the window over ≤ |domain|
+    * rows. */
+  def qKsDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"n_chars".as("v"),
+      when($"lang" === "en", 1L).otherwise(0L).as("ia"))
+    val g = docs.groupBy($"v")
+      .agg(sum($"ia").as("ca"), sum(lit(1L) - $"ia").as("cb"))
+    val w = Window.orderBy($"v".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = g.select($"v",
+      sum($"ca").over(w).as("cca"), sum($"cb").over(w).as("ccb"))
+    val t = docs.agg(sum($"ia").as("n1"),
+      (count(lit(1)) - sum($"ia")).as("n2"))
+    c.crossJoin(broadcast(t))
+      .groupBy($"n1", $"n2")
+      .agg(max(abs($"cca" * $"n2" - $"ccb" * $"n1")).as("d_num"))
+      .select($"n1", $"n2", $"d_num",
+        ($"d_num".cast("double") / ($"n1" * $"n2").cast("double")).as("ks"))
   }
 
   /** Posting-list report width for [[qPostingIndex]]. */
@@ -406,6 +439,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_regex_extract_all" -> (qRegexExtractAll _),
     "q_posting_index" -> (qPostingIndex _),
+    "q_ks_drift" -> (qKsDrift _),
     "q_tfidf" -> (qTfidf _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_lang_ngram" -> (qLangNgram _),
@@ -446,6 +480,21 @@ object TextAnalysis {
        |GROUP BY d.source""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_ks_drift" ->
+      """WITH d AS (SELECT n_chars AS v,
+        |  CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS ia FROM documents),
+        |g AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS ca,
+        |  CAST(SUM(1 - ia) AS BIGINT) AS cb FROM d GROUP BY v),
+        |c AS (SELECT v,
+        |  CAST(SUM(ca) OVER (ORDER BY v ASC) AS BIGINT) AS cca,
+        |  CAST(SUM(cb) OVER (ORDER BY v ASC) AS BIGINT) AS ccb FROM g),
+        |t AS (SELECT CAST(SUM(ia) AS BIGINT) AS n1,
+        |  CAST(COUNT(*) - SUM(ia) AS BIGINT) AS n2 FROM d)
+        |SELECT n1, n2, MAX(ABS(cca * n2 - ccb * n1)) AS d_num,
+        |CAST(MAX(ABS(cca * n2 - ccb * n1)) AS DOUBLE) /
+        |  CAST(n1 * n2 AS DOUBLE) AS ks
+        |FROM c, t GROUP BY n1, n2""".stripMargin,
     "q_posting_index" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
          |  FROM documents),

@@ -17,7 +17,10 @@ object DumpPlans {
     "q_corpus_stats", "q_interpolate", "q_cross_join", "q_range_physical",
     "q_interval_overlap", "q_range_anti", "q_fuzzy_match", "q_correlation",
     "q_fuzzy_exact", "q_range_full", "q_pagerank", "q_countmin",
-    "q_hll_registers")
+    "q_hll_registers", "q7_nation_trade", "q8_market_share",
+    "q10_returns", "q19_disjunct", "q_dq_checks", "q_zorder",
+    "q_posting_index", "q_ks_drift", "q_ewma", "q_scd2",
+    "q_triangles", "q_lateral_join")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("plans")
