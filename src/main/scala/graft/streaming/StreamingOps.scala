@@ -29,6 +29,14 @@ case class PackOut(docId: Long, shard: Long, firstBin: Long, lastBin: Long)
 private case class FunnelState(firstSignupUs: Long,
                                pendingPurchaseUs: Long, converted: Boolean)
 
+/** A CLOSED validity interval emitted by streaming SCD2 (the open
+  * current interval lives in state until the next change closes it). */
+case class ScdOut(userId: Long, state: String, validFromUs: Long,
+                  validToUs: Long, version: Long)
+
+private case class ScdState(state: String, validFromUs: Long,
+                            version: Long)
+
 /** Structured Streaming twins of the batch event operators in
   * [[graft.operators.Events]]. Each takes a (possibly streaming)
   * events frame — e.g. a MemoryStream in tests, Kafka/file sources in
@@ -163,6 +171,64 @@ object StreamingOps {
       }
       Iterator.empty
     }
+  }
+
+  /** Streaming SCD TYPE-2 — the live twin of batch `q_scd2`: per-user
+    * `eventType` is a mutable attribute; each change CLOSES the
+    * previous validity interval (emitted downstream, Append mode) and
+    * opens the next in ValueState. The emitted closed-interval log +
+    * the state store's open intervals together form the full SCD2
+    * dimension; landing the closed rows in a ManifestTable gives the
+    * batch-queryable dimension with exactly-once state
+    * ([[manifestUpsert]]). Same-state repeats collapse (no emission,
+    * no state write). Within a micro-batch rows process in (ts,
+    * eventId) order; below-watermark rows are dropped so a late event
+    * can't close an interval backwards — the same bounded-disorder
+    * contract as [[sessionize]]/[[funnel]], parity-tested against the
+    * batch lag/lead build in StreamingSpec. State is one small row
+    * per user — O(active users), volume-independent. */
+  class Scd2Processor extends StatefulProcessor[Long, Ev, ScdOut] {
+    @transient private var st: ValueState[ScdState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[ScdState](
+        "scd2", Encoders.product[ScdState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[ScdOut] = {
+      val wmMs = tv.getCurrentWatermarkInMs()
+      val sorted = rows.filter(_.ts.getTime >= wmMs)
+        .toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+      var cur = if (st.exists()) Some(st.get()) else None
+      var closed = List.empty[ScdOut]
+      for (e <- sorted) {
+        val us = e.ts.getTime * 1000
+        cur match {
+          case None =>
+            cur = Some(ScdState(e.eventType, us, 1L))
+          case Some(s) if s.state != e.eventType =>
+            closed ::= ScdOut(userId, s.state, s.validFromUs, us, s.version)
+            cur = Some(ScdState(e.eventType, us, s.version + 1))
+          case _ => () // same-state repeat: interval unchanged
+        }
+      }
+      cur.foreach(st.update)
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[ScdOut] =
+      Iterator.empty
+  }
+
+  /** [[Scd2Processor]] wired as a streaming Dataset. */
+  def scd2(events: Dataset[Ev], watermark: String = "30 minutes"): Dataset[ScdOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .transformWithState(new Scd2Processor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** [[sessionize]] on the transformWithState API. Requires the

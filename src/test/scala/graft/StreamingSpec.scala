@@ -439,6 +439,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming SCD2 closed intervals match the batch lag/lead build") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // three users, state changes + same-state repeats, multi-batch
+    val types = Seq("view", "view", "click", "buy", "buy", "view")
+    val batch1 = (0 until 12).map(i =>
+      ev(i, min = 10 + i * 3, user = i % 3, typ = types(i % 6)))
+    val batch2 = (12 until 24).map(i =>
+      ev(i, min = 10 + i * 3, user = i % 3, typ = types((i / 2) % 6)))
+    val in = MemoryStream[Ev](spark)
+    val q = StreamingOps.scd2(in.toDS())
+      .writeStream.format("memory").queryName("scd2s")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val got = spark.table("scd2s").as[graft.streaming.ScdOut]
+        .collect().toSet
+      // batch twin: the q_scd2 lag/lead/row_number build on the same
+      // rows; closed intervals only (valid_to non-null)
+      val all = (batch1 ++ batch2).toDS()
+      val w = Window.partitionBy($"userId").orderBy($"ts".asc, $"eventId".asc)
+      val want = all
+        .withColumn("prev", lag($"eventType", 1).over(w))
+        .filter($"prev".isNull || $"prev" =!= $"eventType")
+        .select($"userId", $"eventType".as("state"),
+          (unix_timestamp($"ts") * 1000000L).as("validFromUs"),
+          (unix_timestamp(lead($"ts", 1).over(w)) * 1000000L)
+            .as("validToUs"),
+          row_number().over(w).cast("long").as("version"))
+        .filter($"validToUs".isNotNull)
+        .as[graft.streaming.ScdOut].collect().toSet
+      assert(want.nonEmpty && got === want)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("funnel survives click-only users at realistic horizons") {
     import spark.implicits._
     val in = MemoryStream[Ev](spark)
