@@ -186,6 +186,131 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H q4 ORDER PRIORITY shape (adapted: the testdata carries no
+    * commit/receipt dates, so "late" is shipment >30 days after the
+    * order date): count of one quarter's orders with at least one
+    * late lineitem, by priority. The correlated EXISTS is a left-semi
+    * join whose residual inequality binds both sides; the quarter
+    * filter pushes to the orders scan, so the semi join probes a
+    * small slice and the fact side never materializes matches. */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+      .filter($"o_orderdate" >= ts("1996-07-01") && $"o_orderdate" < ts("1996-10-01"))
+    o.join(Tables.lineitem(s, d),
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL '30' DAY"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H q12 SHIP MODE shape (adapted: no shipmode column — the
+    * return flag plays the mode; lateness is shipment >60 days after
+    * the order date): per flag, how many of a year's late lines
+    * belong to critical (URGENT/HIGH) vs other orders. One fact-fact
+    * shuffle join on orderkey; both counts come out of a single
+    * pass as exact BIGINTs. */
+  def q12LateLines(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val crit = Seq("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter($"l_returnflag".isin("A", "R") &&
+        $"l_shipdate" >= ts("1996-01-01") && $"l_shipdate" < ts("1997-01-01"))
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL '60' DAY"))
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when($"o_orderpriority".isin(crit: _*), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when($"o_orderpriority".isin(crit: _*), 0L).otherwise(1L))
+          .as("low_line_count"))
+  }
+
+  /** TPC-H q14 PROMO REVENUE shape: monthly share of revenue from
+    * promo-type parts. Part is a broadcast dim; the share is exact —
+    * both sums leave the agg as micro-unit BIGINTs (the q8 recipe)
+    * and the final division is one IEEE op on exact integers, so the
+    * double is bit-identical on any engine and partitioning. */
+  def q14PromoShare(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= ts("1997-01-01") && $"l_shipdate" < ts("1997-07-01"))
+      .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+      .groupBy(date_trunc("month", $"l_shipdate").as("ship_month"))
+      .agg(
+        (sum(when($"p_type" === "PROMO",
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(Dec))
+          .otherwise(lit(0).cast(Dec))) * 1000000).cast("long").as("promo_e6"),
+        (sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(Dec))
+          * 1000000).cast("long").as("total_e6"))
+      .select($"ship_month", $"promo_e6", $"total_e6",
+        (lit(100.0) * $"promo_e6".cast("double") / $"total_e6".cast("double"))
+          .as("promo_share"))
+  }
+
+  /** TPC-H q15 TOP SUPPLIER shape: the supplier(s) whose quarterly
+    * revenue equals the maximum. Revenue stays DECIMAL through the
+    * max and the equality (bit-exact tie semantics); the max itself
+    * is a 1-row broadcast scalar — no global window, and ties
+    * surface as multiple rows exactly as in the spec. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= ts("1996-01-01") && $"l_shipdate" < ts("1996-04-01"))
+      .groupBy($"l_suppkey")
+      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(Dec))
+        .as("rev_dec"))
+    val top = rev.agg(max($"rev_dec").as("max_dec"))
+    rev.crossJoin(broadcast(top))
+      .filter($"rev_dec" === $"max_dec")
+      .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"rev_dec".cast("double").as("total_rev"))
+  }
+
+  /** TPC-H q18 LARGE ORDER shape: orders whose total quantity tops
+    * 300, with customer detail and the re-aggregated quantity. The
+    * HAVING probe is a self-contained agg on the fact; only its
+    * survivors (a tiny set) reach the detail joins, and customer is
+    * broadcast. Integer-exact threshold on a decimal-exact sum
+    * (SURVEY §6); unique orderkey tie-break under the price sort. */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(dsum($"l_quantity").as("sum_qty"))
+      .filter($"sum_qty" > 300.0)
+    big.join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"sum_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(100)
+  }
+
+  /** TPC-H q22 GLOBAL SALES OPPORTUNITY shape (adapted: nationkey
+    * plays the country code; inactivity is "no order since 2000"):
+    * well-funded idle customers per nation. The above-average filter
+    * is division-free — `bal_e2 * cnt > sum_e2` on exact BIGINTs
+    * against a 1-row broadcast scalar (round-to-cents makes the
+    * balance integer-exact) — and the inactivity probe is a
+    * left-anti join against the date-pruned orders slice. */
+  def q22IdleCustomers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pool = Tables.customer(s, d)
+      .filter($"c_nationkey".isin(1, 3, 5, 7, 9, 11, 13))
+      .withColumn("bal_e2", round($"c_acctbal" * 100).cast("long"))
+    val stats = pool.filter($"bal_e2" > 0)
+      .agg(sum($"bal_e2").as("sum_e2"), count(lit(1)).as("cnt"))
+    val recent = Tables.orders(s, d)
+      .filter($"o_orderdate" >= ts("2000-01-01"))
+    pool.crossJoin(broadcast(stats))
+      .filter($"bal_e2" * $"cnt" > $"sum_e2")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey".as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), dsum($"c_acctbal").as("totacctbal"))
+  }
+
   /** DATA-QUALITY CENSUS (Deequ-style constraint suite): one report of
     * violation counts a pipeline gates on before training — primary-key
     * uniqueness, referential integrity both directions, null
@@ -972,6 +1097,12 @@ object Relational {
     "q8_market_share" -> (q8MarketShare _),
     "q10_returns" -> (q10Returns _),
     "q19_disjunct" -> (q19Disjunct _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q12_late_lines" -> (q12LateLines _),
+    "q14_promo_share" -> (q14PromoShare _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q22_idle_customers" -> (q22IdleCustomers _),
     "q_dq_checks" -> (qDqChecks _),
     "q_semi_join" -> (qSemiJoin _),
     "q_anti_join" -> (qAntiJoin _),
@@ -1182,6 +1313,77 @@ object Relational {
          |AND o_orderdate < TIMESTAMP '1996-04-01'
          |GROUP BY 1, 2, 3
          |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |AND o_orderdate < TIMESTAMP '1996-10-01'
+        |AND EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1""".stripMargin,
+    "q12_late_lines" ->
+      """SELECT l_returnflag,
+        |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |  THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag IN ('A','R')
+        |AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |AND l_shipdate < TIMESTAMP '1997-01-01'
+        |AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1""".stripMargin,
+    "q14_promo_share" ->
+      """WITH m AS (SELECT date_trunc('month', l_shipdate) AS ship_month,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6))
+        |    ELSE CAST(0 AS DECIMAL(28,6)) END) * 1000000 AS BIGINT)
+        |    AS promo_e6,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6)))
+        |    * 1000000 AS BIGINT) AS total_e6
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |AND l_shipdate < TIMESTAMP '1997-07-01'
+        |GROUP BY 1)
+        |SELECT ship_month, promo_e6, total_e6,
+        |100.0 * CAST(promo_e6 AS DOUBLE) / CAST(total_e6 AS DOUBLE)
+        |  AS promo_share
+        |FROM m""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |  SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(28,6)))
+        |    AS rev_dec
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |AND l_shipdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)""".stripMargin,
+    "q18_large_orders" ->
+      s"""WITH big AS (SELECT l_orderkey, ${sqlSum("l_quantity")} AS sum_qty
+         |  FROM lineitem GROUP BY 1)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |  sum_qty
+         |FROM big JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE sum_qty > 300
+         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q22_idle_customers" ->
+      s"""WITH pool AS (SELECT c_nationkey, c_custkey, c_acctbal,
+         |  CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_e2
+         |FROM customer WHERE c_nationkey IN (1,3,5,7,9,11,13)),
+         |stats AS (SELECT CAST(SUM(bal_e2) AS BIGINT) AS sum_e2,
+         |  COUNT(*) AS cnt FROM pool WHERE bal_e2 > 0)
+         |SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+         |${sqlSum("c_acctbal")} AS totacctbal
+         |FROM pool, stats
+         |WHERE bal_e2 * cnt > sum_e2
+         |AND NOT EXISTS (SELECT 1 FROM orders
+         |  WHERE o_custkey = c_custkey
+         |  AND o_orderdate >= TIMESTAMP '2000-01-01')
+         |GROUP BY 1""".stripMargin,
     "q19_disjunct" ->
       s"""SELECT ${sqlSum("l_extendedprice*(1.0-l_discount)")} AS revenue,
          |COUNT(*) AS n_items
