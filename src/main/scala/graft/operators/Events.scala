@@ -591,7 +591,81 @@ object Events {
       .agg(max($"rho").as("max_rho"))
   }
 
+  /** AUTOCORRELATION of the daily value series, lags 1 and 7 — the
+    * seasonality probe behind traffic forecasting and anomaly
+    * baselines. Daily sums stay DECIMAL(18,2) end to end; the Pearson
+    * moments are decimal-exact sums of decimal products (18,2 ×
+    * 18,2 = 37,4 — inside both engines' 38-digit width, the "square
+    * IN decimal" rule), and only the final n·sxy−sx·sy arithmetic
+    * runs in doubles — identical exact inputs, identical IEEE ops,
+    * identical result (the [[graft.operators.Relational.qCorrelation]]
+    * recipe). Scale shape: one shuffle to (type, day) — a
+    * calendar-bounded grid — then a PARTITIONED lag window and one
+    * grouped agg; nothing grows with event volume past the first
+    * agg. */
+  def qAutocorr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, d)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(sum($"value".cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("x"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val lagged = daily.select($"event_type", $"x",
+      lag($"x", 1).over(w).as("x1"), lag($"x", 7).over(w).as("x7"))
+    def pearson(y: Column): Column = {
+      val n = count(y).cast("double")
+      val sx = sum(when(y.isNotNull, $"x")).cast("double")
+      val sy = sum(y).cast("double")
+      val sxy = sum($"x" * y).cast("double")
+      val sxx = sum(when(y.isNotNull, $"x" * $"x")).cast("double")
+      val syy = sum(y * y).cast("double")
+      round((n * sxy - sx * sy) /
+        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+    }
+    lagged.groupBy($"event_type").agg(
+      count($"x1").as("n1"), pearson($"x1").as("r1"),
+      count($"x7").as("n7"), pearson($"x7").as("r7"))
+  }
+
+  /** CHANGEPOINT scan (binary segmentation step): per event type, the
+    * split day maximizing the between-segment rate gap — the
+    * level-shift detector behind drift alarms. Division-free: the
+    * candidate score |cum·(D−i) − (T−cum)·i| · 10⁹ div (i·(D−i)) is
+    * the mean gap cross-multiplied to exact BIGINTs, so the argmax
+    * and its tie-break (earliest day) are engine-exact. Scale shape:
+    * events collapse to the (type, day) calendar grid in one shuffle
+    * agg; every window after that is PARTITIONED by type over ≤
+    * calendar-length frames — volume-independent. */
+  def qChangepoint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, d)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wo = Window.partitionBy($"event_type").orderBy($"day")
+    val wp = Window.partitionBy($"event_type")
+    val cand = daily
+      .withColumn("i", row_number().over(wo).cast("long"))
+      .withColumn("cum", sum($"n").over(wo))
+      .withColumn("dd", count(lit(1)).over(wp))
+      .withColumn("tt", sum($"n").over(wp))
+      .filter($"i" < $"dd")
+      .withColumn("score_e9",
+        expr("abs(cum * (dd - i) - (tt - cum) * i) * 1000000000" +
+          " div (i * (dd - i))"))
+    cand
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy($"event_type")
+          .orderBy($"score_e9".desc, $"day".asc)))
+      .filter($"rk" === 1)
+      .select($"event_type", $"day".as("split_day"),
+        $"i".as("days_before"), ($"dd" - $"i").as("days_after"),
+        $"cum".as("cnt_before"), ($"tt" - $"cum").as("cnt_after"),
+        $"score_e9")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_autocorr" -> (qAutocorr _),
+    "q_changepoint" -> (qChangepoint _),
     "q_hll_registers" -> (qHllRegisters _),
     "q_countmin" -> (qCountmin _),
     "q_concentration" -> (qConcentration _),
@@ -619,6 +693,59 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_autocorr" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+        |FROM events GROUP BY 1, 2),
+        |lagged AS (SELECT event_type, x,
+        |  lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1,
+        |  lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS x7
+        |FROM daily)
+        |SELECT event_type,
+        |COUNT(x1) AS n1,
+        |ROUND((CAST(COUNT(x1) AS DOUBLE) * CAST(SUM(x*x1) AS DOUBLE)
+        |  - CAST(SUM(CASE WHEN x1 IS NOT NULL THEN x END) AS DOUBLE)
+        |    * CAST(SUM(x1) AS DOUBLE))
+        | / sqrt((CAST(COUNT(x1) AS DOUBLE)
+        |    * CAST(SUM(CASE WHEN x1 IS NOT NULL THEN x*x END) AS DOUBLE)
+        |  - CAST(SUM(CASE WHEN x1 IS NOT NULL THEN x END) AS DOUBLE)
+        |    * CAST(SUM(CASE WHEN x1 IS NOT NULL THEN x END) AS DOUBLE))
+        |  * (CAST(COUNT(x1) AS DOUBLE) * CAST(SUM(x1*x1) AS DOUBLE)
+        |  - CAST(SUM(x1) AS DOUBLE) * CAST(SUM(x1) AS DOUBLE))), 6)
+        |  AS r1,
+        |COUNT(x7) AS n7,
+        |ROUND((CAST(COUNT(x7) AS DOUBLE) * CAST(SUM(x*x7) AS DOUBLE)
+        |  - CAST(SUM(CASE WHEN x7 IS NOT NULL THEN x END) AS DOUBLE)
+        |    * CAST(SUM(x7) AS DOUBLE))
+        | / sqrt((CAST(COUNT(x7) AS DOUBLE)
+        |    * CAST(SUM(CASE WHEN x7 IS NOT NULL THEN x*x END) AS DOUBLE)
+        |  - CAST(SUM(CASE WHEN x7 IS NOT NULL THEN x END) AS DOUBLE)
+        |    * CAST(SUM(CASE WHEN x7 IS NOT NULL THEN x END) AS DOUBLE))
+        |  * (CAST(COUNT(x7) AS DOUBLE) * CAST(SUM(x7*x7) AS DOUBLE)
+        |  - CAST(SUM(x7) AS DOUBLE) * CAST(SUM(x7) AS DOUBLE))), 6)
+        |  AS r7
+        |FROM lagged GROUP BY event_type""".stripMargin,
+    "q_changepoint" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |  COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, day,
+        |  CAST(row_number() OVER w AS BIGINT) AS i,
+        |  CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum,
+        |  CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS dd,
+        |  CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tt
+        |FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |cand AS (SELECT *,
+        |  abs(cum * (dd - i) - (tt - cum) * i) * 1000000000
+        |    // (i * (dd - i)) AS score_e9
+        |FROM c WHERE i < dd),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |  ORDER BY score_e9 DESC, day ASC) AS rk FROM cand)
+        |SELECT event_type, day AS split_day, i AS days_before,
+        |  dd - i AS days_after, cum AS cnt_before, tt - cum AS cnt_after,
+        |  score_e9
+        |FROM best WHERE rk = 1""".stripMargin,
     "q_hll_registers" ->
       s"""WITH h AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS
          |  VARCHAR)), 1, 15)) AS BIGINT) AS h FROM events),

@@ -436,7 +436,78 @@ object TextAnalysis {
         sum(length($"w")).as("sum_len"))
   }
 
+  private val Bm25Terms = Seq("spark", "query", "join")
+
+  /** BM25 RANKING — the retrieval scorer behind corpus search and
+    * RAG-style evidence selection, made engine-exact: with k1 = 1.2,
+    * b = 0.75 the per-term score idf · tf(k1+1) / (tf + k1(1−b) +
+    * k1·b·dl/avgdl) multiplies through by 10·L (avgdl = L/N) into the
+    * all-BIGINT form idf_e3 · 22·tf·L div (10·tf·L + 3·L + 9·dl·N),
+    * with the rational idf surrogate idf_e3 = (N−df)·1000 div df
+    * standing in for the (monotone-equivalent) log idf — no float
+    * anywhere, so ranks and scores are bit-exact on any engine and
+    * partitioning. Scale shape: explode → (doc, term) agg with
+    * map-side combine, df as a partition window on term, doc length
+    * via one grouped agg joined on doc_id, corpus totals as a 1-row
+    * broadcast scalar, and a global top-k (TakeOrdered, no global
+    * window). */
+  def qBm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .filter($"term" =!= "")
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("nn"), sum($"dl").as("ll"))
+    val tf = toks.filter($"term".isin(Bm25Terms: _*))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
+    tf.join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("score_term",
+        expr("((nn - df) * 1000 div df) * (22 * tf * ll)" +
+          " div (10 * tf * ll + 3 * ll + 9 * dl * nn)"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum($"score_term").as("score"))
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(20)
+  }
+
+  private val VocabThresholds = Seq(5, 10, 20, 30)
+
+  /** VOCABULARY COVERAGE CURVE — the tokenizer-design census: what
+    * fraction of all token occurrences the top-V vocabulary covers,
+    * at V = 5/10/20/30 (thresholds sized to the synthetic corpus; the
+    * operator is parametric). Scale shape: term frequencies are one
+    * explode + shuffle agg; the curve itself runs on the TOP-V slice
+    * only — a TakeOrdered of constant size, then a running sum over
+    * that ≤ max(V)-row frame (bounded by the PARAMETER, not the
+    * data — the q_open_interval rule), with the corpus total as a
+    * 1-row broadcast scalar. Coverage is the exact integer ratio
+    * cum·10⁹ div total; (freq desc, term asc) makes rank and cum
+    * deterministic under ties. */
+  def qVocabCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val freq = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"term").agg(count(lit(1)).as("n"))
+    val total = freq.agg(sum($"n").as("total_tokens"))
+    val top = freq.orderBy($"n".desc, $"term".asc)
+      .limit(VocabThresholds.max)
+    val w = Window.orderBy($"n".desc, $"term".asc)
+    top
+      .withColumn("v_size", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum($"n").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"v_size".isin(VocabThresholds.map(_.toLong): _*))
+      .crossJoin(broadcast(total))
+      .select($"v_size", $"cum_tokens", $"total_tokens",
+        expr("cum_tokens * 1000000000 div total_tokens").as("coverage_e9"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> (qBm25 _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
     "q_regex_extract_all" -> (qRegexExtractAll _),
     "q_posting_index" -> (qPostingIndex _),
     "q_ks_drift" -> (qKsDrift _),
@@ -480,6 +551,41 @@ object TextAnalysis {
        |GROUP BY d.source""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY 1),
+        |totals AS (SELECT COUNT(*) AS nn, CAST(SUM(dl) AS BIGINT) AS ll
+        |  FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok2
+        |  WHERE term IN ('spark', 'query', 'join') GROUP BY 1, 2),
+        |tfd AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY term)
+        |  AS BIGINT) AS df FROM tf),
+        |sc AS (SELECT tfd.doc_id,
+        |  ((nn - df) * 1000 // df) * (22 * tf * ll)
+        |    // (10 * tf * ll + 3 * ll + 9 * dl.dl * nn) AS score_term
+        |FROM tfd JOIN dl ON tfd.doc_id = dl.doc_id, totals)
+        |SELECT doc_id, COUNT(*) AS n_terms_hit,
+        |  CAST(SUM(score_term) AS BIGINT) AS score
+        |FROM sc GROUP BY 1
+        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |freq AS (SELECT term, COUNT(*) AS n FROM tok
+        |  WHERE term <> '' GROUP BY 1),
+        |total AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM freq),
+        |top AS (SELECT term, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS BIGINT)
+        |    AS v_size,
+        |  CAST(SUM(n) OVER (ORDER BY n DESC, term ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens
+        |FROM freq)
+        |SELECT v_size, cum_tokens, total_tokens,
+        |  cum_tokens * 1000000000 // total_tokens AS coverage_e9
+        |FROM top, total WHERE v_size IN (5, 10, 20, 30)""".stripMargin,
     "q_ks_drift" ->
       """WITH d AS (SELECT n_chars AS v,
         |  CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
