@@ -325,6 +325,58 @@ object Dedup {
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     jaccardPairsOf(Tables.documents(s, d))
 
+  /** PREFIX-FILTERING set-similarity join (AllPairs/PPJoin family) —
+    * the LOSSLESS alternative to [[jaccardPairsOf]]'s df-capped
+    * posting join: instead of dropping ubiquitous shingles (bounded
+    * buckets, but any pair whose overlap rides on common shingles is
+    * silently lost), each document indexes only its PREFIX — its
+    * `n div 2 + 1` globally-RAREST distinct shingles under the total
+    * (df, hash) order. Prefix lemma (Chaudhuri/Xiao AllPairs): for
+    * J(a,b) ≥ 1/2 the required overlap is ≥ ⌈(na+nb)/3⌉ ≥ ⌈na/2⌉,
+    * and two sets sorted by one global order with overlap ≥ α must
+    * share an element inside their (n−α+1)-prefixes — so every
+    * J > 1/2 pair shares a PREFIX shingle and candidate generation
+    * loses NOTHING. The oracle computes the exact UNCAPPED pair set
+    * naively, so the hash match empirically proves losslessness at
+    * both gate SFs. Candidates (plus the 2·min ≥ max size filter,
+    * implied by J > 1/2) are verified on full sets — the intersection
+    * join is routed THROUGH the candidate pair list, never all-pairs —
+    * with the integer-exact 3·inter > na+nb test. Scale shape: prefix
+    * entries are rare-by-construction join keys (a doc's prefix is
+    * its rarest shingles), so the self-join has no hot bucket without
+    * any lossy cap; df and prefix rank are two windows over the
+    * once-materialized posting table; verification shuffles on
+    * doc_id. */
+  def qPrefixJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.documents(s, d)
+      .select($"doc_id",
+        array_distinct(MinHash.shingleHash60(tokens($"text"), JaccardN)).as("shs"))
+      .select($"doc_id", size($"shs").cast("long").as("n"), explode($"shs").as("s"))
+      .localCheckpoint()
+    val pref = ds
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"s")))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df".asc, $"s".asc)))
+      .filter($"pos" <= expr("n div 2 + 1"))
+      .select($"doc_id", $"n", $"s")
+    val cand = pref.as("a").join(pref.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
+          lit(2) * $"b.n" >= $"a.n" && lit(2) * $"a.n" >= $"b.n")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.n".as("na"), $"b.n".as("nb"))
+      .distinct()
+    cand
+      .join(ds.select($"doc_id".as("doc_a"), $"s"), Seq("doc_a"))
+      .join(ds.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
+      .groupBy($"doc_a", $"doc_b", $"na", $"nb")
+      .agg(count(lit(1)).as("inter"))
+      .filter(lit(3) * $"inter" > $"na" + $"nb")
+      .select($"doc_a", $"doc_b", $"inter",
+        round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 6)
+          .as("jaccard"))
+  }
+
   /** Chunk-level duplication profile via content-defined chunking
     * (rolling-hash boundaries, see [[graft.functions.TextChunker]]):
     * how much of the corpus is made of chunks shared across documents.
@@ -783,7 +835,8 @@ object Dedup {
     "q_simhash" -> (qSimhash _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_lsh_bucket_stats" -> (qLshBucketStats _),
-    "q_ngram_jaccard" -> (qNgramJaccard _)
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_prefix_join" -> (qPrefixJoin _)
   )
 
   private val tokCte =
@@ -1085,6 +1138,23 @@ object Dedup {
          |SELECT doc_a, doc_b, inter,
          |ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
          |FROM pr JOIN sz sa ON sa.doc_id = doc_a
-         |JOIN sz sb ON sb.doc_id = doc_b""".stripMargin
+         |JOIN sz sb ON sb.doc_id = doc_b""".stripMargin,
+    // NOTE: deliberately UNCAPPED (no `rare` CTE) — the oracle is the
+    // exact naive pair set, so the hash match proves the prefix
+    // filter's candidate generation is lossless.
+    "q_prefix_join" ->
+      s"""WITH $tokCte,
+         |sh AS (SELECT doc_id, unnest(${shingleExpr(JaccardN)}) AS s FROM tok),
+         |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    COUNT(*) AS inter
+         |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter,
+         |ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+         |FROM pr JOIN sz sa ON sa.doc_id = doc_a
+         |JOIN sz sb ON sb.doc_id = doc_b
+         |WHERE 3 * inter > sa.n + sb.n""".stripMargin
   )
 }

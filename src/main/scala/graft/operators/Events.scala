@@ -591,6 +591,30 @@ object Events {
       .agg(max($"rho").as("max_rho"))
   }
 
+  /** Per-KEY HyperLogLog register tables — [[qHllRegisters]] grouped
+    * by event type: the shape a 100 TB pipeline actually runs
+    * (distinct users per key for thousands of keys in ONE pass, state
+    * = keys × 64 registers instead of keys × users). Same integer-
+    * exact register math (md5 60-bit hash, first-1-bit via
+    * 55 − length(bin(rem))); merge-by-max associativity means partial
+    * aggregation works map-side and across days/partitions. The
+    * register table is oracle-gated bit-for-bit per key; the harmonic
+    * estimator stays in [[graft.functions.Hll]] (spec-gated). */
+  def qGroupedHll(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.md5Prefix60
+    events(s, d)
+      .select($"event_type",
+        md5Prefix60($"user_id".cast("string")).as("h"))
+      .select($"event_type", pmod($"h", lit(HllBuckets)).as("bucket"),
+        expr(s"h div $HllBuckets").as("rem"))
+      .select($"event_type", $"bucket",
+        when($"rem" === 0, lit(55L))
+          .otherwise(lit(55L) - length(bin($"rem")).cast("long")).as("rho"))
+      .groupBy($"event_type", $"bucket")
+      .agg(max($"rho").as("max_rho"))
+  }
+
   /** AUTOCORRELATION of the daily value series, lags 1 and 7 — the
     * seasonality probe behind traffic forecasting and anomaly
     * baselines. Daily sums stay DECIMAL(18,2) end to end; the Pearson
@@ -666,6 +690,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_autocorr" -> (qAutocorr _),
     "q_changepoint" -> (qChangepoint _),
+    "q_grouped_hll" -> (qGroupedHll _),
     "q_hll_registers" -> (qHllRegisters _),
     "q_countmin" -> (qCountmin _),
     "q_concentration" -> (qConcentration _),
@@ -746,6 +771,15 @@ object Events {
         |  dd - i AS days_after, cum AS cnt_before, tt - cum AS cnt_after,
         |  score_e9
         |FROM best WHERE rk = 1""".stripMargin,
+    "q_grouped_hll" ->
+      s"""WITH h AS (SELECT event_type, CAST(('0x' || substr(md5(CAST(
+         |  user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM events),
+         |r AS (SELECT event_type, h % $HllBuckets AS bucket,
+         |  h // $HllBuckets AS rem FROM h)
+         |SELECT event_type, bucket,
+         |MAX(CASE WHEN rem = 0 THEN 55
+         |  ELSE 55 - length(bin(rem)) END) AS max_rho
+         |FROM r GROUP BY event_type, bucket""".stripMargin,
     "q_hll_registers" ->
       s"""WITH h AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS
          |  VARCHAR)), 1, 15)) AS BIGINT) AS h FROM events),

@@ -221,6 +221,29 @@ object StreamingOps {
       Iterator.empty
   }
 
+  /** [[scd2]] composed with the atomic [[graft.sources.ManifestTable]]
+    * upsert sink — the closed-interval log landed as a batch-queryable
+    * dimension table with exactly-once ROW state: emission is
+    * deterministic (watermark-gated, (ts, eventId)-ordered per user),
+    * and the upsert merges on the unique (userId, version) pair —
+    * encoded as one long row key, versions being small per-user
+    * counters — so at-least-once redelivery of a closed interval
+    * overwrites itself byte-identically instead of duplicating.
+    * Same composition contract as [[packToManifest]]; restart +
+    * replay-merge idempotence asserted in StreamingSpec. */
+  def scd2ToManifest(events: Dataset[Ev], path: String,
+                     watermark: String = "30 minutes") =
+    scd2(events, watermark).toDF()
+      .withColumn("rowKey", col("userId") * 1000000L + col("version"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // empty recovery/idle batches must not commit empty snapshots
+        if (!batch.isEmpty)
+          graft.sources.ManifestTable.upsert(
+            batch.sparkSession, batch, path, "rowKey")
+      }
+
   /** [[Scd2Processor]] wired as a streaming Dataset. */
   def scd2(events: Dataset[Ev], watermark: String = "30 minutes"): Dataset[ScdOut] = {
     import events.sparkSession.implicits._
