@@ -591,6 +591,40 @@ object Events {
       .agg(max($"rho").as("max_rho"))
   }
 
+  /** POINT-IN-TIME LOOKUP against the SCD2 dimension ([[qScd2]]) —
+    * the temporal-join verb every warehouse needs: each purchase event
+    * joins to the dimension VERSION valid at its event time
+    * (valid_from ≤ t < valid_to, open interval when valid_to is
+    * null). Looked up at t−1µs — the state the user held immediately
+    * BEFORE purchasing (at t itself a purchase maps to the 'purchase'
+    * interval it opened; the pre-purchase state is the attribution
+    * question). A user's very first event has no prior interval and
+    * drops out of the inner join, exactly as in the oracle. The join
+    * is EQUI on user_id with the interval residual evaluated in
+    * place — per-user version counts are small, so the residual scan
+    * is bounded and there is no interval-index shuffle; at 100 TB
+    * both sides shuffle once on user_id. The bit_xor over
+    * (event_id·1000003 xor version) proves every event's version
+    * ASSIGNMENT, not just group counts (the per-row placement-proof
+    * pattern). Zero-length intervals (two changes at one micro-
+    * timestamp) are unmatchable by construction, so assignment is
+    * unique and the join can't duplicate. */
+  def qScd2Lookup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = qScd2(s, d)
+    val ev = events(s, d)
+      .filter($"user_id" % Scd2Mod === 0 && $"event_type" === "purchase")
+      .select($"user_id".as("u"), ($"ts_us" - 1).as("t"),
+        $"event_id", $"value")
+    ev.join(dim, $"u" === $"user_id" && $"t" >= $"valid_from_us" &&
+        ($"valid_to_us".isNull || $"t" < $"valid_to_us"))
+      .groupBy($"state")
+      .agg(count(lit(1)).as("n_events"),
+        dsum($"value").as("sum_value"),
+        bit_xor(expr("event_id * 1000003").bitwiseXOR($"version"))
+          .as("assign_checksum"))
+  }
+
   /** Per-KEY HyperLogLog register tables — [[qHllRegisters]] grouped
     * by event type: the shape a 100 TB pipeline actually runs
     * (distinct users per key for thousands of keys in ONE pass, state
@@ -691,6 +725,7 @@ object Events {
     "q_autocorr" -> (qAutocorr _),
     "q_changepoint" -> (qChangepoint _),
     "q_grouped_hll" -> (qGroupedHll _),
+    "q_scd2_lookup" -> (qScd2Lookup _),
     "q_hll_registers" -> (qHllRegisters _),
     "q_countmin" -> (qCountmin _),
     "q_concentration" -> (qConcentration _),
@@ -962,6 +997,28 @@ object Events {
          |SELECT a.event_type, a.day, num // den AS ewma_e6
          |FROM a JOIN daily d ON d.event_type = a.event_type
          |  AND d.day = a.day""".stripMargin,
+    "q_scd2_lookup" ->
+      s"""WITH e AS (SELECT user_id, event_type AS state,
+         |  epoch_us(ts) AS ts_us, event_id,
+         |  lag(event_type) OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev
+         |  FROM events WHERE user_id % $Scd2Mod = 0),
+         |c AS (SELECT user_id, state, ts_us, event_id FROM e
+         |  WHERE prev IS NULL OR prev <> state),
+         |dim AS (SELECT user_id, state, ts_us AS valid_from_us,
+         |  lead(ts_us) OVER w AS valid_to_us,
+         |  CAST(row_number() OVER w AS BIGINT) AS version
+         |  FROM c WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY ts_us ASC, event_id ASC)),
+         |ev AS (SELECT user_id AS u, epoch_us(ts) - 1 AS t, event_id,
+         |  value FROM events
+         |  WHERE user_id % $Scd2Mod = 0 AND event_type = 'purchase')
+         |SELECT state, COUNT(*) AS n_events,
+         |${sqlSum("value")} AS sum_value,
+         |bit_xor(xor(event_id * 1000003, version)) AS assign_checksum
+         |FROM ev JOIN dim ON u = user_id AND t >= valid_from_us
+         |  AND (valid_to_us IS NULL OR t < valid_to_us)
+         |GROUP BY state""".stripMargin,
     "q_scd2" ->
       s"""WITH e AS (SELECT user_id, event_type AS state,
          |  epoch_us(ts) AS ts_us, event_id,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -664,6 +664,97 @@ object Relational {
             ($"n" * $"syy" - $"sy" * $"sy")), 6).as("r"))
   }
 
+  /** SPEARMAN RANK CORRELATION per segment — the outlier-robust
+    * monotone-association twin of [[qCorrelation]], fully
+    * engine-exact: tie-averaged ranks are kept INTEGER as
+    * 2·avgrank = 2·rank() + ties − 1 (Pearson is invariant under the
+    * linear map r → 2r, so doubling changes nothing), every moment is
+    * an exact BIGINT sum (safe to ~1.3M rows per group; beyond that
+    * the sums move to DECIMAL(38,0)), and only the final closed-form
+    * arithmetic runs in doubles — identical exact inputs, identical
+    * IEEE ops on both engines. Scale shape: two partitioned windows
+    * (rank within segment, tie count within (segment, value)) and one
+    * grouped agg — shuffles on the segment key only. */
+  def qSpearman(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def rank2(c: Column, tie: Column) = (lit(2) * rank().over(
+      Window.partitionBy($"l_returnflag").orderBy(c)).cast("long") +
+      tie - 1).cast("long")
+    val ranked = Tables.lineitem(s, d)
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+      .withColumn("tx", count(lit(1)).over(
+        Window.partitionBy($"l_returnflag", $"l_quantity")))
+      .withColumn("ty", count(lit(1)).over(
+        Window.partitionBy($"l_returnflag", $"l_extendedprice")))
+      .select($"l_returnflag",
+        rank2($"l_quantity", $"tx").as("rx"),
+        rank2($"l_extendedprice", $"ty").as("ry"))
+    ranked.groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"rx").cast("double").as("sx"),
+        sum($"ry").cast("double").as("sy"),
+        sum($"rx" * $"ry").cast("double").as("sxy"),
+        sum($"rx" * $"rx").cast("double").as("sxx"),
+        sum($"ry" * $"ry").cast("double").as("syy"))
+      .select($"l_returnflag", $"n".cast("long").as("n"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+            ($"n" * $"syy" - $"sy" * $"sy")), 6).as("rho"))
+  }
+
+  private val BenfordE9 = Seq(301029996L, 176091259L, 124938737L,
+    96910013L, 79181246L, 66946790L, 57991947L, 51152522L, 45757491L)
+
+  /** BENFORD FIRST-DIGIT AUDIT — the fraud/synthetic-data smell test:
+    * the leading-digit distribution of order totals vs Benford's law.
+    * Digit extraction is exact (floor to BIGINT, first character);
+    * observed shares are exact integer ratios n·10⁹ div total; the
+    * Benford expectations are mirrored integer CONSTANTS (log10
+    * pre-evaluated, never computed in-engine), so deviations are pure
+    * BIGINT arithmetic. Scale shape: one narrow map + a 9-row agg;
+    * the total is a window over the 9-row digit frame (bounded by the
+    * DIGIT domain, not the data). */
+  def qBenford(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.orders(s, d)
+      .select(substring(floor($"o_totalprice").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val bf = array(BenfordE9.map(lit): _*)
+    counts
+      .withColumn("total", sum($"n").over(Window.partitionBy()))
+      .select($"digit", $"n",
+        expr("n * 1000000000 div total").as("share_e9"),
+        element_at(bf, $"digit".cast("int")).as("benford_e9"))
+      .withColumn("dev_e9", abs($"share_e9" - $"benford_e9"))
+  }
+
+  /** INCREMENTAL VIEW MAINTENANCE — the MV-refresh contract: the
+    * stored aggregate state for history plus a partial aggregate over
+    * only the NEW slice, merged by re-aggregation, must equal a full
+    * recompute. Both partials keep sums in DECIMAL(28,6)→(38,6) (the
+    * exact, associative representation — merging through doubles
+    * would NOT re-associate exactly), and the cutover is mid-month so
+    * January 1998 genuinely exercises the same-group merge path. The
+    * oracle is the straight full-table aggregate — equality IS the
+    * refresh-correctness proof. Scale shape: the delta slice is the
+    * only new scan a production refresh pays; the merge is an agg
+    * over |groups| rows. */
+  def qMvRefresh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def partial(df: DataFrame) = df
+      .groupBy(date_trunc("month", $"l_shipdate").as("ship_month"),
+        $"l_returnflag")
+      .agg(sum($"l_quantity".cast(Dec)).as("s"), count(lit(1)).as("c"))
+    val cut = ts("1998-01-15")
+    val state = partial(Tables.lineitem(s, d).filter($"l_shipdate" < cut))
+    val delta = partial(Tables.lineitem(s, d).filter($"l_shipdate" >= cut))
+    state.unionAll(delta)
+      .groupBy($"ship_month", $"l_returnflag")
+      .agg(sum($"s").cast("double").as("sum_qty"), sum($"c").as("n"))
+  }
+
   /** Hive LATERAL VIEW explode: one row per (order, lineitem-ish token).
     * Here: explode the words of o_comment-like priority text — shaped as
     * explode over a computed array with the parent row retained. */
@@ -1103,6 +1194,9 @@ object Relational {
     "q15_top_supplier" -> (q15TopSupplier _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q22_idle_customers" -> (q22IdleCustomers _),
+    "q_spearman" -> (qSpearman _),
+    "q_benford" -> (qBenford _),
+    "q_mv_refresh" -> (qMvRefresh _),
     "q_dq_checks" -> (qDqChecks _),
     "q_semi_join" -> (qSemiJoin _),
     "q_anti_join" -> (qAntiJoin _),
@@ -1313,6 +1407,45 @@ object Relational {
          |AND o_orderdate < TIMESTAMP '1996-04-01'
          |GROUP BY 1, 2, 3
          |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q_spearman" ->
+      """WITH rk AS (SELECT l_returnflag,
+        |  2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |    + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+        |    - 1 AS rx,
+        |  2 * rank() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice)
+        |    + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
+        |    - 1 AS ry
+        |FROM lineitem),
+        |m AS (SELECT l_returnflag,
+        |  CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(rx) AS DOUBLE) AS sx, CAST(SUM(ry) AS DOUBLE) AS sy,
+        |  CAST(SUM(rx*ry) AS DOUBLE) AS sxy,
+        |  CAST(SUM(rx*rx) AS DOUBLE) AS sxx,
+        |  CAST(SUM(ry*ry) AS DOUBLE) AS syy
+        |FROM rk GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |ROUND((n * sxy - sx * sy) /
+        |  sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS rho
+        |FROM m""".stripMargin,
+    "q_benford" ->
+      """WITH c AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1),
+        |t AS (SELECT digit, n, CAST(SUM(n) OVER () AS BIGINT) AS total,
+        |  CAST(([301029996, 176091259, 124938737, 96910013, 79181246,
+        |    66946790, 57991947, 51152522, 45757491])[digit] AS BIGINT)
+        |    AS benford_e9
+        |FROM c)
+        |SELECT digit, n, n * 1000000000 // total AS share_e9,
+        |benford_e9, abs(n * 1000000000 // total - benford_e9) AS dev_e9
+        |FROM t""".stripMargin,
+    "q_mv_refresh" ->
+      s"""SELECT date_trunc('month', l_shipdate) AS ship_month,
+         |l_returnflag, ${sqlSum("l_quantity")} AS sum_qty,
+         |COUNT(*) AS n
+         |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders
