@@ -591,6 +591,90 @@ object Events {
       .agg(max($"rho").as("max_rho"))
   }
 
+  /** PER-SEGMENT LINEAR REGRESSION — the traffic-trend verb: per
+    * event type, OLS slope/intercept of daily event count over the
+    * integer day index. Engine-exact by the [[qAutocorr]] recipe: x
+    * is an exact datediff integer, y an exact BIGINT count, all five
+    * moments are exact BIGINT sums, and the closed-form slope /
+    * intercept arithmetic is one IEEE pass over identical exact
+    * inputs on both engines. Scale shape: one shuffle to the
+    * (type, day) calendar grid, one broadcast of per-type min-day
+    * (tiny agg), one grouped agg — volume-independent after the
+    * first agg. */
+  def qLinreg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, d)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val d0 = daily.groupBy($"event_type".as("et")).agg(min($"day").as("day0"))
+    daily.join(broadcast(d0), $"event_type" === $"et")
+      .select($"event_type", datediff($"day", $"day0").cast("long").as("x"),
+        $"y")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"x").cast("double").as("sx"),
+        sum($"y").cast("double").as("sy"),
+        sum($"x" * $"y").cast("double").as("sxy"),
+        sum($"x" * $"x").cast("double").as("sxx"))
+      .select($"event_type", $"n".cast("long").as("n"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("slope"),
+        round(($"sy" - ($"n" * $"sxy" - $"sx" * $"sy") /
+          ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n", 6)
+          .as("intercept"))
+  }
+
+  /** CUMULATIVE-UNIQUES growth curve — "how many distinct BUYERS has
+    * the product ever seen, by day" (first-purchase cohort entry): each user collapses to a
+    * first-seen day (one shuffle agg on user_id — the only pass over
+    * raw volume), then new-user counts roll up the bounded calendar
+    * spine with a running sum (window over ≤ calendar-length rows —
+    * bounded by the DATE domain, not the data, the q_open_interval
+    * rule). Counts are exact BIGINTs; running distinct count without
+    * per-day distinct state is what makes this the 100 TB shape. */
+  def qCumulativeUniques(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val firstSeen = events(s, d)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(min(date_trunc("day", $"ts")).as("first_day"))
+    firstSeen
+      .groupBy($"first_day")
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum($"new_users").over(
+        Window.orderBy($"first_day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** HLL SET OPERATIONS — the sketch algebra behind cross-segment
+    * audience math: per register bucket, the view registers, the
+    * purchase registers, and the UNION registers — which are exactly
+    * the per-bucket max (HLL union is lossless, the property that
+    * makes the sketch mergeable across partitions, days, and
+    * segments). All three register columns come out of ONE pass as
+    * conditional maxes and are oracle-gated bit-for-bit; downstream
+    * inclusion–exclusion (|A∩B| ≈ |A|+|B|−|A∪B|) runs on
+    * [[graft.functions.Hll]] estimates, spec-gated. */
+  def qHllSetops(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.md5Prefix60
+    events(s, d)
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"event_type",
+        md5Prefix60($"user_id".cast("string")).as("h"))
+      .select($"event_type", pmod($"h", lit(HllBuckets)).as("bucket"),
+        expr(s"h div $HllBuckets").as("rem"))
+      .select($"event_type", $"bucket",
+        when($"rem" === 0, lit(55L))
+          .otherwise(lit(55L) - length(bin($"rem")).cast("long")).as("rho"))
+      .groupBy($"bucket")
+      .agg(
+        max(when($"event_type" === "view", $"rho")).as("rho_view"),
+        max(when($"event_type" === "purchase", $"rho")).as("rho_purchase"),
+        max($"rho").as("rho_union"))
+  }
+
   /** POINT-IN-TIME LOOKUP against the SCD2 dimension ([[qScd2]]) —
     * the temporal-join verb every warehouse needs: each purchase event
     * joins to the dimension VERSION valid at its event time
@@ -726,6 +810,9 @@ object Events {
     "q_changepoint" -> (qChangepoint _),
     "q_grouped_hll" -> (qGroupedHll _),
     "q_scd2_lookup" -> (qScd2Lookup _),
+    "q_linreg" -> (qLinreg _),
+    "q_cumulative_uniques" -> (qCumulativeUniques _),
+    "q_hll_setops" -> (qHllSetops _),
     "q_hll_registers" -> (qHllRegisters _),
     "q_countmin" -> (qCountmin _),
     "q_concentration" -> (qConcentration _),
@@ -806,6 +893,48 @@ object Events {
         |  dd - i AS days_after, cum AS cnt_before, tt - cum AS cnt_after,
         |  score_e9
         |FROM best WHERE rk = 1""".stripMargin,
+    "q_linreg" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |  COUNT(*) AS y FROM events GROUP BY 1, 2),
+        |d0 AS (SELECT event_type, MIN(day) AS day0 FROM daily GROUP BY 1),
+        |xy AS (SELECT daily.event_type,
+        |  CAST(date_diff('day', day0, day) AS BIGINT) AS x, y
+        |FROM daily JOIN d0 ON daily.event_type = d0.event_type),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |  CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx
+        |FROM xy GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+        |  6) AS intercept
+        |FROM m""".stripMargin,
+    "q_cumulative_uniques" ->
+      """WITH fs AS (SELECT user_id, MIN(date_trunc('day', ts))
+        |    AS first_day
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |nd AS (SELECT first_day, COUNT(*) AS new_users FROM fs
+        |  GROUP BY 1)
+        |SELECT first_day, new_users,
+        |CAST(SUM(new_users) OVER (ORDER BY first_day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS cum_users
+        |FROM nd""".stripMargin,
+    "q_hll_setops" ->
+      s"""WITH h AS (SELECT event_type, CAST(('0x' || substr(md5(CAST(
+         |  user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM events
+         |  WHERE event_type IN ('view', 'purchase')),
+         |r AS (SELECT event_type, h % $HllBuckets AS bucket,
+         |  h // $HllBuckets AS rem FROM h),
+         |rho AS (SELECT event_type, bucket,
+         |  CASE WHEN rem = 0 THEN 55
+         |    ELSE 55 - length(bin(rem)) END AS rho FROM r)
+         |SELECT bucket,
+         |MAX(CASE WHEN event_type = 'view' THEN rho END) AS rho_view,
+         |MAX(CASE WHEN event_type = 'purchase' THEN rho END)
+         |  AS rho_purchase,
+         |MAX(rho) AS rho_union
+         |FROM rho GROUP BY bucket""".stripMargin,
     "q_grouped_hll" ->
       s"""WITH h AS (SELECT event_type, CAST(('0x' || substr(md5(CAST(
          |  user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM events),
