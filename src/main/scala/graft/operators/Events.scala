@@ -12,20 +12,36 @@ import graft.functions.Det._
   * both are pure key-partitioned plans (shuffle only on user_id /
   * window key), so the same shapes scale to a 100 TB event log.
   *
-  * The events table carries TIMESTAMP(NANOS) which Spark's parquet
-  * reader rejects; we read it as nanosecond longs
-  * (spark.sql.legacy.parquet.nanosAsLong) and floor-divide to micros —
-  * exactly what DuckDB's reader does, so timestamps compare equal.
+  * The events table's `ts` column has shipped in two physical forms:
+  * TIMESTAMP(NANOS) (read as nanosecond longs via
+  * spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS)
+  * (read as TIMESTAMP_NTZ). [[events]] normalizes either to the same
+  * pair of columns, so every query is storage-format independent.
   */
 object Events {
 
-  /** events with `ts` as a micros-precision timestamp (+ `ts_us` long).
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set once at
-    * session build time in [[graft.GraftSession]] — never mutated here
-    * (a per-query `conf.set` would be a session-global side effect). */
+  /** events with `ts` as a micros-precision TIMESTAMP (+ `ts_us` long),
+    * regardless of how parquet stored it. Branches on the loaded type:
+    *   - LongType: TIMESTAMP(NANOS) surfaced as nanos longs
+    *     (spark.sql.legacy.parquet.nanosAsLong=true, set in
+    *     [[graft.GraftSession]]); floor-divide to micros, exactly what
+    *     DuckDB's reader does, so timestamps compare equal.
+    *   - TIMESTAMP / TIMESTAMP_NTZ: micros-precision parquet; the NTZ
+    *     cast is exact because the session time zone is pinned to UTC
+    *     (GraftSession), matching DuckDB's naive-as-UTC reading.
+    */
   def events(s: SparkSession, d: String): DataFrame = {
-    Tables.events(s, d)
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = Tables.events(s, d)
+    val tsUs: Column = raw.schema("ts").dataType match {
+      case LongType          => expr("ts DIV 1000")
+      case TimestampType     => unix_micros(col("ts"))
+      case TimestampNTZType  => unix_micros(col("ts").cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported physical type $other")
+    }
+    raw
+      .withColumn("ts_us", tsUs)
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
 

@@ -58,6 +58,18 @@ def main():
             print("  spark:", got[idx].head(3).to_dict("records"))
             print("  duck :", want[idx].head(3).to_dict("records"))
             n_fail += 1
+    # rows-only queries have no oracle entry; still surface their error
+    # markers (graft.Verify writes a `_verify_error` parquet on throw)
+    for d in sorted(os.listdir(out_dir)):
+        if d in oracle or not os.path.isdir(f"{out_dir}/{d}") or (only and d not in only):
+            continue
+        try:
+            cols = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{d}/*.parquet') LIMIT 1").df()
+        except Exception:
+            continue
+        if "_verify_error" in cols.columns:
+            print(f"FAIL {d}: {cols['_verify_error'].iloc[0]}")
+            n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
