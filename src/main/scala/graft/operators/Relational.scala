@@ -1152,6 +1152,76 @@ object Relational {
       .agg(min($"bal_cents").as("median_cents"), max($"tot").as("total_w"))
   }
 
+  /** DETERMINISTIC MODE per group — most frequent value with a unique
+    * (count desc, value asc) tie-break, because the built-in `mode()`
+    * returns an arbitrary winner on ties and is therefore not
+    * reproducible across runs/engines. Shape: one shuffle agg to the
+    * (group, value) grain, then a row_number window over the
+    * value-domain-sized count table — never over raw facts. */
+  def qMode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.orders(s, d)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy($"n".desc, $"o_orderpriority".asc)
+    counts.withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"o_orderstatus", $"o_orderpriority".as("mode_priority"),
+        $"n".as("n_mode"))
+  }
+
+  /** Exact per-group median in distributed histogram form: one shuffle
+    * agg to the (group, value) grain, then cumulative-count windows
+    * over that spine and the interpolated pick (v⌈n/2⌉ + v⌊n/2⌋₊₁)/2 —
+    * identical to `quantile_cont(0.5)` but with per-task state bounded
+    * by the partial-agg hash map, never a per-group all-values buffer
+    * (Spark's `percentile` builds one; on a near-continuous 100 TB
+    * column that map is executor-memory-sized). Same shape as
+    * [[qWeightedMedian]]. */
+  private def medianBy(df: DataFrame, key: String, v: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val h = df.groupBy(col(key), col(v)).agg(count(lit(1)).as("cnt"))
+    val cumW = Window.partitionBy(col(key)).orderBy(col(v).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col(key))
+    h.withColumn("cum", sum($"cnt").over(cumW))
+      .withColumn("tot", sum($"cnt").over(totW))
+      .groupBy(col(key))
+      .agg(((min(when($"cum" >= expr("(tot + 1) div 2"), col(v))) +
+        min(when($"cum" >= expr("tot div 2 + 1"), col(v)))) / 2.0).as("med"))
+  }
+
+  /** ROBUST OUTLIER DETECTION via median absolute deviation — the
+    * skew-immune anomaly gate (mean/stddev outlier rules break under
+    * the very outliers they hunt; median/MAD don't). Medians via
+    * [[medianBy]]'s histogram form, so no per-group value buffer
+    * anywhere. Medians of integer cents land on exact .0/.5 doubles,
+    * deviations on .0/.5, 3×MAD on .25 multiples — every comparison is
+    * between exactly-representable doubles, so the strict `>`
+    * threshold is bit-deterministic in both engines. The two per-group
+    * median frames broadcast back (groups × 1 row each). */
+  def qOutlierMad(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // materialized once: the (flag, cents) projection feeds the median
+    // histogram AND both deviation passes; without it each pass
+    // re-runs the parquet scan + decimal conversion (3 scans measured).
+    val li = Tables.lineitem(s, d).select($"l_returnflag",
+      ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .localCheckpoint()
+    val med = medianBy(li, "l_returnflag", "cents")
+    val dev = li.join(broadcast(med), "l_returnflag")
+      .withColumn("dev", abs($"cents" - $"med"))
+    val mad = medianBy(dev.select($"l_returnflag", $"dev"), "l_returnflag", "dev")
+      .withColumnRenamed("med", "mad")
+    dev.join(broadcast(mad), "l_returnflag")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        min($"med").as("median_cents"),
+        min($"mad").as("mad_cents"),
+        sum(when($"dev" > $"mad" * 3, 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** Explicit CROSS JOIN surface — the dense-grid pattern: every
     * (region × order status) cell, INCLUDING empty ones, so downstream
     * pivots/charts see a complete matrix. The cross join multiplies
@@ -1179,6 +1249,8 @@ object Relational {
     "q_cross_join" -> (qCrossJoin _),
     "q_open_interval" -> (qOpenInterval _),
     "q_weighted_median" -> (qWeightedMedian _),
+    "q_outlier_mad" -> (qOutlierMad _),
+    "q_mode" -> (qMode _),
     "q_ntile" -> (qNtile _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_unshipped" -> (q3TopUnshipped _),
@@ -1290,6 +1362,28 @@ object Relational {
         |SELECT c_mktsegment, MIN(bal_cents) AS median_cents,
         |  MAX(tot) AS total_w
         |FROM c WHERE cum * 2 >= tot GROUP BY 1""".stripMargin,
+    "q_outlier_mad" ->
+      """WITH li AS (SELECT l_returnflag,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem),
+        |med AS (SELECT l_returnflag, quantile_cont(cents, 0.5) AS med
+        |  FROM li GROUP BY 1),
+        |dev AS (SELECT li.l_returnflag, abs(cents - med.med) AS dev, med.med
+        |  FROM li JOIN med USING (l_returnflag)),
+        |mad AS (SELECT l_returnflag, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT dev.l_returnflag, COUNT(*) AS n,
+        |  MIN(dev.med) AS median_cents, MIN(mad.mad) AS mad_cents,
+        |  CAST(SUM(CASE WHEN dev > mad.mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev JOIN mad USING (l_returnflag) GROUP BY 1""".stripMargin,
+    "q_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |  ORDER BY n DESC, o_orderpriority ASC) AS rk FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_mode
+        |FROM r WHERE rk = 1""".stripMargin,
     "q_ntile" ->
       """WITH t AS (SELECT c_mktsegment, c_acctbal,
         |  ntile(10) OVER (PARTITION BY c_mktsegment

@@ -143,6 +143,110 @@ object TextAnalysis {
     * overlap check (look up a benchmark's n-grams in the corpus table).
     * One explode + one count per gram (map-side partial agg) + a
     * bounded global top-k with a unique tie-break. */
+  private val SpanK = 8     // duplicate-span width (tokens)
+  private val SpanTopK = 50 // reported duplicated spans
+
+  /** EXACT SUBSTRING-SPAN DEDUP — the train-set memorization primitive
+    * (find verbatim k-token spans repeated across documents, the
+    * suffix-array-dedup query shape at fixed width): every sliding
+    * 8-token window is hashed (md5-family, oracle-reproducible) and
+    * aggregated; spans occurring in >1 document are ranked. Scale
+    * shape: explode is a narrow ~n_tokens/doc flatMap, the only
+    * shuffle is the groupBy on the uniform 60-bit span hash (no hot
+    * keys by construction), and the report is top-k via
+    * TakeOrderedAndProject — never a global sort. At 100 TB the
+    * span→count table is the standard "dup span index" a subsequent
+    * pass joins against to cut repeated text. */
+  def qSubstringDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val spans = transform(
+      sequence(lit(1), greatest(size(toks) - (SpanK - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(SpanK))))
+    // two-level agg instead of count+countDistinct in one: the mixed
+    // form plans an Expand that doubles the exploded span volume; the
+    // (h, doc_id)-grain partial agg combines map-side and feeds the
+    // second level already collapsed.
+    Tables.documents(s, d)
+      .select($"doc_id", explode(spans).as("span"))
+      .groupBy(md5Prefix60($"span").as("h"), $"doc_id")
+      .agg(min($"span").as("span"), count(lit(1)).as("n"))
+      .groupBy($"h")
+      .agg(min($"span").as("span"),
+        sum($"n").as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
+      .filter($"n_occurrences" > 1 && $"n_docs" > 1)
+      .orderBy($"n_occurrences".desc, $"h".asc)
+      .limit(SpanTopK)
+      .select($"h", $"span", $"n_occurrences", $"n_docs")
+  }
+
+  private val CoverTopK = 20 // most-duplicated documents reported
+
+  /** PER-DOCUMENT DUPLICATION COVERAGE — the actionable second pass
+    * over the [[qSubstringDedup]] span index: for every document, what
+    * share of its 8-token windows is verbatim-shared with ANOTHER
+    * document (the "trim or drop this doc" signal). The span index is
+    * re-derived (same hash family) and left-joined back on the uniform
+    * 60-bit hash — a sort-merge join between two span-grain tables,
+    * both shuffled once on the same key, no broadcast of anything
+    * data-sized. The ratio is the engine's integer-exact n·10⁹ div d
+    * idiom; report is bounded top-k. */
+  def qDupSpanCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val spans = transform(
+      sequence(lit(1), greatest(size(toks) - (SpanK - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(SpanK))))
+    // materialized once (house idiom, see Dedup.jaccardPairsOf): the
+    // span posting table feeds both the dup-index agg and the join
+    // probe side; without the checkpoint each side re-runs the
+    // explode + per-span md5 pass.
+    val spanOcc = Tables.documents(s, d)
+      .select($"doc_id", explode(spans).as("span"))
+      .select($"doc_id", md5Prefix60($"span").as("h"))
+      .localCheckpoint()
+    val dupIndex = spanOcc.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" > 1)
+      .select($"h", lit(1L).as("is_dup"))
+    spanOcc.join(dupIndex, Seq("h"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce($"is_dup", lit(0L))).as("n_dup"))
+      .withColumn("ratio_e9", expr("n_dup * 1000000000 div n_spans"))
+      .orderBy($"ratio_e9".desc, $"doc_id".asc)
+      .limit(CoverTopK)
+  }
+
+  private val QmMod = 1001L // hashed-feature weight modulus (odd, ~±500)
+
+  /** HASHED LINEAR QUALITY SCORER — the fasttext-classifier query
+    * shape: score(doc) = Σ w[h(token) mod D] over a hashed feature
+    * table. Weights here are derived deterministically from the hash
+    * itself (md5 mod 1001 − 500 ∈ [−500, 500]) so the oracle can
+    * reproduce them; a production model broadcasts a learned w[] and
+    * the plan is IDENTICAL (the weight lookup is a map-side array
+    * index either way). Everything is integer arithmetic — no float
+    * drift — and the per-doc score is computed with
+    * `aggregate(transform(...))` INSIDE the row: a pure narrow map,
+    * zero shuffle until the final per-language rollup. */
+  def qQualityModel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val half = (QmMod - 1) / 2
+    val score = aggregate(
+      transform(tokens($"text"), t => md5Prefix60(t) % QmMod - half),
+      lit(0L), (acc, x) => acc + x)
+    Tables.documents(s, d)
+      .withColumn("score", score)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"score" >= 0, 1L).otherwise(0L)).as("n_keep"),
+        sum($"score").as("sum_score"),
+        min($"score").as("min_score"),
+        max($"score").as("max_score"))
+  }
+
   def qTopNgrams(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = tokens($"text")
@@ -520,6 +624,9 @@ object TextAnalysis {
     "q_lang_id" -> (qLangId _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_top_ngrams" -> (qTopNgrams _),
+    "q_substring_dedup" -> (qSubstringDedup _),
+    "q_dup_span_coverage" -> (qDupSpanCoverage _),
+    "q_quality_model" -> (qQualityModel _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_bloom_decontam" -> (qBloomDecontam _),
     "q_pmi_bigrams" -> (qPmiBigrams _),
@@ -705,6 +812,40 @@ object TextAnalysis {
         |  i -> array_to_string(t[i:i+1], ' '))) AS gram FROM tok)
         |SELECT gram, COUNT(*) AS n FROM g GROUP BY gram
         |ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin,
+    "q_substring_dedup" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |sp AS (SELECT doc_id, unnest(${sqlGrams(SpanK)}) AS span FROM tok),
+         |g AS (SELECT CAST(('0x'||substr(md5(span),1,15)) AS BIGINT) AS h,
+         |  MIN(span) AS span, COUNT(*) AS n_occurrences,
+         |  COUNT(DISTINCT doc_id) AS n_docs
+         |  FROM sp GROUP BY 1)
+         |SELECT h, span, n_occurrences, n_docs FROM g
+         |WHERE n_occurrences > 1 AND n_docs > 1
+         |ORDER BY n_occurrences DESC, h ASC LIMIT $SpanTopK""".stripMargin,
+    "q_dup_span_coverage" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |sp AS (SELECT doc_id, unnest(${sqlGrams(SpanK)}) AS span FROM tok),
+         |h AS (SELECT doc_id,
+         |  CAST(('0x'||substr(md5(span),1,15)) AS BIGINT) AS h FROM sp),
+         |dup AS (SELECT h FROM h GROUP BY h
+         |  HAVING COUNT(DISTINCT doc_id) > 1),
+         |pd AS (SELECT doc_id, COUNT(*) AS n_spans,
+         |  CAST(SUM(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, n_spans, n_dup,
+         |  n_dup * 1000000000 // n_spans AS ratio_e9
+         |FROM pd ORDER BY ratio_e9 DESC, doc_id ASC LIMIT $CoverTopK""".stripMargin,
+    "q_quality_model" ->
+      s"""WITH tok AS (SELECT lang, string_split(text,' ') AS t FROM documents),
+         |sc AS (SELECT lang, CAST(list_sum(list_transform(t,
+         |  x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % $QmMod
+         |       - ${(QmMod - 1) / 2})) AS BIGINT) AS score FROM tok)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |CAST(SUM(score) AS BIGINT) AS sum_score,
+         |MIN(score) AS min_score, MAX(score) AS max_score
+         |FROM sc GROUP BY lang""".stripMargin,
     "q_lang_ngram" -> {
       def sqlScore(profile: Seq[String]): String =
         profile.map(p => s"(CASE WHEN contains(text, '$p') THEN 1 ELSE 0 END)")

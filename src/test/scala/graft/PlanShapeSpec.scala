@@ -122,6 +122,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(countOf(p, "Exchange") <= 3, s"shuffle count crept up:\n$p")
   }
 
+  test("q_substring_dedup: bounded top-k over the span index, pruned scan") {
+    val p = executed("q_substring_dedup")
+    assert(p.contains("TakeOrderedAndProject"),
+      "duplicated-span report must be top-k, not a global sort")
+    val scans = formatted("q_substring_dedup").linesIterator
+      .filter(_.contains("ReadSchema")).toList
+    scans.foreach(s => assert(!s.contains("lang") && !s.contains("source"),
+      "span index needs doc_id+text only"))
+  }
+
+  test("q_quality_model: scoring is a narrow map — one shuffle for the lang rollup") {
+    val p = executed("q_quality_model")
+    assert(countOf(p, "Exchange") == 1,
+      "hashed-feature scoring must not shuffle; only the final groupBy(lang) may")
+    assert(!p.contains("Generate"), "score must come from aggregate(transform(..)), not explode")
+  }
+
+  test("q_outlier_mad: both median frames broadcast back to the fact table") {
+    val p = executed("q_outlier_mad")
+    assert(countOf(p, "BroadcastHashJoin") >= 2,
+      "med and mad (groups×1 rows) must broadcast, never shuffle-join the facts")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("pair generators keep scans pruned to the columns they use") {
     // q_minhash_pairs materializes its banded table (localCheckpoint),
     // which hides the scan from the outer plan — assert pruning on the
