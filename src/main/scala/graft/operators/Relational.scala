@@ -1245,7 +1245,137 @@ object Relational {
         coalesce($"n_orders", lit(0L)).as("n_orders"))
   }
 
+  /** TPC-H q2 MINIMUM COST SUPPLIER shape (adapted: the testdata has
+    * no partsupp table, so the part↔supplier relation is the DISTINCT
+    * (l_partkey, l_suppkey) bridge observed in lineitem, and the
+    * "cost" being minimized is s_acctbal). Correlated-min via a
+    * partkey window over the already-filtered candidate set — one
+    * shuffle on partkey; part/supplier/nation all broadcast. The
+    * report carries the full unique tie-break chain (…, p_partkey,
+    * s_suppkey) so the top-100 cut is deterministic. */
+  def q2MinSupplier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bridge = Tables.lineitem(s, d)
+      .select($"l_partkey", $"l_suppkey").distinct()
+    val p = broadcast(Tables.part(s, d)
+      .filter($"p_type" === "ECONOMY" && $"p_size" < 15))
+    val cand = bridge.join(p, $"l_partkey" === $"p_partkey")
+      .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+    val w = Window.partitionBy($"p_partkey")
+    cand.withColumn("min_bal", min($"s_acctbal").over(w))
+      .filter($"s_acctbal" === $"min_bal")
+      .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_name",
+        $"s_suppkey")
+      .orderBy($"s_acctbal".desc, $"n_name".asc, $"s_name".asc,
+        $"p_partkey".asc, $"s_suppkey".asc)
+      .limit(100)
+  }
+
+  /** TPC-H q9 PRODUCT TYPE PROFIT shape (adapted: no partsupp, so
+    * supply cost is the p_retailprice/10 surrogate): profit by
+    * supplier nation × order year over parts whose name matches.
+    * The per-row profit double is exact at 3 dp (0-dp qty × 2-dp
+    * price × 1-dp constant), so the [[dsum]] decimal accumulation is
+    * engine-exact. part/supplier/nation broadcast; the only fact
+    * shuffle is lineitem ⋈ orders on orderkey. */
+  def q9ProductProfit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = broadcast(Tables.part(s, d).filter($"p_name".contains("gear")))
+    Tables.lineitem(s, d)
+      .join(p, $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"),
+        year($"o_orderdate").cast("long").as("o_year"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") -
+        $"l_quantity" * $"p_retailprice" * lit(0.1)).as("sum_profit"))
+  }
+
+  /** TPC-H q11 IMPORTANT STOCK shape (adapted: "stock value" is the
+    * shipped value sum(l_quantity × p_retailprice) of one nation's
+    * suppliers, partsupp being absent): parts whose value exceeds
+    * 1/10000 of the nation total. All money flows as exact BIGINT
+    * cents (decimal-cast price × 100), the global total is a 1-row
+    * broadcast (no partition-less window), and the threshold is the
+    * integer-exact value·10⁴ > total compare. */
+  def q11ImportantStock(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sup = broadcast(Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter($"n_name" === "NATION_3")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey"))
+    val p = broadcast(Tables.part(s, d).select($"p_partkey",
+      ($"p_retailprice".cast("decimal(18,2)") * 100).cast("long").as("cents")))
+    val perPart = Tables.lineitem(s, d)
+      .join(sup, $"l_suppkey" === $"s_suppkey")
+      .join(p, $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey")
+      .agg(sum($"l_quantity".cast("long") * $"cents").as("value_cents"))
+    val total = perPart.agg(sum($"value_cents").as("total_cents"))
+    perPart.crossJoin(broadcast(total))
+      .filter($"value_cents" * 10000 > $"total_cents")
+      .select($"l_partkey".as("p_partkey"), $"value_cents")
+      .orderBy($"value_cents".desc, $"p_partkey".asc)
+  }
+
+  /** TPC-H q16 PARTS/SUPPLIER RELATIONSHIP shape (adapted via the
+    * lineitem bridge; the "complaints" exclusion is suppliers with
+    * negative balance): distinct supplier count per surviving
+    * (brand, type, size) cell. The brand/type/size predicates push
+    * into the broadcast part dim; the exclusion is a broadcast
+    * left-anti join, so the only shuffle is the distinct + the final
+    * cell-grain count-distinct agg. */
+  def q16SupplierCnt(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = broadcast(Tables.part(s, d)
+      .filter($"p_brand" =!= "Brand#4" && $"p_type" =!= "SMALL" &&
+        $"p_size".isin(1, 5, 11, 20, 35, 49)))
+    val badSupp = Tables.supplier(s, d)
+      .filter($"s_acctbal" < 0).select($"s_suppkey")
+    Tables.lineitem(s, d).select($"l_partkey", $"l_suppkey").distinct()
+      .join(p, $"l_partkey" === $"p_partkey")
+      .join(broadcast(badSupp), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand".asc, $"p_type".asc,
+        $"p_size".asc)
+  }
+
+  /** TPC-H q20 POTENTIAL PART PROMOTION shape (adapted: with no
+    * partsupp availqty, a supplier "qualifies" when it shipped MORE
+    * THAN HALF of a matching part's total 1996 volume — the dominance
+    * form of the original's correlated half-of-volume threshold):
+    * qualifying suppliers, by name. Quantities are exact BIGINTs;
+    * the per-part total comes from a partkey window over the
+    * pair-grain pre-agg (never a second scan); the 2·sq > total
+    * compare is integer-exact. */
+  def q20DominantSupplier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = broadcast(Tables.part(s, d)
+      .filter($"p_name".contains("bolt")).select($"p_partkey"))
+    val perPair = Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= ts("1996-01-01") &&
+        $"l_shipdate" < ts("1997-01-01"))
+      .join(p, $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"l_quantity".cast("long")).as("sq"))
+    val w = Window.partitionBy($"l_partkey")
+    perPair.withColumn("pt", sum($"sq").over(w))
+      .filter($"sq" * 2 > $"pt")
+      .select($"l_suppkey").distinct()
+      .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal")
+      .orderBy($"s_name".asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_supplier" -> (q2MinSupplier _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q11_important_stock" -> (q11ImportantStock _),
+    "q16_supplier_cnt" -> (q16SupplierCnt _),
+    "q20_dominant_supplier" -> (q20DominantSupplier _),
     "q_cross_join" -> (qCrossJoin _),
     "q_open_interval" -> (qOpenInterval _),
     "q_weighted_median" -> (qWeightedMedian _),
@@ -1320,6 +1450,72 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q2_min_supplier" ->
+      """WITH bridge AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |cand AS (SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+        |  FROM bridge
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_type = 'ECONOMY' AND p_size < 15)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey
+        |FROM (SELECT *, MIN(s_acctbal) OVER (PARTITION BY p_partkey) AS mb
+        |      FROM cand)
+        |WHERE s_acctbal = mb
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+        |LIMIT 100""".stripMargin,
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation,
+         |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)" +
+             " - l_quantity * p_retailprice * 0.1")} AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%gear%'
+         |GROUP BY 1, 2""".stripMargin,
+    "q11_important_stock" ->
+      """WITH pc AS (SELECT p_partkey,
+        |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM part),
+        |per AS (SELECT l_partkey AS p_partkey,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT) * cents) AS BIGINT) AS value_cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN pc ON l_partkey = pc.p_partkey
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS t FROM per)
+        |SELECT p_partkey, value_cents FROM per, tot
+        |WHERE value_cents * 10000 > t""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#4' AND p_type <> 'SMALL'
+        |AND p_size IN (1, 5, 11, 20, 35, 49)
+        |AND l_suppkey NOT IN
+        |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q20_dominant_supplier" ->
+      """WITH pp AS (SELECT l_partkey, l_suppkey,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%bolt%'
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2),
+        |q AS (SELECT DISTINCT l_suppkey FROM
+        |  (SELECT *, CAST(SUM(sq) OVER (PARTITION BY l_partkey) AS BIGINT) AS pt
+        |   FROM pp)
+        |  WHERE sq * 2 > pt)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM q JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
     "q_cross_join" ->
       """WITH grid AS (SELECT r_regionkey, r_name, st
         |  FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus AS st
