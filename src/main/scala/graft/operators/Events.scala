@@ -821,7 +821,48 @@ object Events {
         $"score_e9")
   }
 
+  private val SaxTopK = 20 // most frequent daily motifs reported
+
+  /** SAX SYMBOLIZATION + MOTIF CENSUS — the time-series-mining shape
+    * (symbolic aggregate approximation): each (event_type, day) series
+    * is piecewise-aggregated into six 4-hour segments (PAA over event
+    * COUNTS — integers, so no float breakpoints anywhere), each
+    * segment mapped to a 4-letter alphabet by integer-exact
+    * comparisons against the day's total (a: < half the uniform
+    * share, b: ≤ the share, c: ≤ twice, d: above), and the six
+    * letters joined into the day's SAX word via the deterministic
+    * ordered-sequence idiom. The census counts word frequency per
+    * event type — recurring daily shapes surface as hot motifs.
+    * Segments with zero events emit no letter (words encode presence
+    * too; both engines derive identical words from identical rows).
+    * Scale shape: one shuffle to (type, day, seg) grain, a ≤6-row
+    * per-day window for the total, a bounded top-k report. */
+  def qSax(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val seg = events(s, d)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"),
+        expr("hour(ts) DIV 4").as("seg"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"event_type", $"day")
+    val words = seg
+      .withColumn("tot", sum($"c").over(w))
+      .withColumn("sym",
+        when($"c" * 12 < $"tot", "a")
+          .when($"c" * 6 <= $"tot", "b")
+          .when($"c" * 3 <= $"tot", "c")
+          .otherwise("d"))
+      .groupBy($"event_type", $"day")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"seg", $"sym"))),
+        x => x.getField("sym")), "").as("word"))
+    words.groupBy($"event_type", $"word")
+      .agg(count(lit(1)).as("n_days"))
+      .orderBy($"n_days".desc, $"event_type".asc, $"word".asc)
+      .limit(SaxTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sax" -> (qSax _),
     "q_autocorr" -> (qAutocorr _),
     "q_changepoint" -> (qChangepoint _),
     "q_grouped_hll" -> (qGroupedHll _),
@@ -856,6 +897,23 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sax" ->
+      s"""WITH seg AS (SELECT event_type, date_trunc('day', ts) AS day,
+         |  hour(ts) // 4 AS seg, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2, 3),
+         |t AS (SELECT *, CAST(SUM(c) OVER
+         |  (PARTITION BY event_type, day) AS BIGINT) AS tot FROM seg),
+         |sym AS (SELECT event_type, day, seg,
+         |  CASE WHEN c * 12 < tot THEN 'a'
+         |       WHEN c * 6 <= tot THEN 'b'
+         |       WHEN c * 3 <= tot THEN 'c'
+         |       ELSE 'd' END AS sym FROM t),
+         |wrd AS (SELECT event_type, day,
+         |  string_agg(sym, '' ORDER BY seg) AS word FROM sym GROUP BY 1, 2)
+         |SELECT event_type, word, CAST(COUNT(*) AS BIGINT) AS n_days
+         |FROM wrd GROUP BY 1, 2
+         |ORDER BY n_days DESC, event_type ASC, word ASC
+         |LIMIT $SaxTopK""".stripMargin,
     "q_autocorr" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x

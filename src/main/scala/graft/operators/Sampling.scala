@@ -109,7 +109,54 @@ object Sampling {
         min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
   }
 
+  private val CurrQmMod = 1001L // hashed-scorer modulus (TextAnalysis twin)
+
+  /** CURRICULUM PHASE ASSIGNMENT — order the corpus by a model-scored
+    * quality signal and cut it into four per-language quartile phases
+    * (train easy→hard, or low→high quality): the curriculum-learning
+    * data-layout step. The score is the deterministic hashed linear
+    * scorer (same formula as q_quality_model, so the oracle reproduces
+    * it); the quartile cut is EXACT and never buffers values — a
+    * (lang, score)-grain histogram, cumulative count F(score) via the
+    * medianBy-style histogram window, and phase = ceil(4·F/N) in pure
+    * integer arithmetic. Ties (equal scores) land in one phase by
+    * construction, on any partitioning. The per-row assignment is
+    * proven by a bit_xor checksum of doc_id ⊕ phase·1000003 — an
+    * oracle hash match certifies EVERY document's phase, not just the
+    * counts. Scale shape: one narrow scoring pass, one histogram
+    * shuffle, a per-lang window over score-grain rows, one join back
+    * on (lang, score) — no global window, no driver state. */
+  def qCurriculum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val half = (CurrQmMod - 1) / 2
+    val score = aggregate(
+      transform(TextFunctions.tokens($"text"),
+        t => TextFunctions.md5Prefix60(t) % CurrQmMod - half),
+      lit(0L), (acc, x) => acc + x)
+    val scored = Tables.documents(s, d)
+      .select($"doc_id", $"lang", score.as("score"))
+      .localCheckpoint()
+    val hist = scored.groupBy($"lang", $"score")
+      .agg(count(lit(1)).as("cnt"))
+    val cumW = Window.partitionBy($"lang").orderBy($"score".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy($"lang")
+    val phased = hist
+      .withColumn("f", sum($"cnt").over(cumW))
+      .withColumn("tot", sum($"cnt").over(totW))
+      .withColumn("phase", expr("(4 * f + tot - 1) DIV tot"))
+      .select($"lang", $"score", $"phase")
+    scored.join(phased, Seq("lang", "score"))
+      .groupBy($"lang", $"phase")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"score").as("min_score"),
+        max($"score").as("max_score"),
+        expr("bit_xor(doc_id ^ (phase * 1000003))").as("placement_xor"))
+      .orderBy($"lang".asc, $"phase".asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curriculum" -> (qCurriculum _),
     "q_split_assign" -> (qSplitAssign _),
     "q_quota_sample" -> (qQuotaSample _),
     "q_mixture_sample" -> (qMixtureSample _),
@@ -117,6 +164,25 @@ object Sampling {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_curriculum" ->
+      s"""WITH sc AS (SELECT doc_id, lang,
+         |  CAST(list_sum(list_transform(string_split(text,' '),
+         |    x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % $CurrQmMod
+         |         - ${(CurrQmMod - 1) / 2})) AS BIGINT) AS score
+         |  FROM documents),
+         |hist AS (SELECT lang, score, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM sc GROUP BY 1, 2),
+         |ph AS (SELECT lang, score,
+         |  (4 * CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY score ASC
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |   + CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) - 1)
+         |  // CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS phase
+         |  FROM hist)
+         |SELECT sc.lang, phase, COUNT(*) AS n_docs,
+         |  MIN(sc.score) AS min_score, MAX(sc.score) AS max_score,
+         |  bit_xor(xor(doc_id, phase * 1000003)) AS placement_xor
+         |FROM sc JOIN ph ON sc.lang = ph.lang AND sc.score = ph.score
+         |GROUP BY 1, 2""".stripMargin,
     "q_split_assign" ->
       """WITH b AS (SELECT source, n_chars,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100

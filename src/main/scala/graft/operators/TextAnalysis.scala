@@ -609,7 +609,88 @@ object TextAnalysis {
         expr("cum_tokens * 1000000000 div total_tokens").as("coverage_e9"))
   }
 
+  private val LmBottomK = 20 // least-probable docs reported
+
+  /** BIGRAM LANGUAGE-MODEL SCORING — the CCNet/KenLM perplexity-filter
+    * query shape: train bigram + prefix counts from the corpus itself,
+    * score every document by its average bigram probability, report
+    * the least-probable documents (the "surprising text" filter
+    * candidates a quality pipeline drops or down-weights). The
+    * probability p(w2|w1) = c(w1 w2)/c(w1·) stays integer-exact as the
+    * engine's n·10⁹ div d surrogate — log-free, order-preserving, no
+    * float drift. Scale shape: the (doc, bigram)-grain posting table
+    * is materialized once and feeds BOTH the count training pass and
+    * the scoring join; all joins key on the bigram/prefix string
+    * (uniform, no hot keys beyond natural Zipf — the count tables are
+    * bigram-grain, far smaller than the corpus); the report is a
+    * bounded top-k. A production run swaps the self-trained counts
+    * for a broadcast reference-LM table and the plan is identical. */
+  def qBigramLm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val occ = Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("t")).filter(size($"t") >= 2)
+      .select($"doc_id", explode(wordGrams($"t", 2)).as("bigram"))
+      .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val bi = occ.groupBy($"bigram").agg(sum($"n").as("c_ab"))
+    val pc = bi.groupBy(split($"bigram", " ").getItem(0).as("w1"))
+      .agg(sum($"c_ab").as("c_w"))
+    val sc = bi.withColumn("w1", split($"bigram", " ").getItem(0))
+      .join(pc, "w1")
+      .select($"bigram", expr("c_ab * 1000000000 DIV c_w").as("s_e9"))
+    occ.join(sc, "bigram")
+      .groupBy($"doc_id")
+      .agg(sum($"n").as("n_bigrams"), sum($"n" * $"s_e9").as("ssum"))
+      .select($"doc_id", $"n_bigrams",
+        expr("ssum DIV n_bigrams").as("avg_p_e9"))
+      .orderBy($"avg_p_e9".asc, $"doc_id".asc)
+      .limit(LmBottomK)
+  }
+
+  private val OverlapN = 5 // source-overlap shingle width (words)
+
+  /** CROSS-SOURCE OVERLAP MATRIX — the corpus-composition audit (how
+    * much of source A is verbatim-shared with source B — double-counted
+    * crawls, mirrored sites, pipeline leaks): distinct [[OverlapN]]-word
+    * shingles per source, pairwise intersection sizes, containment as
+    * shared/min(|A|,|B|) in the integer n·10⁹ div d form. Scale shape:
+    * shingles are 60-bit hashes, deduped at (shingle, source) grain in
+    * one shuffle; pairs are generated AT THE SHINGLE GRAIN from each
+    * shingle's sorted source set (bounded by n_sources², never a
+    * corpus self-join); the matrix is n_sources² rows. The oracle
+    * proves the same matrix via the naive self-join, which is fine at
+    * oracle SF. */
+  def qSourceOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, d)
+      .select($"source", tokens($"text").as("t"))
+      .select($"source", explode(wordGrams($"t", OverlapN)).as("g"))
+      .select($"source", md5Prefix60($"g").as("h"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = sh.groupBy($"source").agg(count(lit(1)).as("sz"))
+    val pairs = sh.groupBy($"h")
+      .agg(sort_array(collect_set($"source")).as("ss"))
+      .filter(size($"ss") >= 2)
+      .select(explode(flatten(transform($"ss", (a, i) =>
+        transform(slice($"ss", i + 2, size($"ss")),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .select($"p.src_a", $"p.src_b")
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.select($"source".as("src_a"), $"sz".as("sz_a"))),
+        Seq("src_a"))
+      .join(broadcast(sizes.select($"source".as("src_b"), $"sz".as("sz_b"))),
+        Seq("src_b"))
+      .select($"src_a", $"src_b", $"n_shared", $"sz_a", $"sz_b",
+        expr("n_shared * 1000000000 DIV least(sz_a, sz_b)").as("containment_e9"))
+      .orderBy($"containment_e9".desc, $"src_a".asc, $"src_b".asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bigram_lm" -> (qBigramLm _),
+    "q_source_overlap" -> (qSourceOverlap _),
     "q_bm25" -> (qBm25 _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_regex_extract_all" -> (qRegexExtractAll _),
@@ -658,6 +739,40 @@ object TextAnalysis {
        |GROUP BY d.source""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_bigram_lm" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS t
+         |  FROM documents WHERE len(string_split(text,' ')) >= 2),
+         |occ AS (SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS n FROM
+         |  (SELECT doc_id, unnest(${sqlGrams(2)}) AS bigram FROM tok)
+         |  GROUP BY 1, 2),
+         |bi AS (SELECT bigram, CAST(SUM(n) AS BIGINT) AS c_ab
+         |  FROM occ GROUP BY 1),
+         |pc AS (SELECT string_split(bigram,' ')[1] AS w1,
+         |  CAST(SUM(c_ab) AS BIGINT) AS c_w FROM bi GROUP BY 1),
+         |sc AS (SELECT bigram, c_ab * 1000000000 // c_w AS s_e9
+         |  FROM bi JOIN pc ON string_split(bigram,' ')[1] = pc.w1),
+         |ds AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(n * s_e9) AS BIGINT) AS ssum
+         |  FROM occ JOIN sc USING (bigram) GROUP BY 1)
+         |SELECT doc_id, n_bigrams, ssum // n_bigrams AS avg_p_e9
+         |FROM ds ORDER BY avg_p_e9 ASC, doc_id ASC LIMIT $LmBottomK""".stripMargin,
+    "q_source_overlap" ->
+      s"""WITH tok AS (SELECT source, string_split(text,' ') AS t FROM documents),
+         |sh AS (SELECT DISTINCT source,
+         |  CAST(('0x'||substr(md5(g),1,15)) AS BIGINT) AS h FROM
+         |  (SELECT source, unnest(${sqlGrams(OverlapN)}) AS g FROM tok)),
+         |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM sh GROUP BY 1),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_shared, sa.sz AS sz_a, sb.sz AS sz_b,
+         |  n_shared * 1000000000 // least(sa.sz, sb.sz) AS containment_e9
+         |FROM pr
+         |JOIN sz sa ON src_a = sa.source
+         |JOIN sz sb ON src_b = sb.source
+         |ORDER BY containment_e9 DESC, src_a, src_b""".stripMargin,
     "q_bm25" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |  FROM documents),
