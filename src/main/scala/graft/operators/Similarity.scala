@@ -409,7 +409,56 @@ object Similarity {
         round($"hits" / lit(K.toDouble), 6).as("recall"))
   }
 
+  private val RrfConst = 60L  // standard RRF dampening constant
+  private val RrfPool = 100   // per-ranker candidate depth
+  private val RrfTerm = "query"
+  private val RrfTopK = 20
+
+  /** HYBRID RETRIEVAL FUSION — reciprocal rank fusion (RRF) of a
+    * keyword ranker and a vector ranker, the standard hybrid-search
+    * combiner: score(d) = Σᵣ 1/(60 + rankᵣ(d)) over the rankers that
+    * retrieved d, here as the integer 10⁹ div (60 + rank) surrogate so
+    * fusion is bit-exact. Ranker 1 is term frequency of a fixed
+    * keyword (the BM25 stand-in); ranker 2 is cosine to a fixed query
+    * embedding (the ANN stand-in) — production swaps either for its
+    * full version, the fusion plan is identical. Scale shape: each
+    * ranker reduces the corpus to a top-[[RrfPool]] candidate list via
+    * TakeOrderedAndProject (never a global sort), ranks are assigned
+    * by a window over those BOUNDED lists (≤100 rows — constant, not
+    * data-sized), and the fusion is a full-outer join of two 100-row
+    * sets. Every cut carries a unique tie-break. */
+  def qRrf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.tokens
+    val kwPool = Tables.documents(s, d)
+      .select($"doc_id",
+        size(filter(tokens($"text"), t => t === RrfTerm)).cast("long").as("tf"))
+      .filter($"tf" > 0)
+      .orderBy($"tf".desc, $"doc_id".asc).limit(RrfPool)
+    val kwRank = kwPool.withColumn("rank_kw",
+      row_number().over(Window.orderBy($"tf".desc, $"doc_id".asc)).cast("long"))
+    val emb = Tables.embeddings(s, d)
+    val qv = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val vecPool = emb.crossJoin(broadcast(qv)).filter($"vec_id" =!= 0)
+      .select($"vec_id".as("doc_id"), cosineFast($"qv", $"embedding").as("cos"))
+      .orderBy($"cos".desc, $"doc_id".asc).limit(RrfPool)
+    val vecRank = vecPool.withColumn("rank_vec",
+      row_number().over(Window.orderBy($"cos".desc, $"doc_id".asc)).cast("long"))
+    kwRank.select($"doc_id", $"rank_kw")
+      .join(vecRank.select($"doc_id", $"rank_vec"), Seq("doc_id"), "full_outer")
+      .withColumn("rrf_e9",
+        coalesce(expr(s"1000000000 DIV ($RrfConst + rank_kw)"), lit(0L)) +
+          coalesce(expr(s"1000000000 DIV ($RrfConst + rank_vec)"), lit(0L)))
+      .select($"doc_id",
+        coalesce($"rank_kw", lit(0L)).as("rank_kw"),
+        coalesce($"rank_vec", lit(0L)).as("rank_vec"),
+        $"rrf_e9")
+      .orderBy($"rrf_e9".desc, $"doc_id".asc)
+      .limit(RrfTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rrf" -> (qRrf _),
     "q_embedding_stats" -> (qEmbeddingStats _),
     "q_knn_brute" -> (qKnnBrute _),
     "q_embed_neardup" -> (qEmbedNearDup _),
@@ -445,6 +494,31 @@ object Similarity {
        |WHERE rank <= $K""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_rrf" ->
+      s"""WITH kw AS (SELECT doc_id,
+         |  CAST(len(list_filter(string_split(text,' '),
+         |    x -> x = '$RrfTerm')) AS BIGINT) AS tf FROM documents),
+         |kp AS (SELECT doc_id, tf FROM kw WHERE tf > 0
+         |  ORDER BY tf DESC, doc_id ASC LIMIT $RrfPool),
+         |kr AS (SELECT doc_id, ROW_NUMBER() OVER
+         |  (ORDER BY tf DESC, doc_id ASC) AS rank_kw FROM kp),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |vp AS (SELECT vec_id AS doc_id,
+         |  list_cosine_similarity(qv, v) AS cos
+         |  FROM e CROSS JOIN q WHERE vec_id <> 0
+         |  ORDER BY cos DESC, doc_id ASC LIMIT $RrfPool),
+         |vr AS (SELECT doc_id, ROW_NUMBER() OVER
+         |  (ORDER BY cos DESC, doc_id ASC) AS rank_vec FROM vp),
+         |f AS (SELECT COALESCE(kr.doc_id, vr.doc_id) AS doc_id,
+         |  rank_kw, rank_vec
+         |  FROM kr FULL OUTER JOIN vr ON kr.doc_id = vr.doc_id)
+         |SELECT doc_id,
+         |  COALESCE(rank_kw, 0) AS rank_kw,
+         |  COALESCE(rank_vec, 0) AS rank_vec,
+         |  COALESCE(1000000000 // ($RrfConst + rank_kw), 0)
+         |  + COALESCE(1000000000 // ($RrfConst + rank_vec), 0) AS rrf_e9
+         |FROM f ORDER BY rrf_e9 DESC, doc_id ASC LIMIT $RrfTopK""".stripMargin,
     "q_embedding_stats" -> {
       import graft.functions.Det.sqlSum12
       s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
