@@ -861,7 +861,45 @@ object Events {
       .limit(SaxTopK)
   }
 
+  /** DETERMINISTIC A/B EXPERIMENT READOUT — the experimentation query
+    * shape: users hash-assigned to two arms (md5 bucket, the
+    * q_split_assign discipline — stable under reruns/retries, never
+    * rand()), per-arm purchase-value moments accumulated EXACTLY
+    * through DECIMAL (square-in-decimal rule), and the Welch z
+    * statistic computed in one IEEE pass over those exact scalars —
+    * the same determinism recipe as q_correlation, so the oracle
+    * matches bit-for-bit. Scale shape: one narrow map + one 2-group
+    * agg + a 2-row pivot; nothing data-sized leaves the executors. */
+  def qAbtest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = $"value".cast("decimal(18,2)")
+    val arm = pmod(
+      graft.functions.TextFunctions.md5Prefix60($"user_id".cast("string")),
+      lit(2L))
+    val m = events(s, d).filter($"event_type" === "purchase")
+      .groupBy(arm.as("arm"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(v).cast("double").as("sx"),
+        sum(v * v).cast("double").as("sxx"))
+    m.agg(
+        max(when($"arm" === 0, $"n")).as("n0"),
+        max(when($"arm" === 1, $"n")).as("n1"),
+        max(when($"arm" === 0, $"sx")).as("sx0"),
+        max(when($"arm" === 1, $"sx")).as("sx1"),
+        max(when($"arm" === 0, $"sxx")).as("sxx0"),
+        max(when($"arm" === 1, $"sxx")).as("sxx1"))
+      .select(
+        $"n0".cast("long").as("n0"), $"n1".cast("long").as("n1"),
+        round($"sx0" / $"n0", 9).as("mean0"),
+        round($"sx1" / $"n1", 9).as("mean1"),
+        round(($"sx1" / $"n1" - $"sx0" / $"n0") /
+          sqrt((($"sxx1" - $"sx1" * $"sx1" / $"n1") / ($"n1" - 1)) / $"n1" +
+            (($"sxx0" - $"sx0" * $"sx0" / $"n0") / ($"n0" - 1)) / $"n0"), 6)
+          .as("welch_z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_abtest" -> (qAbtest _),
     "q_sax" -> (qSax _),
     "q_autocorr" -> (qAutocorr _),
     "q_changepoint" -> (qChangepoint _),
@@ -897,6 +935,30 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_abtest" ->
+      """WITH m AS (SELECT
+        |  CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 2
+        |    AS arm,
+        |  CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS sxx
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |p AS (SELECT
+        |  MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+        |  MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+        |  MAX(CASE WHEN arm = 0 THEN sx END) AS sx0,
+        |  MAX(CASE WHEN arm = 1 THEN sx END) AS sx1,
+        |  MAX(CASE WHEN arm = 0 THEN sxx END) AS sxx0,
+        |  MAX(CASE WHEN arm = 1 THEN sxx END) AS sxx1
+        |  FROM m)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |  ROUND(sx0 / n0, 9) AS mean0,
+        |  ROUND(sx1 / n1, 9) AS mean1,
+        |  ROUND((sx1 / n1 - sx0 / n0) /
+        |    sqrt(((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1 +
+        |         ((sxx0 - sx0 * sx0 / n0) / (n0 - 1)) / n0), 6) AS welch_z
+        |FROM p""".stripMargin,
     "q_sax" ->
       s"""WITH seg AS (SELECT event_type, date_trunc('day', ts) AS day,
          |  hour(ts) // 4 AS seg, CAST(COUNT(*) AS BIGINT) AS c

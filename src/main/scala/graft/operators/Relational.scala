@@ -1370,7 +1370,36 @@ object Relational {
       .orderBy($"s_name".asc)
   }
 
+  /** EXACT GROUPED PERCENTILES via the histogram form — the
+    * scale-correct alternative to sorting values per group (and the
+    * exact counterpart of [[qQuantiles]]'s approx sketches):
+    * nearest-rank p25/p50/p75/p95 as the smallest value whose
+    * cumulative count reaches ⌈p·N/100⌉, found with the division-free
+    * cum·100 ≥ p·tot compare on exact BIGINT cents. The window runs
+    * over (group, value)-grain HISTOGRAM rows — the same medianBy
+    * shape q_weighted_median/q_outlier_mad use, never a per-row value
+    * buffer, so group size doesn't bound memory at 100 TB. */
+  def qPercentilesExact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables.orders(s, d)
+      .select($"o_orderpriority",
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy($"o_orderpriority", $"cents").agg(count(lit(1)).as("cnt"))
+    val cumW = Window.partitionBy($"o_orderpriority").orderBy($"cents".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy($"o_orderpriority")
+    hist.withColumn("cum", sum($"cnt").over(cumW))
+      .withColumn("tot", sum($"cnt").over(totW))
+      .groupBy($"o_orderpriority")
+      .agg(max($"tot").as("n"),
+        min(when($"cum" * 100 >= $"tot" * 25, $"cents")).as("p25_cents"),
+        min(when($"cum" * 100 >= $"tot" * 50, $"cents")).as("p50_cents"),
+        min(when($"cum" * 100 >= $"tot" * 75, $"cents")).as("p75_cents"),
+        min(when($"cum" * 100 >= $"tot" * 95, $"cents")).as("p95_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentiles_exact" -> (qPercentilesExact _),
     "q2_min_supplier" -> (q2MinSupplier _),
     "q9_product_profit" -> (q9ProductProfit _),
     "q11_important_stock" -> (q11ImportantStock _),
@@ -1450,6 +1479,22 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_percentiles_exact" ->
+      """WITH h AS (SELECT o_orderpriority,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (SELECT *,
+        |  CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY cents ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS tot
+        |  FROM h)
+        |SELECT o_orderpriority, MAX(tot) AS n,
+        |  MIN(CASE WHEN cum * 100 >= tot * 25 THEN cents END) AS p25_cents,
+        |  MIN(CASE WHEN cum * 100 >= tot * 50 THEN cents END) AS p50_cents,
+        |  MIN(CASE WHEN cum * 100 >= tot * 75 THEN cents END) AS p75_cents,
+        |  MIN(CASE WHEN cum * 100 >= tot * 95 THEN cents END) AS p95_cents
+        |FROM c GROUP BY 1""".stripMargin,
     "q2_min_supplier" ->
       """WITH bridge AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
         |cand AS (SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
