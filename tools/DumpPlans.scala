@@ -20,7 +20,11 @@ object DumpPlans {
     "q_hll_registers", "q7_nation_trade", "q8_market_share",
     "q10_returns", "q19_disjunct", "q_dq_checks", "q_zorder",
     "q_posting_index", "q_ks_drift", "q_ewma", "q_scd2",
-    "q_triangles", "q_lateral_join")
+    "q_triangles", "q_lateral_join",
+    "q2_min_supplier", "q9_product_profit", "q11_important_stock",
+    "q16_supplier_cnt", "q20_dominant_supplier", "q_bigram_lm",
+    "q_source_overlap", "q_curriculum", "q_sax", "q_rrf",
+    "q_percentiles_exact", "q_abtest")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("plans")
