@@ -32,7 +32,17 @@ object Bench {
     // SPARK_GRAFT_BENCH_REPS > 1 reports the min of N timed runs
     // (steadier still when the machine is noisy); default 1.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the sweep — for targeted
+    // scale evidence (e.g. new queries at sf10) without paying the full
+    // suite; the round artifact always runs unfiltered.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries) { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"BENCH_ONLY names unknown queries: $unknown")
+      SparkEntry.queries.view.filterKeys(names).toMap
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 to reps).map { rep =>
         val t0 = System.nanoTime()
         try {

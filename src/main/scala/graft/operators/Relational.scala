@@ -689,14 +689,21 @@ object Relational {
       .select($"l_returnflag",
         rank2($"l_quantity", $"tx").as("rx"),
         rank2($"l_extendedprice", $"ty").as("ry"))
+    // rank products overflow BIGINT once groups pass ~1M rows (rank ≤
+    // 2n, so Σ rx·ry ~ 4n³): compute products and sums in DECIMAL(38,0)
+    // — exact at any SF — and convert once at the end. The oracle's
+    // BIGINT sums widen to HUGEINT in DuckDB; both engines then
+    // correctly-round the same exact integer to the same double.
+    val dx = $"rx".cast("decimal(19,0)")
+    val dy = $"ry".cast("decimal(19,0)")
     ranked.groupBy($"l_returnflag")
       .agg(
         count(lit(1)).cast("double").as("n"),
-        sum($"rx").cast("double").as("sx"),
-        sum($"ry").cast("double").as("sy"),
-        sum($"rx" * $"ry").cast("double").as("sxy"),
-        sum($"rx" * $"rx").cast("double").as("sxx"),
-        sum($"ry" * $"ry").cast("double").as("syy"))
+        sum(dx).cast("double").as("sx"),
+        sum(dy).cast("double").as("sy"),
+        sum(dx * dy).cast("double").as("sxy"),
+        sum(dx * dx).cast("double").as("sxx"),
+        sum(dy * dy).cast("double").as("syy"))
       .select($"l_returnflag", $"n".cast("long").as("n"),
         round(($"n" * $"sxy" - $"sx" * $"sy") /
           sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
