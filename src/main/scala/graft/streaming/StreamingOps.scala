@@ -37,6 +37,12 @@ case class ScdOut(userId: Long, state: String, validFromUs: Long,
 private case class ScdState(state: String, validFromUs: Long,
                             version: Long)
 
+/** Cumulative per-arm experiment moments emitted by the streaming A/B
+  * monitor (cents are exact integers; means/z derive downstream). */
+case class AbOut(arm: Long, n: Long, sumCents: Long, sumSqCents: Long)
+
+private case class AbState(n: Long, sumCents: Long, sumSqCents: Long)
+
 /** Structured Streaming twins of the batch event operators in
   * [[graft.operators.Events]]. Each takes a (possibly streaming)
   * events frame — e.g. a MemoryStream in tests, Kafka/file sources in
@@ -627,6 +633,65 @@ object StreamingOps {
       .select(col("window_start"),
         (col("bucket") * bucketWidth).as("lo"),
         ((col("bucket") + 1) * bucketWidth).as("hi"))
+  }
+
+  /** md5-prefix60(userId) mod 2 — byte-identical to batch q_abtest's
+    * `pmod(md5Prefix60(cast(user_id as string)), 2)` arm assignment
+    * (first 15 hex chars of md5 of the decimal string). */
+  def armOf(userId: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(userId.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2
+  }
+
+  /** STREAMING A/B MONITOR — the live twin of batch `q_abtest`: users
+    * hash-assigned to arms with the exact batch formula ([[armOf]]),
+    * purchase-value moments accumulated per arm as EXACT integer
+    * cents (value → DECIMAL(18,2) → cents, the same HALF_UP
+    * shortest-repr rounding Spark's double→decimal cast performs, so
+    * the running moments equal the batch decimal moments to the last
+    * bit — parity asserted in StreamingSpec). Each micro-batch emits
+    * the updated cumulative (n, Σcents, Σcents²) per arm (Update
+    * mode); the Welch z derives downstream from two 3-number rows.
+    * Counters are monotone, so late events need no watermark gate —
+    * a monitor wants every purchase counted. State is TWO tiny rows
+    * (one per arm); the shuffle is two keys wide — the experiment
+    * readout never touches anything data-sized. Σcents² stays in
+    * BIGINT range up to ~4·10⁹ purchases/arm at the table's price
+    * scale; past that the state type widens to BigDecimal the same
+    * way q_spearman's moments did. */
+  def abMonitor(events: Dataset[Ev]): Dataset[AbOut] = {
+    import events.sparkSession.implicits._
+    events.filter(_.eventType == "purchase")
+      .groupByKey(e => armOf(e.userId))
+      .transformWithState(new AbProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  class AbProcessor extends StatefulProcessor[Long, Ev, AbOut] {
+    @transient private var st: ValueState[AbState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AbState](
+        "ab", Encoders.product[AbState], TTLConfig.NONE)
+
+    override def handleInputRows(arm: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[AbOut] = {
+      var s = if (st.exists()) st.get() else AbState(0L, 0L, 0L)
+      rows.foreach { e =>
+        val cents = (BigDecimal(e.value)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+        s = AbState(s.n + 1, s.sumCents + cents,
+          s.sumSqCents + cents * cents)
+      }
+      st.update(s)
+      Iterator.single(AbOut(arm, s.n, s.sumCents, s.sumSqCents))
+    }
+
+    override def handleExpiredTimer(arm: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[AbOut] =
+      Iterator.empty
   }
 
   /** Streaming ANN enrichment — the similarity primitive for a live

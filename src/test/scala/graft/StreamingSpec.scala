@@ -85,6 +85,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming A/B monitor matches batch decimal moments per arm") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit, max, pmod, struct, sum}
+    import graft.functions.TextFunctions.md5Prefix60
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val data = (1 to 200).map(i => ev(i, min = i % 30, user = i % 17,
+      typ = if (i % 3 == 0) "click" else "purchase", v = (i % 50) * 1.37))
+    val in = MemoryStream[Ev](spark)
+    val q = StreamingOps.abMonitor(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("abmon")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(data.take(120): _*); q.processAllAvailable()
+      in.addData(data.drop(120): _*); q.processAllAvailable()
+      // cumulative counters are monotone per arm: the final state is
+      // the row with the largest n
+      val got = spark.table("abmon").groupBy($"arm")
+        .agg(max(struct($"n", $"sumCents", $"sumSqCents")).as("s"))
+        .select($"arm", $"s.n", $"s.sumCents", $"s.sumSqCents")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // batch moments with q_abtest's exact formulas (Spark's own
+      // double->decimal cast), proving the Scala-side cents conversion
+      // in the processor matches the engine's
+      val want = data.filter(_.eventType == "purchase").toDF()
+        .select(pmod(md5Prefix60($"userId".cast("string")), lit(2L)).as("arm"),
+          ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .groupBy($"arm")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("s"),
+          sum($"cents" * $"cents").as("ss"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === want)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming sketches agree with their batch twins per window") {
     import spark.implicits._
     // 300 events, 40 distinct users, one hour window
