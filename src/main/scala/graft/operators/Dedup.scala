@@ -588,6 +588,46 @@ object Dedup {
       .limit(20)
   }
 
+  private val KcoreK = 2     // core order
+  private val KcorePeels = 8 // simultaneous peel rounds, oracle-mirrored
+
+  /** K-CORE EXTRACTION over the near-dup graph — the density filter
+    * graph curation uses above connected components (a CC can be a
+    * long fragile chain; the 2-core keeps only docs embedded in
+    * cycles/dense duplication neighborhoods — template farms, mirror
+    * clusters): repeatedly delete vertices of degree < [[KcoreK]]
+    * until stable. Peeling is SIMULTANEOUS (all under-degree vertices
+    * drop per round — deterministic, no removal-order dependence) and
+    * bounded at [[KcorePeels]] rounds, mirrored exactly in the
+    * oracle's unrolled CTEs (the q_dup_depth cap discipline; peel
+    * depth beyond 8 means near-pathological chain structure a
+    * production run handles by raising the cap — each round is one
+    * degree agg + two semi-joins, all shuffling on vertex keys).
+    * Output is the per-source core census with a bit_xor membership
+    * checksum, so the oracle match proves every surviving vertex. */
+  def qKcore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val und = jaccardPairs(s, d)
+      .filter(lit(3) * $"inter" > $"na" + $"nb")
+      .select($"doc_a", $"doc_b")
+    var e = und.select($"doc_a".as("u"), $"doc_b".as("v"))
+      .union(und.select($"doc_b".as("u"), $"doc_a".as("v")))
+      .localCheckpoint()
+    for (_ <- 0 until KcorePeels) {
+      val keep = e.groupBy($"u").agg(count(lit(1)).as("dg"))
+        .filter($"dg" >= KcoreK).select($"u")
+      e = e.join(keep, Seq("u"), "left_semi")
+        .join(keep.select($"u".as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+    }
+    e.select($"u".as("doc_id")).distinct()
+      .join(Tables.documents(s, d).select($"doc_id", $"source"),
+        Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_core_docs"),
+        bit_xor($"doc_id").as("core_checksum"))
+  }
+
   /** DUPLICATE-CHAIN DEPTH census via a RECURSIVE CTE — the SQL
     * recursion surface (Spark 4's UnionLoopExec): multi-source BFS
     * from each component's local-minimum docs over the near-dup
@@ -818,6 +858,7 @@ object Dedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kcore" -> (qKcore _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_fuzzy_exact" -> (qFuzzyExact _),
     "q_pagerank" -> (qPagerank _),
@@ -917,6 +958,32 @@ object Dedup {
       |FROM s0 CROSS JOIN pp""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_kcore" -> {
+      // KcorePeels simultaneous peel rounds unrolled; each round keeps
+      // vertices with degree >= KcoreK and restricts edges to kept
+      // endpoints on both sides — identical set semantics to the
+      // engine's semi-join rounds under any execution order.
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so
+      // eight self-referencing rounds would expand the shingle
+      // pipeline exponentially (observed: "Too many open files").
+      def peel(prev: String, out: String) =
+        s"""k$out AS MATERIALIZED (SELECT u FROM
+           |  (SELECT u, COUNT(*) AS dg FROM e$prev GROUP BY 1)
+           |  WHERE dg >= $KcoreK),
+           |e$out AS MATERIALIZED (SELECT e.u, e.v FROM e$prev e
+           |  JOIN k$out a ON e.u = a.u JOIN k$out b ON e.v = b.u)""".stripMargin
+      val rounds = (1 to KcorePeels)
+        .map(i => peel((i - 1).toString, i.toString)).mkString(",\n")
+      s"""WITH pj AS MATERIALIZED ($jaccardEdgesSql),
+         |e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pj
+         |  UNION ALL SELECT doc_b, doc_a FROM pj),
+         |$rounds,
+         |core AS (SELECT DISTINCT u AS doc_id FROM e$KcorePeels)
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_core_docs,
+         |  bit_xor(d.doc_id) AS core_checksum
+         |FROM core c JOIN documents d ON c.doc_id = d.doc_id
+         |GROUP BY 1""".stripMargin
+    },
     "q_fuzzy_match" ->
       s"""WITH pc AS (SELECT p_partkey, p_name, p_brand,
          |  string_split(p_name, ' ')[2] AS w,

@@ -898,7 +898,84 @@ object Events {
           .as("welch_z"))
   }
 
+  /** CHI-SQUARE INDEPENDENCE TEST — "does event mix depend on weekday?"
+    * (the categorical drift/independence audit every experimentation
+    * and data-quality stack ships): observed counts over the
+    * event_type × day-of-week contingency table, expected counts
+    * E = R·C/N from the margins, per-cell contribution
+    * (O·N − R·C)²/(N·R·C) — algebraically identical to (O−E)²/E but
+    * integer-exact: products run in DECIMAL(38,0) (the oracle mirrors
+    * in HUGEINT — different exact types, identical integers) and land
+    * as ·10⁹ BIGINT ratios, so no float touches any boundary. The χ²
+    * total is a window sum over the CELL frame. Day-of-week is pure
+    * epoch arithmetic ((days + 4) mod 7, 0 = Sunday — no calendar
+    * function disagreement between engines). Scale shape: one shuffle
+    * agg to the bounded cell grid (types × 7), then windows over that
+    * bounded frame only. Widths: (O·N)²·10⁹ caps at ~10³⁷ for 10⁹
+    * events/cell — inside DECIMAL(38,0); a larger deployment divides
+    * counts by a common 10^k first (χ² contributions scale linearly,
+    * the e9 ratios are unchanged). */
+  def qChisq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = events(s, d)
+      .select($"event_type", expr("(ts_us div 86400000000 + 4) % 7").as("dow"))
+      .groupBy($"event_type", $"dow")
+      .agg(count(lit(1)).as("o"))
+    val dec = "CAST(o AS DECIMAL(38,0))"
+    cells
+      .withColumn("r", sum($"o").over(Window.partitionBy($"event_type")))
+      .withColumn("c", sum($"o").over(Window.partitionBy($"dow")))
+      .withColumn("n", sum($"o").over(Window.partitionBy()))
+      .withColumn("exp_e9",
+        expr("CAST(r AS DECIMAL(38,0)) * c * 1000000000 div n"))
+      .withColumn("contrib_e9", expr(
+        s"""($dec * n - CAST(r AS DECIMAL(38,0)) * c) *
+           |($dec * n - CAST(r AS DECIMAL(38,0)) * c) *
+           |1000000000 div (CAST(n AS DECIMAL(38,0)) * r * c)""".stripMargin))
+      .withColumn("chi2_e9",
+        sum($"contrib_e9").over(Window.partitionBy()))
+      .select($"event_type", $"dow", $"o", $"exp_e9", $"contrib_e9",
+        $"chi2_e9")
+  }
+
+  /** WEEKLY SEASONAL INDEX (ratio-to-centered-moving-average — the
+    * classical decomposition step behind staffing/capacity dashboards
+    * and seasonally-adjusted anomaly baselines): daily counts on the
+    * zero-filled calendar spine, a full 7-day centered window sum,
+    * per-day index y·7/Σ₇ as the exact integer y·7·10⁹ div Σ₇, then
+    * the per-(type, weekday) seasonal factor as the exact mean of
+    * those integers (sum div count — never an order-dependent float
+    * average). Edge weeks without a full ±3-day window are excluded
+    * (count-over-frame = 7 gate), as is a window of all-zero days.
+    * Scale shape: one shuffle agg to (type, day) grain; the spine,
+    * windows and final agg all run on the bounded calendar × type
+    * frame, never on raw volume — the q_gap_fill/q_ewma rule. */
+  def qSeasonality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, d)
+      .groupBy($"event_type", expr("ts_us div 86400000000").as("epoch_day"))
+      .agg(count(lit(1)).as("y"))
+    val spine = daily.groupBy($"event_type")
+      .agg(min($"epoch_day").as("d0"), max($"epoch_day").as("d1"))
+      .select($"event_type", explode(sequence($"d0", $"d1")).as("epoch_day"))
+    val filled = spine.join(daily, Seq("event_type", "epoch_day"), "left")
+      .select($"event_type", $"epoch_day", coalesce($"y", lit(0L)).as("y"))
+    val w7 = Window.partitionBy($"event_type").orderBy($"epoch_day".asc)
+      .rowsBetween(-3, 3)
+    filled
+      .withColumn("nw", count(lit(1)).over(w7))
+      .withColumn("s7", sum($"y").over(w7))
+      .filter($"nw" === 7 && $"s7" > 0)
+      .withColumn("idx_e9", expr("y * 7 * 1000000000 div s7"))
+      .withColumn("dow", expr("(epoch_day + 4) % 7"))
+      .groupBy($"event_type", $"dow")
+      .agg(count(lit(1)).as("n_days"),
+        expr("sum(idx_e9) div count(1)").as("seasonal_e9"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chisq" -> (qChisq _),
+    "q_seasonality" -> (qSeasonality _),
     "q_abtest" -> (qAbtest _),
     "q_sax" -> (qSax _),
     "q_autocorr" -> (qAutocorr _),
@@ -935,6 +1012,46 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_chisq" ->
+      """WITH cells AS (SELECT event_type,
+        |  (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |  CAST(COUNT(*) AS BIGINT) AS o FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, dow, o,
+        |  CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+        |  CAST(SUM(o) OVER (PARTITION BY dow) AS BIGINT) AS c,
+        |  CAST(SUM(o) OVER () AS BIGINT) AS n FROM cells),
+        |x AS (SELECT event_type, dow, o,
+        |  CAST(CAST(r AS HUGEINT) * c * 1000000000 // n AS BIGINT) AS exp_e9,
+        |  CAST((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) *
+        |       (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) *
+        |       1000000000 // (CAST(n AS HUGEINT) * r * c) AS BIGINT)
+        |    AS contrib_e9
+        |  FROM t)
+        |SELECT event_type, dow, o, exp_e9, contrib_e9,
+        |  CAST(SUM(contrib_e9) OVER () AS BIGINT) AS chi2_e9
+        |FROM x""".stripMargin,
+    "q_seasonality" ->
+      """WITH daily AS (SELECT event_type,
+        |  epoch_us(ts) // 86400000000 AS epoch_day,
+        |  CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, MIN(epoch_day) AS d0,
+        |  MAX(epoch_day) AS d1 FROM daily GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |  unnest(generate_series(d0, d1)) AS epoch_day FROM bounds),
+        |filled AS (SELECT s.event_type, s.epoch_day,
+        |  COALESCE(d.y, 0) AS y FROM spine s
+        |  LEFT JOIN daily d USING (event_type, epoch_day)),
+        |ma AS (SELECT event_type, epoch_day, y,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS nw,
+        |  CAST(SUM(y) OVER w AS BIGINT) AS s7
+        |  FROM filled WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY epoch_day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |sel AS (SELECT event_type, (epoch_day + 4) % 7 AS dow,
+        |  y * 7 * 1000000000 // s7 AS idx_e9
+        |  FROM ma WHERE nw = 7 AND s7 > 0)
+        |SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(idx_e9) // COUNT(*) AS BIGINT) AS seasonal_e9
+        |FROM sel GROUP BY 1, 2""".stripMargin,
     "q_abtest" ->
       """WITH m AS (SELECT
         |  CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 2

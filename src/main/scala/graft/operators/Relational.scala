@@ -895,6 +895,30 @@ object Relational {
         ntile(4).over(w).cast("long").as("quartile"))
   }
 
+  /** The remaining ANSI window verbs in one pass — nth_value over the
+    * FULL partition frame (the "second order ever placed" shape) and
+    * cume_dist under a UNIQUE total order (price, custkey tie-break —
+    * unique ordering makes cume_dist the exact rational i/n, the same
+    * single IEEE division in both engines; with ties it would still
+    * agree, but uniqueness keeps the tie-break story uniform with
+    * every other top-k in the library). Frame note: nth_value needs
+    * the explicit unbounded-following frame — the default
+    * running frame would return NULL until row 2. Both windows
+    * partition on nationkey — shuffle once, both verbs evaluate in
+    * the same sort, no global window anywhere. */
+  def qWindowVerbs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wSeq = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_custkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wBal = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".asc, $"c_custkey".asc)
+    Tables.customer(s, d)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal",
+        nth_value($"c_acctbal", 2).over(wSeq).as("second_bal"),
+        round(cume_dist().over(wBal), 9).as("bal_cume"))
+  }
+
   /** Correlated LATERAL subquery join — the per-row-subquery SQL
     * surface (Catalyst LateralJoin + decorrelation): for every nation,
     * its top-3 customers by balance, expressed as the correlated
@@ -1406,6 +1430,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_verbs" -> (qWindowVerbs _),
     "q_percentiles_exact" -> (qPercentilesExact _),
     "q2_min_supplier" -> (q2MinSupplier _),
     "q9_product_profit" -> (q9ProductProfit _),
@@ -2177,6 +2202,15 @@ object Relational {
         |  ORDER BY c_acctbal ASC, c_custkey ASC), 6) AS pr,
         |NTILE(4) OVER (PARTITION BY c_nationkey
         |  ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+        |FROM customer""".stripMargin,
+    "q_window_verbs" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |NTH_VALUE(c_acctbal, 2) OVER (PARTITION BY c_nationkey
+        |  ORDER BY c_custkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |  AS second_bal,
+        |ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal ASC, c_custkey ASC), 9) AS bal_cume
         |FROM customer""".stripMargin
   )
 }

@@ -210,7 +210,10 @@ object TextAnalysis {
       .agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" > 1)
       .select($"h", lit(1L).as("is_dup"))
-    spanOcc.join(dupIndex, Seq("h"), "left")
+    // span-grain index GROWS WITH THE CORPUS — never broadcastable
+    // (the q_bigram_lm sf10 lesson: compressed shuffle stats slide
+    // under the AQE threshold while the hash relation inflates 10×+)
+    spanOcc.join(dupIndex.hint("merge"), Seq("h"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(coalesce($"is_dup", lit(0L))).as("n_dup"))
@@ -358,7 +361,9 @@ object TextAnalysis {
       .select($"doc_id").distinct()
       .withColumn("hit", lit(1L))
     docs.filter(!isBench)
-      .join(flagged, Seq("doc_id"), "left")
+      // contaminated-doc set is doc-grain (grows with the corpus) —
+      // sort-merge only, never an AQE broadcast flip
+      .join(flagged.hint("merge"), Seq("doc_id"), "left")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce($"hit", lit(0L))).as("n_contaminated"))
@@ -401,7 +406,9 @@ object TextAnalysis {
       .select($"doc_id").distinct()
       .withColumn("hit", lit(1L))
     docs.filter(!isBench)
-      .join(flagged, Seq("doc_id"), "left")
+      // contaminated-doc set is doc-grain (grows with the corpus) —
+      // sort-merge only, never an AQE broadcast flip
+      .join(flagged.hint("merge"), Seq("doc_id"), "left")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce($"hit", lit(0L))).as("n_contaminated"))
@@ -430,9 +437,11 @@ object TextAnalysis {
       .filter($"c_ab" >= PmiMinCount)
       .withColumn("w1", split($"bigram", " ").getItem(0))
       .withColumn("w2", split($"bigram", " ").getItem(1))
+    // the unigram table is vocabulary-grain (unbounded at 100 TB —
+    // typos/URLs): explicit sort-merge, never an AQE broadcast flip
     bi
-      .join(uni.toDF("w1", "c_a"), "w1")
-      .join(uni.toDF("w2", "c_b"), "w2")
+      .join(uni.toDF("w1", "c_a").hint("merge"), "w1")
+      .join(uni.toDF("w2", "c_b").hint("merge"), "w2")
       .select($"bigram", $"c_ab", $"c_a", $"c_b",
         expr("c_ab * 1000000000 DIV (c_a * c_b)").as("score_e9"))
       .orderBy($"score_e9".desc, $"bigram".asc)
@@ -565,7 +574,8 @@ object TextAnalysis {
     val tf = toks.filter($"term".isin(Bm25Terms: _*))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
-    tf.join(dl, "doc_id")
+    // doc-length table is doc-grain (corpus-sized) — sort-merge only
+    tf.join(dl.hint("merge"), "doc_id")
       .crossJoin(broadcast(totals))
       .withColumn("score_term",
         expr("((nn - df) * 1000 div df) * (22 * tf * ll)" +
@@ -624,7 +634,16 @@ object TextAnalysis {
     * (uniform, no hot keys beyond natural Zipf — the count tables are
     * bigram-grain, far smaller than the corpus); the report is a
     * bounded top-k. A production run swaps the self-trained counts
-    * for a broadcast reference-LM table and the plan is identical. */
+    * for a broadcast reference-LM table and the plan is identical.
+    *
+    * The count tables carry explicit sort-merge hints: they GROW WITH
+    * THE CORPUS (bigram/prefix grain), so AQE must never flip them to
+    * a broadcast on an optimistic runtime size estimate — at 100× SF
+    * the post-agg bigram table slides under the 64 MB threshold on
+    * paper and the driver dies building the hash relation (observed:
+    * sf10 broadcast OOM at 8 g driver heap). Vocabulary-bounded or
+    * top-k-bounded sides elsewhere in this file stay broadcastable;
+    * corpus-grown sides never are. */
   def qBigramLm(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val occ = Tables.documents(s, d)
@@ -636,9 +655,9 @@ object TextAnalysis {
     val pc = bi.groupBy(split($"bigram", " ").getItem(0).as("w1"))
       .agg(sum($"c_ab").as("c_w"))
     val sc = bi.withColumn("w1", split($"bigram", " ").getItem(0))
-      .join(pc, "w1")
+      .join(pc.hint("merge"), "w1")
       .select($"bigram", expr("c_ab * 1000000000 DIV c_w").as("s_e9"))
-    occ.join(sc, "bigram")
+    occ.join(sc.hint("merge"), "bigram")
       .groupBy($"doc_id")
       .agg(sum($"n").as("n_bigrams"), sum($"n" * $"s_e9").as("ssum"))
       .select($"doc_id", $"n_bigrams",
@@ -688,7 +707,105 @@ object TextAnalysis {
       .orderBy($"containment_e9".desc, $"src_a".asc, $"src_b".asc)
   }
 
+  /** Misra–Gries counter budget per partition for [[qHeavyHitters]].
+    * Guarantee: any item with partition frequency > n_p/(k+1) survives
+    * the partition's summary, so any GLOBAL heavy hitter (count >
+    * N/(k+1)) survives in at least one partition (pigeonhole), and at
+    * most k items can clear the global threshold. */
+  private[graft] val HhBudget = 64
+
+  /** Misra–Gries streaming summary kernel: one pass, ≤ k counters.
+    * Returns the surviving candidate keys (counts are partition-local
+    * underestimates and deliberately not returned — the exact pass
+    * recounts). Property-tested for the no-false-negative guarantee
+    * in KernelProps. */
+  private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      m.get(t) match {
+        case Some(v) => m.update(t, v + 1)
+        case None if m.size < k => m.update(t, 1L)
+        case None =>
+          m.mapValuesInPlace((_, v) => v - 1)
+          m.filterInPlace((_, v) => v > 0)
+      }
+    }
+    m.keysIterator
+  }
+
+  /** HEAVY-HITTER TOKENS via per-partition Misra–Gries + exact verify —
+    * the frequent-items census (stopword discovery, tokenizer-vocab
+    * head, abuse-pattern hot keys) at the shuffle cost of a SKETCH,
+    * not a vocabulary: each partition's token stream collapses to ≤
+    * [[HhBudget]] candidate keys (mapPartitions — the one imperative
+    * kernel, O(k) state), candidates broadcast back, and ONE exact
+    * counting pass over candidate tokens only (broadcast semi-filter —
+    * the full-vocabulary groupBy of q_top_ngrams never happens).
+    * The Misra–Gries no-false-negative guarantee (count > N/(k+1) ⇒
+    * present in some partition summary) makes candidate generation
+    * LOSSLESS above the threshold, so the exact filter returns exactly
+    * the true heavy-hitter set — deterministic under ANY partitioning,
+    * which is what lets a DuckDB oracle that never saw the sketch
+    * hash-match it (the q_prefix_join discipline). ≤ k result rows by
+    * the counting argument. */
+  def qHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("term"))
+    val cand = toks.as[String]
+      .mapPartitions(it => misraGries(it, HhBudget))
+      .toDF("term").distinct()
+    val tot = toks.groupBy().agg(count(lit(1)).as("total"))
+    toks.join(broadcast(cand), Seq("term"))
+      .groupBy($"term").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .filter($"n" * (HhBudget + 1) > $"total")
+      .select($"term", $"n", expr("n * 1000000000 div total").as("share_e9"))
+      .orderBy($"n".desc, $"term".asc)
+  }
+
+  /** MANN–WHITNEY U TEST — the nonparametric two-sample location test
+    * (is English doc length stochastically larger than non-English?):
+    * the outlier-robust companion to the Welch z of q_abtest and the
+    * distribution-level KS of q_ks_drift. Never ranks rows: the
+    * (value → count, count_A) HISTOGRAM is built in one shuffle agg,
+    * tie-averaged ranks stay INTEGER as 2·avgrank = 2·cum_before +
+    * t + 1 on the distinct-VALUE spine (bounded by the n_chars domain,
+    * not the corpus — the medianBy rule), and the rank sum, U and the
+    * tie-corrected variance Σ(t³−t) all accumulate in DECIMAL(38,0)
+    * (the q_spearman overflow lesson — t³ passes 2⁶³ once one value
+    * bucket holds ~2M rows; oracle mirrors in HUGEINT). The z score is
+    * one IEEE pass over exact scalars at the very end. */
+  def qMannWhitney(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables.documents(s, d)
+      .select($"n_chars".cast("long").as("v"),
+        when($"lang" === "en", 1L).otherwise(0L).as("is_a"))
+      .groupBy($"v")
+      .agg(count(lit(1)).as("t"), sum($"is_a").as("ta"))
+    val r = hist.withColumn("cumb", coalesce(
+      sum($"t").over(Window.orderBy($"v".asc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val m = r.agg(
+      sum($"t").as("nl"),
+      sum($"ta").as("na"),
+      sum($"ta".cast("decimal(38,0)") * (lit(2) * $"cumb" + $"t" + 1))
+        .as("s2a"),
+      sum($"t".cast("decimal(38,0)") * $"t" * $"t" - $"t").as("tie3"))
+    m.select(
+      $"na", ($"nl" - $"na").as("nb"),
+      ($"s2a" - $"na".cast("decimal(38,0)") * ($"na" + 1)).cast("long")
+        .as("u2"),
+      round(($"s2a".cast("double") - $"na".cast("double") * ($"na" + 1) -
+        $"na".cast("double") * ($"nl" - $"na")) /
+        (lit(2) * sqrt($"na".cast("double") * ($"nl" - $"na") / 12 *
+          ($"nl" + 1 - $"tie3".cast("double") /
+            ($"nl".cast("double") * ($"nl" - 1))))), 6).as("z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_mann_whitney" -> (qMannWhitney _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_bm25" -> (qBm25 _),
@@ -739,6 +856,36 @@ object TextAnalysis {
        |GROUP BY d.source""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok),
+         |cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM tok GROUP BY 1)
+         |SELECT term, n, n * 1000000000 // total AS share_e9
+         |FROM cnt, tot WHERE n * ${HhBudget + 1} > total
+         |ORDER BY n DESC, term ASC""".stripMargin,
+    "q_mann_whitney" ->
+      """WITH h AS (SELECT CAST(n_chars AS BIGINT) AS v,
+        |  CAST(COUNT(*) AS BIGINT) AS t,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ta
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT *, CAST(COALESCE(SUM(t) OVER (ORDER BY v ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cumb FROM h),
+        |m AS (SELECT CAST(SUM(t) AS BIGINT) AS nl,
+        |  CAST(SUM(ta) AS BIGINT) AS na,
+        |  SUM(CAST(ta AS HUGEINT) * (2 * cumb + t + 1)) AS s2a,
+        |  SUM(CAST(t AS HUGEINT) * t * t - t) AS tie3 FROM r)
+        |SELECT na, nl - na AS nb,
+        |  CAST(s2a - CAST(na AS HUGEINT) * (na + 1) AS BIGINT) AS u2,
+        |  ROUND((CAST(s2a AS DOUBLE) - CAST(na AS DOUBLE) * (na + 1) -
+        |    CAST(na AS DOUBLE) * (nl - na)) /
+        |    (2 * sqrt(CAST(na AS DOUBLE) * (nl - na) / 12 *
+        |      (nl + 1 - CAST(tie3 AS DOUBLE) /
+        |        (CAST(nl AS DOUBLE) * (nl - 1))))), 6) AS z
+        |FROM m""".stripMargin,
     "q_bigram_lm" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS t
          |  FROM documents WHERE len(string_split(text,' ')) >= 2),

@@ -43,6 +43,18 @@ case class AbOut(arm: Long, n: Long, sumCents: Long, sumSqCents: Long)
 
 private case class AbState(n: Long, sumCents: Long, sumSqCents: Long)
 
+/** One token observation on the stream (for windowed heavy hitters). */
+case class TokenEv(ts: Timestamp, term: String)
+
+/** A window's current heavy-hitter candidate set (Misra–Gries summary
+  * keys; counts are deliberately absent — they are underestimates, the
+  * exact recount is a batch probe, the q_heavy_hitters discipline).
+  * `nSeen` counts tokens processed so far for the window — monotone,
+  * so the row with max nSeen is the window's latest summary. */
+case class HhOut(windowStartUs: Long, nSeen: Long, candidates: Seq[String])
+
+private case class HhState(nSeen: Long, terms: Seq[String], counts: Seq[Long])
+
 /** Structured Streaming twins of the batch event operators in
   * [[graft.operators.Events]]. Each takes a (possibly streaming)
   * events frame — e.g. a MemoryStream in tests, Kafka/file sources in
@@ -633,6 +645,113 @@ object StreamingOps {
       .select(col("window_start"),
         (col("bucket") * bucketWidth).as("lo"),
         ((col("bucket") + 1) * bucketWidth).as("hi"))
+  }
+
+  /** STREAMING HEAVY HITTERS — the live twin of batch q_heavy_hitters:
+    * per event-time window, a Misra–Gries summary (≤ `k` counters)
+    * maintained in transformWithState ValueState. MG is a sequential
+    * one-pass algorithm, so running it over concatenated micro-batches
+    * IS running it over the window's whole stream — the
+    * no-false-negative guarantee (any term with window count >
+    * n/(k+1) is in the summary) holds at every emission, asserted in
+    * StreamingSpec against exact batch counts. Update mode emits each
+    * window's current candidate set whenever it changes; the exact
+    * recount of candidates happens downstream exactly as in the batch
+    * query. State = O(active windows × k) strings — volume- and
+    * vocabulary-independent, the reason this runs where a windowed
+    * groupBy(term) (state O(vocabulary)) cannot. */
+  def windowedHeavyHitters(toks: Dataset[TokenEv], k: Int = 64,
+                           windowLenUs: Long = 3600L * 1000000)
+      : Dataset[HhOut] = {
+    import toks.sparkSession.implicits._
+    toks.groupByKey(t =>
+      Math.floorDiv(t.ts.getTime * 1000, windowLenUs) * windowLenUs)
+      .transformWithState(new HhProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  class HhProcessor(k: Int) extends StatefulProcessor[Long, TokenEv, HhOut] {
+    @transient private var st: ValueState[HhState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[HhState](
+        "mg", Encoders.product[HhState], TTLConfig.NONE)
+
+    override def handleInputRows(windowStartUs: Long, rows: Iterator[TokenEv],
+                                 tv: TimerValues): Iterator[HhOut] = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var seen = 0L
+      if (st.exists()) {
+        val s = st.get()
+        seen = s.nSeen
+        s.terms.iterator.zip(s.counts.iterator).foreach { case (t, c) =>
+          m.update(t, c)
+        }
+      }
+      rows.foreach { ev =>
+        seen += 1
+        m.get(ev.term) match {
+          case Some(v) => m.update(ev.term, v + 1)
+          case None if m.size < k => m.update(ev.term, 1L)
+          case None =>
+            m.mapValuesInPlace((_, v) => v - 1)
+            m.filterInPlace((_, v) => v > 0)
+        }
+      }
+      val pairs = m.toSeq.sortBy(_._1)
+      st.update(HhState(seen, pairs.map(_._1), pairs.map(_._2)))
+      Iterator.single(HhOut(windowStartUs, seen, pairs.map(_._1)))
+    }
+
+    override def handleExpiredTimer(w: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[HhOut] =
+      Iterator.empty
+  }
+
+  /** STREAMING DRIFT MONITOR readout — per-window two-sample KS of a
+    * [[windowedHistogram]] frame against a STATIC reference histogram
+    * (bucket, n): the live twin of batch q_ks_drift at histogram
+    * resolution (error ≤ one bucket width, the price of bounded
+    * state). The statistic is integer-exact to the final division —
+    * max |cumS·nR − cumR·nS| over the per-window bucket spine, then
+    * ONE IEEE division — the q_ks_drift discipline, so the readout is
+    * deterministic under any merge/arrival order. The spine per
+    * window is buckets present in EITHER side (reference cross-joined
+    * per window + full outer with the stream counts): windows over it
+    * are bounded by the VALUE domain, never by event volume. Runs as
+    * a batch post-processor over the emitted histogram (foreachBatch
+    * or the sink table — the histogramPercentile pattern). */
+  def ksDrift(hist: DataFrame, reference: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val refB = reference.select(col("bucket"), col("n").as("rn"))
+    // re-alias through ws0: wins derives from hist, and a raw
+    // full-outer back onto hist would carry conflicting attribute ids
+    val wins = hist.select(col("window_start").as("ws0")).distinct()
+    val spine = wins.crossJoin(broadcast(refB))
+      .select(col("ws0").as("window_start"), col("bucket"), col("rn"))
+      .join(hist.select(col("window_start"), col("bucket"),
+        col("n").as("sn")), Seq("window_start", "bucket"), "full_outer")
+      .select(col("window_start"), col("bucket"),
+        coalesce(col("sn"), lit(0L)).as("sn"),
+        coalesce(col("rn"), lit(0L)).as("rn"))
+    val wCum = Window.partitionBy(col("window_start"))
+      .orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("window_start"))
+    spine
+      .withColumn("cs", sum(col("sn")).over(wCum))
+      .withColumn("cr", sum(col("rn")).over(wCum))
+      .withColumn("ns", sum(col("sn")).over(wAll))
+      .withColumn("nr", sum(col("rn")).over(wAll))
+      .groupBy(col("window_start"))
+      .agg(max(col("ns")).as("n_stream"),
+        max(abs(col("cs") * col("nr") - col("cr") * col("ns")))
+          .as("ks_num"))
+      .crossJoin(broadcast(refB.agg(sum(col("rn")).as("n_ref"))))
+      .select(col("window_start"), col("n_stream"), col("n_ref"),
+        round(col("ks_num").cast("double") /
+          (col("n_stream").cast("double") * col("n_ref").cast("double")),
+          9).as("ks"))
   }
 
   /** md5-prefix60(userId) mod 2 — byte-identical to batch q_abtest's

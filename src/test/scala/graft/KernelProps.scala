@@ -80,4 +80,21 @@ object KernelProps extends Properties("graft.kernels") {
         new GenericArrayData(v.map(Float.box).toArray[Any]), cents.toArray)
       Prop(got == want) :| s"got $got want $want"
     }
+
+  // Skewed token streams (small alphabet → genuine heavy hitters).
+  private val hhStream: Gen[List[String]] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.const("hot"), 4 -> Gen.const("warm"),
+      3 -> Gen.oneOf("a", "b", "c"), 1 -> token))
+
+  property("misraGries never drops an item with count > n/(k+1)") =
+    forAll(hhStream, Gen.choose(1, 12)) { (xs, k) =>
+      val out = graft.operators.TextAnalysis
+        .misraGries(xs.iterator, k).toSet
+      val counts = xs.groupBy(identity).view.mapValues(_.size)
+      val mustKeep = counts.filter(_._2 * (k + 1) > xs.size).keys.toSet
+      Prop((mustKeep -- out).isEmpty) :|
+        s"lost ${mustKeep -- out} (k=$k, n=${xs.size})" &&
+        Prop(out.size <= k) :| s"summary size ${out.size} > k=$k"
+    }
 }

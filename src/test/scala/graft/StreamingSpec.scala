@@ -897,4 +897,93 @@ class StreamingSpec extends AnyFunSuite {
         === Array(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("streaming heavy hitters keep every true heavy hitter across batches") {
+    import graft.streaming.{HhOut, TokenEv}
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val k = 8
+    // Zipf-ish stream over two windows; enough tail to force evictions
+    def tok(min: Long, term: String) = TokenEv(ts(min), term)
+    val w0 = (1 to 300).map(i => tok(i % 50, // window [0h, 1h)
+      if (i % 3 == 0) "hot" else if (i % 5 == 0) "warm" else s"t$i"))
+    val w1 = (1 to 200).map(i => tok(70 + i % 40, // window [1h, 2h)
+      if (i % 2 == 0) "big" else s"u$i"))
+    val in = MemoryStream[TokenEv](spark)
+    val q = StreamingOps.windowedHeavyHitters(in.toDS(), k = k)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // split mid-stream: MG state must carry across micro-batches
+      val all = w0 ++ w1
+      val (a, b) = all.splitAt(all.size / 2)
+      in.addData(a: _*); q.processAllAvailable()
+      in.addData(b: _*); q.processAllAvailable()
+      val out = spark.table("hh").as[HhOut].collect()
+        .groupBy(_.windowStartUs)
+        .map { case (w, rows) =>
+          w -> rows.maxBy(_.nSeen).candidates.toSet }
+      def exactHh(xs: Seq[TokenEv]): Set[String] = {
+        val counts = xs.groupBy(_.term).view.mapValues(_.size)
+        counts.filter(_._2 * (k + 1) > xs.size).keys.toSet
+      }
+      val byWindow = all.groupBy(t =>
+        Math.floorDiv(t.ts.getTime * 1000, 3600L * 1000000) * 3600L * 1000000)
+      assert(byWindow.size === 2)
+      byWindow.foreach { case (w, xs) =>
+        val must = exactHh(xs)
+        assert(must.nonEmpty, s"test stream for window $w has no HH")
+        val got = out(w)
+        assert((must -- got).isEmpty,
+          s"window $w lost true heavy hitters ${must -- got}")
+        assert(got.size <= k, s"window $w summary exceeds k: ${got.size}")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("ksDrift readout is the exact integer KS of histogram vs reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    val data = (1 to 300).map(i => ev(i, min = i % 50, v = (i % 37) * 1.0))
+    val in = MemoryStream[Ev](spark)
+    val q = StreamingOps.windowedHistogram(in.toDF(), bucketWidth = 5.0)
+      .writeStream.format("memory").queryName("drifthist")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      in.addData(ev(9999, min = 24 * 60))
+      q.processAllAvailable()
+      val hist = spark.table("drifthist").filter($"window_start" === ts(0))
+      // shifted reference: buckets 2..11 with a flat profile
+      val ref = (2 to 11).map(b => (b.toLong, 30L)).toDF("bucket", "n")
+      val Array(r) = StreamingOps.ksDrift(hist, ref)
+        .select($"n_stream", $"n_ref", $"ks").collect()
+      // expected: exact integer cumulative compare over the union spine
+      val sc = data.map(e => math.floor(e.value / 5.0).toLong)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val rc = (2 to 11).map(b => b.toLong -> 30L).toMap
+      val spine = (sc.keySet ++ rc.keySet).toSeq.sorted
+      val ns = sc.values.sum; val nr = rc.values.sum
+      var cs = 0L; var cr = 0L
+      val num = spine.map { b =>
+        cs += sc.getOrElse(b, 0L); cr += rc.getOrElse(b, 0L)
+        math.abs(cs * nr - cr * ns)
+      }.max
+      assert(r.getLong(0) === ns && r.getLong(1) === nr)
+      assert(r.getDouble(2) ===
+        BigDecimal(num.toDouble / (ns.toDouble * nr.toDouble))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    } finally q.stop()
+  }
 }
