@@ -69,12 +69,61 @@ object Multimodal {
         countDistinct($"n_bytes").as("n_sizes"))
   }
 
+  /** Deterministic slice for [[qImageDecode]] (bounded codec work). */
+  private val ImgMod = 7
+
+  /** REAL IMAGE DECODE, oracle-proven — the one multimodal query that
+    * exercises an ACTUAL codec in the distributed path (javax.imageio
+    * PNG, not the stub): each sliced doc becomes a deterministic
+    * grayscale PNG (closed-form pattern pixels), the engine ENCODES
+    * then DECODES the real bytes per partition and aggregates decoded
+    * width/height/luminance-sum per source. PNG is lossless, so the
+    * DuckDB oracle reproduces the aggregate from the CLOSED FORM alone
+    * — a hash match proves decode(encode(px)) == px for every image,
+    * through real libpng-class bytes, across every partition. Scale
+    * shape: codec work is per-row narrow map (mapPartitions — the
+    * legitimate imperative island), one group-agg after; payload bytes
+    * never shuffle. */
+  def qImageDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val decoded = Tables.documents(s, d)
+      .filter($"doc_id" % ImgMod === 0)
+      .select($"doc_id", $"source").as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        val w = 16 + (id % 8).toInt * 8
+        val h = 16 + (id % 5).toInt * 8
+        val png = AssetPipeline.encodePng(
+          w, h, AssetPipeline.patternPixels(w, h, id))
+        val (dw, dh, px) = AssetPipeline.decodeImage(png).get
+        var luma = 0L
+        px.foreach(b => luma += (b & 0xff))
+        (src, dw.toLong, dh.toLong, luma)
+      }).toDF("source", "w", "h", "luma")
+    decoded.groupBy($"source")
+      .agg(count(lit(1)).as("n_images"), sum($"w").as("sum_width"),
+        sum($"h").as("sum_height"), sum($"luma").as("sum_luma"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
-    "q_asset_dedup" -> (qAssetDedup _)
+    "q_asset_dedup" -> (qAssetDedup _),
+    "q_image_decode" -> (qImageDecode _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_image_decode" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  16 + (doc_id % 8) * 8 AS w, 16 + (doc_id % 5) * 8 AS h
+         |  FROM documents WHERE doc_id % $ImgMod = 0),
+         |l AS (SELECT source, w, h, luma FROM d CROSS JOIN LATERAL
+         |  (SELECT CAST(SUM((i * 31 + doc_id * 17 + (i // w) * 7) % 256)
+         |     AS BIGINT) AS luma
+         |   FROM (SELECT unnest(generate_series(0, w * h - 1)) AS i)) t)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_images,
+         |  CAST(SUM(w) AS BIGINT) AS sum_width,
+         |  CAST(SUM(h) AS BIGINT) AS sum_height,
+         |  CAST(SUM(luma) AS BIGINT) AS sum_luma
+         |FROM l GROUP BY 1""".stripMargin,
     "q_asset_dedup" ->
       """WITH a AS (
         |  SELECT ['image','audio','video'][(doc_id % 3) + 1] AS kind,

@@ -628,6 +628,26 @@ object Dedup {
         bit_xor($"doc_id").as("core_checksum"))
   }
 
+  /** DEGREE DISTRIBUTION of the near-dup graph — the power-law audit
+    * run before any graph algorithm is sized (hub-heavy duplication
+    * means template farms; the histogram decides salting/cap knobs):
+    * per-vertex degree from the shared jaccard edge list, then the
+    * (degree → n_vertices) histogram with a bit_xor vertex checksum
+    * per degree class — the oracle match proves every vertex's exact
+    * degree, not just the counts. Scale shape: one vertex-keyed agg
+    * over edges + one histogram agg over the (≤ max-degree) spine. */
+  def qDegreeDist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val und = jaccardPairs(s, d)
+      .filter(lit(3) * $"inter" > $"na" + $"nb")
+      .select($"doc_a", $"doc_b")
+    val deg = und.select($"doc_a".as("v")).union(und.select($"doc_b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+    deg.groupBy($"deg")
+      .agg(count(lit(1)).as("n_vertices"), bit_xor($"v").as("vertex_checksum"))
+      .orderBy($"deg".asc)
+  }
+
   /** DUPLICATE-CHAIN DEPTH census via a RECURSIVE CTE — the SQL
     * recursion surface (Spark 4's UnionLoopExec): multi-source BFS
     * from each component's local-minimum docs over the near-dup
@@ -859,6 +879,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kcore" -> (qKcore _),
+    "q_degree_dist" -> (qDegreeDist _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_fuzzy_exact" -> (qFuzzyExact _),
     "q_pagerank" -> (qPagerank _),
@@ -958,6 +979,14 @@ object Dedup {
       |FROM s0 CROSS JOIN pp""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_degree_dist" ->
+      s"""WITH pj AS ($jaccardEdgesSql),
+         |e AS (SELECT doc_a AS v FROM pj UNION ALL SELECT doc_b FROM pj),
+         |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM e GROUP BY 1)
+         |SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         |  bit_xor(v) AS vertex_checksum
+         |FROM deg GROUP BY 1 ORDER BY deg ASC""".stripMargin,
     "q_kcore" -> {
       // KcorePeels simultaneous peel rounds unrolled; each round keeps
       // vertices with degree >= KcoreK and restricts edges to kept

@@ -973,7 +973,107 @@ object Events {
         expr("sum(idx_e9) div count(1)").as("seasonal_e9"))
   }
 
+  /** COHORT LIFETIME VALUE — the revenue twin of [[qRetention]]:
+    * signup-week cohorts × weeks-since-signup, per-cell purchase
+    * revenue and the cumulative LTV curve. All calendar math is pure
+    * epoch-integer arithmetic (day = ts_us div 86.4e9, cohort week =
+    * day div 7, week index = (purchase day − signup day) div 7 — all
+    * non-negative, trunc ≡ floor in both engines); revenue is exact
+    * decimal cents. Scale shape: one user-grain agg for signups, one
+    * user-keyed join of purchases (both sides shuffle once on
+    * user_id), then a (cohort, week) grid agg; the cumulative window
+    * runs over the CALENDAR-bounded grid only. */
+  def qCohortLtv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val signup = events(s, d).filter($"event_type" === "signup")
+      .groupBy($"user_id")
+      .agg(min(expr("ts_us div 86400000000")).as("d0"))
+    val pur = events(s, d).filter($"event_type" === "purchase")
+      .select($"user_id", expr("ts_us div 86400000000").as("dp"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    pur.join(signup, Seq("user_id")).filter($"dp" >= $"d0")
+      .select(expr("d0 div 7").as("cohort_week"),
+        expr("(dp - d0) div 7").as("week_index"), $"cents")
+      .groupBy($"cohort_week", $"week_index")
+      .agg(count(lit(1)).as("n_purchases"), sum($"cents").as("rev_cents"))
+      .withColumn("cum_cents", sum($"rev_cents").over(
+        Window.partitionBy($"cohort_week").orderBy($"week_index".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** THREE-STEP ORDERED FUNNEL (signup → view → purchase, strict
+    * temporal order) — the multi-stage extension of [[qFunnel]]:
+    * stage k is the MIN event time strictly after the user's stage
+    * k−1 time, computed as one filtered agg per stage chained through
+    * user-keyed joins — every shuffle is on user_id, no window over
+    * raw events, no per-user sequence buffer (the sequence idiom
+    * would carry full event lists; this carries one timestamp per
+    * stage). Output is the one-row funnel readout with exact total
+    * signup→purchase lag micro-seconds. */
+  def qFunnelSteps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d).select($"user_id", $"event_type", $"ts_us")
+    val s1 = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts_us").as("t1"))
+    val s2 = ev.filter($"event_type" === "view")
+      .join(s1, Seq("user_id")).filter($"ts_us" > $"t1")
+      .groupBy($"user_id").agg(min($"t1").as("t1"), min($"ts_us").as("t2"))
+    val s3 = ev.filter($"event_type" === "purchase")
+      .join(s2, Seq("user_id")).filter($"ts_us" > $"t2")
+      .groupBy($"user_id").agg(min($"t1").as("t1"), min($"ts_us").as("t3"))
+    s1.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_view_after")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after"),
+        coalesce(sum($"t3" - $"t1"), lit(0L)).as("sum_lag_us")))
+  }
+
+  /** SURVIVAL ANALYSIS (Nelson–Aalen cumulative hazard) — time from
+    * signup to first purchase with right-censoring at the corpus
+    * horizon: the retention-modeling verb behind churn curves and
+    * time-to-conversion dashboards. The Kaplan–Meier PRODUCT would
+    * drag floats through every step; the Nelson–Aalen estimator is a
+    * SUM of integer ratios, so the whole curve is engine-exact:
+    * per-duration-day event/censor counts on the duration spine
+    * (bounded by the calendar), risk sets as suffix sums
+    * (total − preceding-prefix — one window, no self-join), hazard
+    * d·10⁹ div n_risk, cumulative hazard a running sum of those
+    * integers. Every spine row has d+c ≥ 1 so n_risk ≥ 1 — no
+    * division guard needed. Scale shape: two user-grain aggs + one
+    * user-keyed join; all windows run over the duration spine. */
+  def qSurvival(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val tmax = ev.agg(max(expr("ts_us div 86400000000")).as("tmax"))
+    val su = ev.filter($"event_type" === "signup").groupBy($"user_id")
+      .agg(min(expr("ts_us div 86400000000")).as("d0"))
+    val pu = ev.filter($"event_type" === "purchase")
+      .select($"user_id", expr("ts_us div 86400000000").as("dp"))
+      .join(su, Seq("user_id")).filter($"dp" >= $"d0")
+      .groupBy($"user_id").agg(min($"dp").as("dp"))
+    val durs = su.join(pu, Seq("user_id"), "left")
+      .crossJoin(broadcast(tmax))
+      .select(
+        when($"dp".isNotNull, $"dp" - $"d0")
+          .otherwise($"tmax" - $"d0").as("k"),
+        when($"dp".isNotNull, 1L).otherwise(0L).as("is_event"))
+    val spine = durs.groupBy($"k")
+      .agg(sum($"is_event").as("d"), sum(lit(1L) - $"is_event").as("c"))
+    val wOrd = Window.orderBy($"k".asc)
+    spine
+      .withColumn("tot", sum($"d" + $"c").over(Window.partitionBy()))
+      .withColumn("before", coalesce(sum($"d" + $"c").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_risk", $"tot" - $"before")
+      .withColumn("hazard_e9", expr("d * 1000000000 div n_risk"))
+      .withColumn("cumhaz_e9", sum(expr("d * 1000000000 div n_risk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"k", $"d", $"c", $"n_risk", $"hazard_e9", $"cumhaz_e9")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_survival" -> (qSurvival _),
+    "q_cohort_ltv" -> (qCohortLtv _),
+    "q_funnel_steps" -> (qFunnelSteps _),
     "q_chisq" -> (qChisq _),
     "q_seasonality" -> (qSeasonality _),
     "q_abtest" -> (qAbtest _),
@@ -1012,6 +1112,67 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_survival" ->
+      """WITH tm AS (SELECT MAX(epoch_us(ts) // 86400000000) AS tmax
+        |  FROM events),
+        |su AS (SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS d0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT e.user_id, MIN(epoch_us(e.ts) // 86400000000) AS dp
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) // 86400000000 >= su.d0
+        |  GROUP BY 1),
+        |durs AS (SELECT
+        |  CASE WHEN pu.dp IS NOT NULL THEN pu.dp - su.d0
+        |       ELSE (SELECT tmax FROM tm) - su.d0 END AS k,
+        |  CASE WHEN pu.dp IS NOT NULL THEN 1 ELSE 0 END AS is_event
+        |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id),
+        |sp AS (SELECT k, CAST(SUM(is_event) AS BIGINT) AS d,
+        |  CAST(SUM(1 - is_event) AS BIGINT) AS c FROM durs GROUP BY 1),
+        |r AS (SELECT *, CAST(SUM(d + c) OVER () AS BIGINT) AS tot,
+        |  CAST(COALESCE(SUM(d + c) OVER (ORDER BY k ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS bef
+        |  FROM sp)
+        |SELECT k, d, c, tot - bef AS n_risk,
+        |  d * 1000000000 // (tot - bef) AS hazard_e9,
+        |  CAST(SUM(d * 1000000000 // (tot - bef)) OVER (ORDER BY k ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cumhaz_e9
+        |FROM r""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH su AS (SELECT user_id,
+        |  MIN(epoch_us(ts) // 86400000000) AS d0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT user_id, epoch_us(ts) // 86400000000 AS dp,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |cell AS (SELECT d0 // 7 AS cohort_week, (dp - d0) // 7 AS week_index,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(cents) AS BIGINT) AS rev_cents
+        |  FROM pu JOIN su USING (user_id) WHERE dp >= d0 GROUP BY 1, 2)
+        |SELECT cohort_week, week_index, n_purchases, rev_cents,
+        |  CAST(SUM(rev_cents) OVER (PARTITION BY cohort_week
+        |    ORDER BY week_index ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_cents
+        |FROM cell""".stripMargin,
+    "q_funnel_steps" ->
+      """WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(s1.t1) AS t1, MIN(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t1
+        |  GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(s2.t1) AS t1, MIN(epoch_us(e.ts)) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+        |  GROUP BY 1)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_signup,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_view_after,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase_after,
+        |  (SELECT CAST(COALESCE(SUM(t3 - t1), 0) AS BIGINT) FROM s3)
+        |    AS sum_lag_us""".stripMargin,
     "q_chisq" ->
       """WITH cells AS (SELECT event_type,
         |  (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,

@@ -1429,7 +1429,92 @@ object Relational {
         min(when($"cum" * 100 >= $"tot" * 95, $"cents")).as("p95_cents"))
   }
 
+  /** WINSORIZED MEAN per order status — the robust-mean companion to
+    * [[qOutlierMad]]/[[qPercentilesExact]]: clip order totals to the
+    * exact [P5, P95] nearest-rank band and average the clipped cents.
+    * Everything is integer-exact: the thresholds come from the same
+    * division-free cum·100 ≥ p·tot histogram compare, clipping is
+    * greatest/least on BIGINT cents, and the mean leaves integers
+    * exactly once as Σ(clipped·cnt)·1000 div n milli-cents (sums in
+    * DECIMAL(38,0)/HUGEINT — scale-proof past 2⁶³). Scale shape: one
+    * histogram shuffle at (status, cents) grain, windows over the
+    * VALUE domain, thresholds broadcast back onto the histogram (never
+    * onto raw rows — the clip+mean runs at histogram grain too). */
+  def qWinsorize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables.orders(s, d)
+      .select($"o_orderstatus",
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy($"o_orderstatus", $"cents").agg(count(lit(1)).as("cnt"))
+    val cumW = Window.partitionBy($"o_orderstatus").orderBy($"cents".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy($"o_orderstatus")
+    val bounds = hist.withColumn("cum", sum($"cnt").over(cumW))
+      .withColumn("tot", sum($"cnt").over(totW))
+      .groupBy($"o_orderstatus")
+      .agg(min(when($"cum" * 100 >= $"tot" * 5, $"cents")).as("p05"),
+        min(when($"cum" * 100 >= $"tot" * 95, $"cents")).as("p95"))
+    hist.join(broadcast(bounds), Seq("o_orderstatus"))
+      .select($"o_orderstatus", $"cnt", $"p05", $"p95",
+        greatest(least($"cents", $"p95"), $"p05").as("w"))
+      .groupBy($"o_orderstatus")
+      .agg(sum($"cnt").as("n"), max($"p05").as("p05_cents"),
+        max($"p95").as("p95_cents"),
+        sum($"w".cast("decimal(38,0)") * $"cnt").as("sw"))
+      .select($"o_orderstatus", $"n", $"p05_cents", $"p95_cents",
+        expr("CAST(sw * 1000 div n AS BIGINT)").as("wmean_milli"))
+  }
+
+  /** RFM CUSTOMER SEGMENTATION — the classic warehouse marketing
+    * census: per customer, Recency (days since last order vs the
+    * corpus max date), Frequency (order count) and Monetary (exact
+    * lifetime cents), each banded into quintiles, then the 3-digit
+    * segment census. Banding NEVER ranks customers: each metric is
+    * collapsed to its distinct-VALUE histogram and the band is
+    * ceil(5·F(v)/N) via the integer (5·cum + tot − 1) div tot — the
+    * q_curriculum idiom. The value spines are DOMAIN-bounded by
+    * construction (calendar days; small order counts; monetary
+    * rounded to whole currency units so the spine is price-range-,
+    * not customer-, sized) and the three tiny value→band maps
+    * broadcast back. One customer-grain shuffle, everything after is
+    * bounded. Band 1 = most recent / fewest orders / lowest spend. */
+  def qRfm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ref = Tables.orders(s, d).agg(max($"o_orderdate").as("refd"))
+    val cust = Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(max($"o_orderdate").as("lastd"), count(lit(1)).as("freq"),
+        sum(($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+          .as("cents"))
+      .crossJoin(broadcast(ref))
+      .select($"o_custkey",
+        datediff($"refd", $"lastd").cast("long").as("rec"),
+        // monetary banded at 100-currency-unit granularity: the spine
+        // must be bounded by the PRICE RANGE, not by customer count
+        // (cents div 100 would make nearly every lifetime total a
+        // distinct spine row — a data-sized global window)
+        $"freq", $"cents", expr("cents div 10000").as("units"))
+    def bandMap(metric: String): DataFrame = {
+      val h = cust.groupBy(col(metric).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val cumW = Window.orderBy($"v".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("cum", sum($"cnt").over(cumW))
+        .withColumn("tot", sum($"cnt").over(Window.partitionBy()))
+        .select($"v".as(metric),
+          expr("(5 * cum + tot - 1) div tot").as(s"${metric}_band"))
+    }
+    cust
+      .join(broadcast(bandMap("rec")), Seq("rec"))
+      .join(broadcast(bandMap("freq")), Seq("freq"))
+      .join(broadcast(bandMap("units")), Seq("units"))
+      .groupBy($"rec_band", $"freq_band", $"units_band")
+      .agg(count(lit(1)).as("n_customers"), sum($"cents").as("sum_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winsorize" -> (qWinsorize _),
+    "q_rfm" -> (qRfm _),
     "q_window_verbs" -> (qWindowVerbs _),
     "q_percentiles_exact" -> (qPercentilesExact _),
     "q2_min_supplier" -> (q2MinSupplier _),
@@ -1511,6 +1596,59 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_winsorize" ->
+      """WITH h AS (SELECT o_orderstatus,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (SELECT *,
+        |  CAST(SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY cents ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(SUM(cnt) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS tot
+        |  FROM h),
+        |b AS (SELECT o_orderstatus,
+        |  MIN(CASE WHEN cum * 100 >= tot * 5 THEN cents END) AS p05,
+        |  MIN(CASE WHEN cum * 100 >= tot * 95 THEN cents END) AS p95
+        |  FROM c GROUP BY 1),
+        |w AS (SELECT h.o_orderstatus, h.cnt, b.p05, b.p95,
+        |  greatest(least(h.cents, b.p95), b.p05) AS w
+        |  FROM h JOIN b USING (o_orderstatus))
+        |SELECT o_orderstatus, CAST(SUM(cnt) AS BIGINT) AS n,
+        |  MAX(p05) AS p05_cents, MAX(p95) AS p95_cents,
+        |  CAST(SUM(CAST(w AS HUGEINT) * cnt) * 1000 // SUM(cnt) AS BIGINT)
+        |    AS wmean_milli
+        |FROM w GROUP BY 1""".stripMargin,
+    "q_rfm" -> {
+      def bandCte(metric: String) =
+        s"""h_$metric AS (SELECT $metric AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM cust GROUP BY 1),
+           |b_$metric AS (SELECT v AS $metric,
+           |  (5 * CAST(SUM(cnt) OVER (ORDER BY v ASC
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |   + CAST(SUM(cnt) OVER () AS BIGINT) - 1)
+           |  // CAST(SUM(cnt) OVER () AS BIGINT) AS ${metric}_band
+           |  FROM h_$metric)""".stripMargin
+      s"""WITH refd AS (SELECT MAX(o_orderdate) AS refd FROM orders),
+         |cust AS (SELECT o_custkey,
+         |  CAST(date_diff('day', MAX(o_orderdate), (SELECT refd FROM refd))
+         |    AS BIGINT) AS rec,
+         |  CAST(COUNT(*) AS BIGINT) AS freq,
+         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |    AS BIGINT) AS cents,
+         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |    AS BIGINT) // 10000 AS units
+         |  FROM orders GROUP BY 1),
+         |${bandCte("rec")},
+         |${bandCte("freq")},
+         |${bandCte("units")}
+         |SELECT rec_band, freq_band, units_band,
+         |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+         |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+         |FROM cust
+         |JOIN b_rec USING (rec) JOIN b_freq USING (freq)
+         |JOIN b_units USING (units)
+         |GROUP BY 1, 2, 3""".stripMargin
+    },
     "q_percentiles_exact" ->
       """WITH h AS (SELECT o_orderpriority,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,

@@ -54,6 +54,50 @@ object Similarity {
           count(lit(1)), 9).as("avg_first"))
   }
 
+  /** EMBEDDING CENTROID DRIFT — "did the embedding distribution move
+    * between two corpus slices?" (the vector-space twin of q_ks_drift;
+    * re-embedding audits, encoder-version drift): per label, the L2
+    * distance between the centroids of the even and odd vec_id halves.
+    * Float averaging is made engine-exact by the integer-mean recipe:
+    * each component rounds to 9 dp, converts to an EXACT e9 BIGINT
+    * through a narrow DECIMAL(20,9) (never a wide decimal product —
+    * DuckDB silently demotes >38-digit decimals to DOUBLE), the
+    * per-dim sums accumulate wide (DECIMAL(38,0)/HUGEINT), and the
+    * mean is ONE truncating division — kept sign-safe with a
+    * +1000/element offset (trunc-vs-floor never diverges on a
+    * non-negative numerator; the offset cancels exactly in the
+    * centroid DIFFERENCE). The squared-distance sum stays integral
+    * and exactly one sqrt touches floating point. Scale shape: one
+    * (label, half, dim)-grain shuffle agg (map-combinable) over the
+    * posexploded components; everything after is label×64 rows. */
+  def qCentroidShift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val comp = Tables.embeddings(s, d)
+      .select($"label", pmod($"vec_id", lit(2)).as("half"),
+        posexplode($"embedding").as(Seq("dim", "x")))
+      .select($"label", $"half", $"dim",
+        round($"x".cast("double"), 9).cast("decimal(20,9)").as("x9"))
+      .select($"label", $"half", $"dim",
+        expr("CAST(x9 * 1000000000 AS BIGINT)").as("xe9"))
+    val cent = comp.groupBy($"label", $"half", $"dim")
+      .agg(count(lit(1)).as("n"),
+        sum($"xe9".cast("decimal(38,0)")).as("se9"))
+      .select($"label", $"half", $"dim", $"n",
+        expr("CAST((se9 + 1000000000000 * CAST(n AS DECIMAL(38,0)))" +
+          " div n AS BIGINT)").as("mean_e9"))
+    val ma = cent.filter($"half" === 0)
+      .select($"label", $"dim", $"n".as("n_a"), $"mean_e9".as("m_a"))
+    val mb = cent.filter($"half" === 1)
+      .select($"label", $"dim", $"n".as("n_b"), $"mean_e9".as("m_b"))
+    ma.join(mb, Seq("label", "dim"))
+      .groupBy($"label")
+      .agg(max($"n_a").as("n_a"), max($"n_b").as("n_b"),
+        sum(($"m_a" - $"m_b").cast("decimal(38,0)") * ($"m_a" - $"m_b"))
+          .as("d2"))
+      .select($"label", $"n_a", $"n_b",
+        round(sqrt($"d2".cast("double")) / 1e9, 9).as("l2_shift"))
+  }
+
   /** Brute-force top-K cosine neighbors for queries vec_id < NQueries. */
   def qKnnBrute(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -460,6 +504,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rrf" -> (qRrf _),
     "q_embedding_stats" -> (qEmbeddingStats _),
+    "q_centroid_shift" -> (qCentroidShift _),
     "q_knn_brute" -> (qKnnBrute _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_neardup_lsh" -> (qNearDupLsh _),
@@ -519,6 +564,27 @@ object Similarity {
          |  COALESCE(1000000000 // ($RrfConst + rank_kw), 0)
          |  + COALESCE(1000000000 // ($RrfConst + rank_vec), 0) AS rrf_e9
          |FROM f ORDER BY rrf_e9 DESC, doc_id ASC LIMIT $RrfTopK""".stripMargin,
+    "q_centroid_shift" ->
+      """WITH e AS (SELECT label, vec_id % 2 AS half,
+        |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |comp AS (SELECT label, half, dim - 1 AS dim,
+        |  CAST(CAST(ROUND(v[dim], 9) AS DECIMAL(20,9)) * 1000000000
+        |    AS BIGINT) AS xe9
+        |  FROM e CROSS JOIN LATERAL
+        |    (SELECT unnest(generate_series(1, len(v))) AS dim) t),
+        |cent AS (SELECT label, half, dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(xe9) AS HUGEINT) AS se9 FROM comp GROUP BY 1, 2, 3),
+        |m AS (SELECT label, half, dim, n,
+        |  CAST((se9 + 1000000000000 * CAST(n AS HUGEINT)) // n AS BIGINT)
+        |    AS mean_e9
+        |  FROM cent),
+        |j AS (SELECT a.label, a.dim, a.n AS n_a, b.n AS n_b,
+        |  CAST(a.mean_e9 AS HUGEINT) - b.mean_e9 AS dd
+        |  FROM m a JOIN m b ON a.label = b.label AND a.dim = b.dim
+        |  AND a.half = 0 AND b.half = 1)
+        |SELECT label, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+        |  ROUND(sqrt(CAST(SUM(dd * dd) AS DOUBLE)) / 1e9, 9) AS l2_shift
+        |FROM j GROUP BY 1""".stripMargin,
     "q_embedding_stats" -> {
       import graft.functions.Det.sqlSum12
       s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
