@@ -29,7 +29,22 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // 16 MB static threshold: real dimension tables at any tested SF
+      // are either well under it (they still broadcast) or far over it
+      // (they never did); the 16–64 MB band is exactly where
+      // materialized corpus-grown tables (posting sets, checkpointed
+      // candidate lists) masquerade as broadcastable and then inflate
+      // 10×+ into the driver heap building the hash relation.
+      .config("spark.sql.autoBroadcastJoinThreshold", (16L << 20).toString)
+      // AQE's RUNTIME broadcast threshold is deliberately much lower
+      // than the static one: runtime estimates are COMPRESSED shuffle
+      // bytes, and a corpus-grown table (shingle/bigram posting sets)
+      // at 10–60 MB compressed inflates 10×+ building the hash
+      // relation — the sf10 OOM class. Dimension tables the planner
+      // sizes statically, and everything explicitly broadcast()-ed,
+      // are unaffected.
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        (8L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS): read as nanosecond
       // longs (graft.operators.Events floor-divides to micros, matching

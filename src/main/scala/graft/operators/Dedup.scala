@@ -68,7 +68,7 @@ object Dedup {
     // dominant cost — two passes without it
     val docs = Tables.documents(s, d)
       .select($"doc_id", $"source", fingerprint($"text").as("fp"))
-      .localCheckpoint()
+      .transform(graft.functions.Cp.local)
     val isBatch = pmod($"doc_id", lit(BatchMod)) === BatchRem
     // no distinct(): a LEFT SEMI probe is set-semantics already, so
     // pre-deduplicating the corpus side is a pure extra shuffle+agg
@@ -149,7 +149,7 @@ object Dedup {
     val banded = minhashBandedOf(docs)
       .withColumn("f", count(lit(1)).over(w))
       .withColumn("bmin", min($"doc_id").over(w))
-      .localCheckpoint()
+      .transform(graft.functions.Cp.local)
     banded.as("a")
       .join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
@@ -308,13 +308,15 @@ object Dedup {
       .select($"doc_id",
         array_distinct(MinHash.shingleHash60(tokens($"text"), JaccardN)).as("shs"))
       .select($"doc_id", size($"shs").cast("long").as("n"), explode($"shs").as("s"))
-      .localCheckpoint()
+      .transform(graft.functions.Cp.local)
     // document frequency per shingle hash; ds is distinct per (doc, s)
     // so count(*) IS the df. The semi-join shuffles on the same key as
     // the aggregation, so no extra partitioning is introduced.
     val rare = ds.groupBy($"s").agg(count(lit(1)).as("df"))
       .filter($"df" <= DfCap).select($"s")
-    val dsr = ds.join(rare, Seq("s"), "left_semi").localCheckpoint()
+    // rare is shingle-grain (corpus-grown): never an AQE broadcast
+    val dsr = ds.join(rare.hint("merge"), Seq("s"), "left_semi")
+      .transform(graft.functions.Cp.local)
     dsr.as("a")
       .join(dsr.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
@@ -353,7 +355,7 @@ object Dedup {
       .select($"doc_id",
         array_distinct(MinHash.shingleHash60(tokens($"text"), JaccardN)).as("shs"))
       .select($"doc_id", size($"shs").cast("long").as("n"), explode($"shs").as("s"))
-      .localCheckpoint()
+      .transform(graft.functions.Cp.local)
     val pref = ds
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"s")))
       .withColumn("pos", row_number().over(
@@ -467,7 +469,7 @@ object Dedup {
       .select(least($"doc_a", $"doc_b").as("u"),
         greatest($"doc_a", $"doc_b").as("v"))
       .filter($"u" =!= $"v").distinct()
-      .localCheckpoint()
+      .transform(graft.functions.Cp.local)
     val nodes = edges.select($"u".as("id"))
       .union(edges.select($"v".as("id"))).distinct()
     // carried across rounds: |edges| is last round's |small|, so each
@@ -475,7 +477,13 @@ object Dedup {
     var edgeCount = edges.count()
     var converged = false
     var i = 0
+    // round hygiene: the original `edges` checkpoint is PROTECTED (the
+    // final `nodes` join reads it); per-round large/small generations
+    // are dropped one round after they die (dropGeneration scaladoc)
+    val ccSc = edges.sparkSession.sparkContext
+    var prevGen: scala.collection.Set[Int] = Set.empty[Int]
     while (!converged && i < maxIter && edgeCount > localFinishMaxEdges) {
+      val beforeRound = ccSc.getPersistentRDDs.keySet
       // large-star: group by each endpoint; attach every LARGER
       // neighbor to min(neighbors ∪ self)
       val dir = edges.union(edges.select($"v".as("u"), $"u".as("v")))
@@ -484,7 +492,7 @@ object Dedup {
       val large = dir.join(largeMins, "u").filter($"v" > $"u")
         .select(least($"v", $"m").as("u"), greatest($"v", $"m").as("v"))
         .filter($"u" =!= $"v").distinct()
-        .localCheckpoint()
+        .transform(graft.functions.Cp.local)
       // small-star: group by the larger endpoint; attach it and every
       // smaller neighbor to the smallest neighbor
       val smallMins = large.groupBy($"v".as("c")).agg(min($"u").as("m"))
@@ -493,7 +501,7 @@ object Dedup {
         .union(joined.select($"v".as("a"), $"m".as("b")))
         .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
         .filter($"u" =!= $"v").distinct()
-        .localCheckpoint()
+        .transform(graft.functions.Cp.local)
       // fixpoint = edge set unchanged. Both sides are distinct sets, so
       // equal counts + one-sided containment (small ⊆ edges) is an EXACT
       // set-equality check at half the cost of a symmetric difference.
@@ -504,6 +512,8 @@ object Dedup {
         small.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edgeCount = smallCount
       edges = small
+      dropGeneration(edges.sparkSession, prevGen)
+      prevGen = ccSc.getPersistentRDDs.keySet -- beforeRound
       i += 1
     }
     if (!converged && edgeCount <= localFinishMaxEdges) {
@@ -567,7 +577,7 @@ object Dedup {
       .select($"doc_a", $"doc_b")
     val edges = und.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(und.select($"doc_b".as("src"), $"doc_a".as("dst")))
-      .localCheckpoint() // read once per round + the degree agg
+      .transform(graft.functions.Cp.local) // read once per round + the degree agg
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     var ranks = docs.select($"doc_id", lit(1000000000L).as("rank_e9"))
     for (_ <- 0 until PrIters) {
@@ -591,6 +601,19 @@ object Dedup {
   private val KcoreK = 2     // core order
   private val KcorePeels = 8 // simultaneous peel rounds, oracle-mirrored
 
+  /** Iterative-round checkpoint hygiene: drop a DEAD generation's
+    * localCheckpoint blocks by RDD id. Eager localCheckpoints truncate
+    * lineage, so dropped blocks are unrecoverable — callers must only
+    * pass ids no live plan references. Without this, an N-round loop
+    * pins N generations of checkpointed edges and an 8 g heap dies at
+    * sf10 (observed: q_kcore executor OOM); with it, at most two
+    * generations are ever live. The ContextCleaner would eventually GC
+    * them, but "eventually" is after the OOM. */
+  private def dropGeneration(s: SparkSession, ids: scala.collection.Set[Int]): Unit =
+    s.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => ids(id) }
+      .values.foreach(_.unpersist(blocking = false))
+
   /** K-CORE EXTRACTION over the near-dup graph — the density filter
     * graph curation uses above connected components (a CC can be a
     * long fragile chain; the 2-core keeps only docs embedded in
@@ -610,15 +633,25 @@ object Dedup {
     val und = jaccardPairs(s, d)
       .filter(lit(3) * $"inter" > $"na" + $"nb")
       .select($"doc_a", $"doc_b")
+    val sc = s.sparkContext
+    val before0 = sc.getPersistentRDDs.keySet
     var e = und.select($"doc_a".as("u"), $"doc_b".as("v"))
       .union(und.select($"doc_b".as("u"), $"doc_a".as("v")))
-      .localCheckpoint()
+      .transform(graft.functions.Cp.local)
+    // generation 0 owns the upstream pair-pipeline checkpoints too —
+    // all dead once generation 1 materializes
+    var prevGen: scala.collection.Set[Int] =
+      sc.getPersistentRDDs.keySet -- before0
     for (_ <- 0 until KcorePeels) {
       val keep = e.groupBy($"u").agg(count(lit(1)).as("dg"))
         .filter($"dg" >= KcoreK).select($"u")
+      val beforeR = sc.getPersistentRDDs.keySet
       e = e.join(keep, Seq("u"), "left_semi")
         .join(keep.select($"u".as("v")), Seq("v"), "left_semi")
-        .localCheckpoint()
+        .transform(graft.functions.Cp.local) // eager: the previous generation is now dead
+      val newGen = sc.getPersistentRDDs.keySet -- beforeR
+      dropGeneration(s, prevGen)
+      prevGen = newGen
     }
     e.select($"u".as("doc_id")).distinct()
       .join(Tables.documents(s, d).select($"doc_id", $"source"),
@@ -670,7 +703,7 @@ object Dedup {
     // every reference re-runs the full shingle pair join
     jaccardPairs(s, d).filter(lit(3) * $"inter" > $"na" + $"nb")
       .select($"doc_a", $"doc_b")
-      .localCheckpoint()
+      .transform(graft.functions.Cp.local)
       .createOrReplaceTempView("graft_dup_edges")
     s.sql(
       """WITH RECURSIVE
@@ -704,7 +737,7 @@ object Dedup {
   def qTriangles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = jaccardPairs(s, d).filter(lit(3) * $"inter" > $"na" + $"nb")
-      .select($"doc_a", $"doc_b").localCheckpoint()
+      .select($"doc_a", $"doc_b").transform(graft.functions.Cp.local)
     val deg = e.select(explode(array($"doc_a", $"doc_b")).as("v"))
       .groupBy($"v").agg(count(lit(1)).as("deg"))
     val dir = e
@@ -715,7 +748,7 @@ object Dedup {
           $"doc_a").otherwise($"doc_b").as("src"),
         when($"da" < $"db" || ($"da" === $"db" && $"doc_a" < $"doc_b"),
           $"doc_b").otherwise($"doc_a").as("dst"))
-      .localCheckpoint()
+      .transform(graft.functions.Cp.local)
     // wedges at the apex: unordered out-neighbor pairs; closing edge
     // probed in canonical (min, max) form against the undirected set
     val tri = dir.as("x")

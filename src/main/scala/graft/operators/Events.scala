@@ -1070,7 +1070,81 @@ object Events {
       .select($"k", $"d", $"c", $"n_risk", $"hazard_e9", $"cumhaz_e9")
   }
 
+  private val AnomTopK = 20 // most-anomalous days reported
+
+  /** SEASONALITY-ADJUSTED ANOMALY DETECTION — [[qSeasonality]]'s
+    * factors put to work: a day is anomalous when its count deviates
+    * >30% from its weekday-seasonal expectation (centered-MA level ×
+    * the (type, dow) seasonal factor). Every quantity stays integer:
+    * expected_e9 = s7·seasonal_e9 div 7, deviation ratio
+    * |y·10⁹ − expected_e9|·1000 div max(expected_e9, 10⁹) (products in
+    * DECIMAL/HUGEINT where they can pass 2⁶³; the max() floor makes
+    * zero-expectation days well-defined). The seasonal factor table is
+    * (type × 7)-bounded and broadcasts; the report is a bounded
+    * top-k by (ratio, type, day). This is the composition shape —
+    * q_seasonality's output consumed as a dimension — that a real
+    * anomaly pipeline runs nightly. */
+  def qSeasonalAnomaly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val seasonal = qSeasonality(s, d)
+      .select($"event_type", $"dow", $"seasonal_e9")
+    val daily = events(s, d)
+      .groupBy($"event_type", expr("ts_us div 86400000000").as("epoch_day"))
+      .agg(count(lit(1)).as("y"))
+    val spine = daily.groupBy($"event_type")
+      .agg(min($"epoch_day").as("d0"), max($"epoch_day").as("d1"))
+      .select($"event_type", explode(sequence($"d0", $"d1")).as("epoch_day"))
+    val filled = spine.join(daily, Seq("event_type", "epoch_day"), "left")
+      .select($"event_type", $"epoch_day", coalesce($"y", lit(0L)).as("y"))
+    val w7 = Window.partitionBy($"event_type").orderBy($"epoch_day".asc)
+      .rowsBetween(-3, 3)
+    filled
+      .withColumn("nw", count(lit(1)).over(w7))
+      .withColumn("s7", sum($"y").over(w7))
+      .filter($"nw" === 7 && $"s7" > 0)
+      .withColumn("dow", expr("(epoch_day + 4) % 7"))
+      .join(broadcast(seasonal), Seq("event_type", "dow"))
+      .withColumn("expected_e9", expr(
+        "CAST(CAST(s7 AS DECIMAL(38,0)) * seasonal_e9 div 7 AS BIGINT)"))
+      .withColumn("dev_e9",
+        abs(expr("y * 1000000000") - $"expected_e9"))
+      .withColumn("ratio_e3", expr(
+        "CAST(CAST(dev_e9 AS DECIMAL(38,0)) * 1000" +
+          " div greatest(expected_e9, 1000000000) AS BIGINT)"))
+      .select($"event_type", $"epoch_day", $"y", $"expected_e9", $"ratio_e3",
+        when($"ratio_e3" > 300, 1L).otherwise(0L).as("is_anomaly"))
+      .orderBy($"ratio_e3".desc, $"event_type".asc, $"epoch_day".asc)
+      .limit(AnomTopK)
+  }
+
+  private val FeatMod = 251 // deterministic user slice for the feature dump
+
+  /** LAG-FEATURE SNAPSHOT — the feature-store query shape (per-entity
+    * point-in-time features for model training): per (user, active
+    * day), the day's event count plus lag-1 count, days since the
+    * previous active day, and the rolling 7-active-day sum/count —
+    * ONE multi-window pass, all windows partitioned by user and
+    * ordered by day (a single sort per user, no self-joins, no spine
+    * materialization — rolling windows run over OBSERVED days).
+    * Counts are exact BIGINTs; the deterministic user slice bounds
+    * the dump the way a training snapshot bounds its entity set. */
+  def qLagFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"epoch_day".asc)
+    events(s, d)
+      .filter($"user_id" % FeatMod === 0)
+      .groupBy($"user_id", expr("ts_us div 86400000000").as("epoch_day"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"epoch_day", $"n",
+        coalesce(lag($"n", 1).over(byUser), lit(0L)).as("n_prev"),
+        ($"epoch_day" - lag($"epoch_day", 1).over(byUser)).as("days_since"),
+        sum($"n").over(byUser.rowsBetween(-6, 0)).as("sum7"),
+        count(lit(1)).over(byUser.rowsBetween(-6, 0)).as("active7"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonal_anomaly" -> (qSeasonalAnomaly _),
+    "q_lag_features" -> (qLagFeatures _),
     "q_survival" -> (qSurvival _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_funnel_steps" -> (qFunnelSteps _),
@@ -1112,6 +1186,60 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_seasonal_anomaly" ->
+      s"""WITH daily AS (SELECT event_type,
+         |  epoch_us(ts) // 86400000000 AS epoch_day,
+         |  CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+         |bounds AS (SELECT event_type, MIN(epoch_day) AS d0,
+         |  MAX(epoch_day) AS d1 FROM daily GROUP BY 1),
+         |spine AS (SELECT event_type,
+         |  unnest(generate_series(d0, d1)) AS epoch_day FROM bounds),
+         |filled AS (SELECT s.event_type, s.epoch_day,
+         |  COALESCE(d.y, 0) AS y FROM spine s
+         |  LEFT JOIN daily d USING (event_type, epoch_day)),
+         |ma AS (SELECT event_type, epoch_day, y,
+         |  CAST(COUNT(*) OVER w AS BIGINT) AS nw,
+         |  CAST(SUM(y) OVER w AS BIGINT) AS s7
+         |  FROM filled WINDOW w AS (PARTITION BY event_type
+         |    ORDER BY epoch_day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |sel AS (SELECT event_type, (epoch_day + 4) % 7 AS dow,
+         |  y * 7 * 1000000000 // s7 AS idx_e9
+         |  FROM ma WHERE nw = 7 AND s7 > 0),
+         |sea AS (SELECT event_type, dow,
+         |  CAST(SUM(idx_e9) // COUNT(*) AS BIGINT) AS seasonal_e9
+         |  FROM sel GROUP BY 1, 2),
+         |an AS (SELECT m.event_type, m.epoch_day, m.y,
+         |  CAST(CAST(m.s7 AS HUGEINT) * sea.seasonal_e9 // 7 AS BIGINT)
+         |    AS expected_e9
+         |  FROM ma m JOIN sea ON m.event_type = sea.event_type
+         |    AND (m.epoch_day + 4) % 7 = sea.dow
+         |  WHERE m.nw = 7 AND m.s7 > 0),
+         |an2 AS (SELECT *, abs(y * 1000000000 - expected_e9) AS dev_e9
+         |  FROM an)
+         |, an3 AS (SELECT event_type, epoch_day, y, expected_e9,
+         |  CAST(CAST(dev_e9 AS HUGEINT) * 1000
+         |    // greatest(expected_e9, 1000000000) AS BIGINT) AS ratio_e3
+         |  FROM an2)
+         |SELECT event_type, epoch_day, y, expected_e9, ratio_e3,
+         |  CAST(CASE WHEN ratio_e3 > 300 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_anomaly
+         |FROM an3
+         |ORDER BY ratio_e3 DESC, event_type ASC, epoch_day ASC
+         |LIMIT $AnomTopK""".stripMargin,
+    "q_lag_features" ->
+      s"""WITH g AS (SELECT user_id,
+         |  epoch_us(ts) // 86400000000 AS epoch_day,
+         |  CAST(COUNT(*) AS BIGINT) AS n FROM events
+         |  WHERE user_id % $FeatMod = 0 GROUP BY 1, 2)
+         |SELECT user_id, epoch_day, n,
+         |  CAST(COALESCE(lag(n, 1) OVER w, 0) AS BIGINT) AS n_prev,
+         |  epoch_day - lag(epoch_day, 1) OVER w AS days_since,
+         |  CAST(SUM(n) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS sum7,
+         |  CAST(COUNT(*) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS active7
+         |FROM g WINDOW w AS (PARTITION BY user_id ORDER BY epoch_day ASC)
+         |""".stripMargin,
     "q_survival" ->
       """WITH tm AS (SELECT MAX(epoch_us(ts) // 86400000000) AS tmax
         |  FROM events),

@@ -1239,7 +1239,7 @@ object Relational {
     // re-runs the parquet scan + decimal conversion (3 scans measured).
     val li = Tables.lineitem(s, d).select($"l_returnflag",
       ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
-      .localCheckpoint()
+      .transform(graft.functions.Cp.local)
     val med = medianBy(li, "l_returnflag", "cents")
     val dev = li.join(broadcast(med), "l_returnflag")
       .withColumn("dev", abs($"cents" - $"med"))
@@ -1512,7 +1512,23 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"), sum($"cents").as("sum_cents"))
   }
 
+  /** GROUPING_ID over a CUBE — the remaining grouping-metadata verb
+    * (q_rollup/q_cube/q_grouping_sets cover the lattices themselves):
+    * the bitmask that lets one materialized cube serve per-level
+    * consumers (gid = 0 detail, 3 grand total; first grouping column
+    * is the high bit in BOTH engines), plus a single-column
+    * grouping() flag. One pass, cube expansion handled by the
+    * engine's Expand operator — no unions of re-aggregations. */
+  def qGroupingId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"),
+        grouping($"o_orderstatus").cast("long").as("g_status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_id" -> (qGroupingId _),
     "q_winsorize" -> (qWinsorize _),
     "q_rfm" -> (qRfm _),
     "q_window_verbs" -> (qWindowVerbs _),
@@ -1596,6 +1612,12 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "q_winsorize" ->
       """WITH h AS (SELECT o_orderstatus,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,

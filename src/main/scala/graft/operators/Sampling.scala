@@ -135,7 +135,7 @@ object Sampling {
       lit(0L), (acc, x) => acc + x)
     val scored = Tables.documents(s, d)
       .select($"doc_id", $"lang", score.as("score"))
-      .localCheckpoint()
+      .transform(graft.functions.Cp.local)
     val hist = scored.groupBy($"lang", $"score")
       .agg(count(lit(1)).as("cnt"))
     val cumW = Window.partitionBy($"lang").orderBy($"score".asc)

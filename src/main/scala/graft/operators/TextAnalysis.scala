@@ -205,7 +205,7 @@ object TextAnalysis {
     val spanOcc = Tables.documents(s, d)
       .select($"doc_id", explode(spans).as("span"))
       .select($"doc_id", md5Prefix60($"span").as("h"))
-      .localCheckpoint()
+      .transform(graft.functions.Cp.local)
     val dupIndex = spanOcc.groupBy($"h")
       .agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" > 1)
@@ -351,7 +351,7 @@ object TextAnalysis {
     // scan+md5 passes without it
     val docs = Tables.documents(s, d)
       .select($"doc_id", $"source", sh.as("shs"))
-      .localCheckpoint()
+      .transform(graft.functions.Cp.local)
     val isBench = pmod($"doc_id", lit(BenchMod)) === 0
     val benchShingles = docs.filter(isBench)
       .select(explode($"shs").as("sh")).distinct()
@@ -390,7 +390,7 @@ object TextAnalysis {
     // plus the driver-side bloom build is a fourth consumer
     val docs = Tables.documents(s, d)
       .select($"doc_id", $"source", sh.as("shs"))
-      .localCheckpoint()
+      .transform(graft.functions.Cp.local)
     val isBench = pmod($"doc_id", lit(BenchMod)) === 0
     val benchShingles = docs.filter(isBench)
       .select(explode($"shs").as("sh")).distinct()
@@ -650,7 +650,7 @@ object TextAnalysis {
       .select($"doc_id", tokens($"text").as("t")).filter(size($"t") >= 2)
       .select($"doc_id", explode(wordGrams($"t", 2)).as("bigram"))
       .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .transform(graft.functions.Cp.local)
     val bi = occ.groupBy($"bigram").agg(sum($"n").as("c_ab"))
     val pc = bi.groupBy(split($"bigram", " ").getItem(0).as("w1"))
       .agg(sum($"c_ab").as("c_w"))
@@ -686,7 +686,7 @@ object TextAnalysis {
       .select($"source", explode(wordGrams($"t", OverlapN)).as("g"))
       .select($"source", md5Prefix60($"g").as("h"))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.functions.Cp.local)
     val sizes = sh.groupBy($"source").agg(count(lit(1)).as("sz"))
     val pairs = sh.groupBy($"h")
       .agg(sort_array(collect_set($"source")).as("ss"))
