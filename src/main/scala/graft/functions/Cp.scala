@@ -19,4 +19,16 @@ import org.apache.spark.storage.StorageLevel
 object Cp {
   def local[T](ds: Dataset[T]): Dataset[T] =
     ds.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+
+  /** Iterative-round checkpoint hygiene: drop a DEAD generation's
+    * localCheckpoint blocks by RDD id. Eager localCheckpoints truncate
+    * lineage, so dropped blocks are unrecoverable — callers must only
+    * pass ids no live plan references. Without this an N-round loop
+    * pins N generations of checkpointed state until the ContextCleaner
+    * GCs them — which at 100× SF is after the OOM, not before. */
+  def dropGeneration(s: org.apache.spark.sql.SparkSession,
+                     ids: scala.collection.Set[Int]): Unit =
+    s.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => ids(id) }
+      .values.foreach(_.unpersist(blocking = false))
 }

@@ -610,9 +610,7 @@ object Dedup {
     * generations are ever live. The ContextCleaner would eventually GC
     * them, but "eventually" is after the OOM. */
   private def dropGeneration(s: SparkSession, ids: scala.collection.Set[Int]): Unit =
-    s.sparkContext.getPersistentRDDs
-      .filter { case (id, _) => ids(id) }
-      .values.foreach(_.unpersist(blocking = false))
+    graft.functions.Cp.dropGeneration(s, ids)
 
   /** K-CORE EXTRACTION over the near-dup graph — the density filter
     * graph curation uses above connected components (a CC can be a

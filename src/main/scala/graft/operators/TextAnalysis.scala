@@ -803,7 +803,88 @@ object TextAnalysis {
             ($"nl".cast("double") * ($"nl" - 1))))), 6).as("z"))
   }
 
+  /** Merge rounds for [[qBpeMerge]], oracle-mirrored as unrolled CTEs. */
+  private val BpeRounds = 3
+
+  /** BPE TRAINER MERGE ROUNDS — the tokenizer-training primitive: the
+    * corpus collapses to a word-frequency table ONCE (the only
+    * corpus-scale agg — this is exactly how production BPE trainers
+    * scale: all merge learning happens on the vocabulary, not the
+    * corpus), each word becomes a space-separated character-symbol
+    * sequence, and [[BpeRounds]] rounds each (a) count adjacent symbol
+    * pairs weighted by word frequency, (b) pick the global best pair
+    * (count desc, pair asc — a deterministic tie-break), (c) apply the
+    * merge via greedy left-to-right non-overlapping `replace` of
+    * " x  y " with " xy " on the padded DOUBLE-SPACE-separated
+    * sequence. The double separator is load-bearing: each match
+    * consumes only the OUTER halves of the surrounding separators, so
+    * adjacent occurrences ("a a a a" → "aa aa", "x y x y" → "xy xy")
+    * chain exactly like reference BPE's left-to-right merge order —
+    * a single-space encoding would swallow the shared boundary space
+    * and silently skip every second adjacent merge. Both engines'
+    * `replace` performs the same greedy non-overlapping scan, and the
+    * boundary spaces make a match align to whole symbols only (symbols
+    * are space-free, double spaces occur only between symbols).
+    *
+    * Scale shape: one explode+agg over the corpus, then every round is
+    * vocabulary-bounded (pairs ≤ vocab × max word length) with the
+    * 1-row best pair applied as a broadcast nested-loop join. Rounds
+    * are checkpointed serialized and the superseded generation dropped
+    * ([[graft.functions.Cp.dropGeneration]]) — at most two generations
+    * live. Output: one row per round with the chosen pair, its
+    * weighted count, and a bit_xor-of-md5 checksum over every word's
+    * post-merge symbol sequence, so the oracle match proves EVERY
+    * word's segmentation after every round, not just the argmax. */
+  def qBpeMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sc = s.sparkContext
+    val before0 = sc.getPersistentRDDs.keySet
+    val words = Tables.documents(s, d)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("n"))
+    var seqs = words
+      .select($"word", $"n",
+        expr("trim(regexp_replace(word, '(.)', '$1  '))").as("seq"))
+      .transform(graft.functions.Cp.local)
+    var prevGen: scala.collection.Set[Int] =
+      sc.getPersistentRDDs.keySet -- before0
+    val rounds = (1 to BpeRounds).map { r =>
+      val beforeR = sc.getPersistentRDDs.keySet
+      val pairs = seqs
+        .withColumn("toks", split($"seq", "  "))
+        .select($"n", explode(expr(
+          "transform(slice(toks, 1, size(toks) - 1), " +
+            "(t, i) -> concat(t, ' ', element_at(toks, i + 2)))")).as("pair"))
+        .groupBy($"pair").agg(sum($"n").as("cnt"))
+      val best = pairs.orderBy($"cnt".desc, $"pair".asc).limit(1)
+        .transform(graft.functions.Cp.local) // 1 row; pins the round's argmax
+      seqs = seqs.crossJoin(broadcast(best.select($"pair".as("__p"))))
+        .select($"word", $"n",
+          expr("trim(replace(' ' || seq || ' ', " +
+            "' ' || replace(__p, ' ', '  ') || ' ', " +
+            "' ' || replace(__p, ' ', '') || ' '))").as("seq"))
+        .transform(graft.functions.Cp.local)
+      val midR = sc.getPersistentRDDs.keySet
+      val chk = seqs.agg(
+        bit_xor(md5Prefix60(concat($"word", lit(">"), $"seq")))
+          .as("vocab_checksum"))
+      // the round's 1-row report is checkpointed EAGERLY so dropping
+      // the superseded sequence generation can never cut its lineage
+      val out = best.crossJoin(chk)
+        .select(lit(r).as("round"), $"pair".as("best_pair"),
+          $"cnt".as("pair_count"), $"vocab_checksum")
+        .transform(graft.functions.Cp.local)
+      val outIds = sc.getPersistentRDDs.keySet -- midR
+      graft.functions.Cp.dropGeneration(s, prevGen)
+      prevGen = (midR -- beforeR) -- outIds
+      out
+    }
+    rounds.reduce(_ union _).orderBy($"round".asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_merge" -> (qBpeMerge _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_mann_whitney" -> (qMannWhitney _),
     "q_bigram_lm" -> (qBigramLm _),
@@ -855,7 +936,44 @@ object TextAnalysis {
        |WHERE d.doc_id % $BenchMod <> 0
        |GROUP BY d.source""".stripMargin
 
+  /** Unrolled-rounds BPE oracle: AS MATERIALIZED is load-bearing
+    * (plain CTEs inline and the self-referencing rounds explode the
+    * upstream pipeline exponentially — the q_kcore/q_pagerank rule). */
+  private lazy val bpeMergeSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+         |    SELECT n, toks[i] || ' ' || toks[i+1] AS pair FROM (
+         |      SELECT n, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+         |      FROM (SELECT n, string_split(seq, '  ') AS toks FROM s${r - 1})))
+         |  GROUP BY pair),
+         |b$r AS MATERIALIZED (SELECT pair, cnt FROM p$r
+         |  ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |s$r AS MATERIALIZED (SELECT word, n,
+         |  trim(replace(' ' || seq || ' ',
+         |    ' ' || replace((SELECT pair FROM b$r), ' ', '  ') || ' ',
+         |    ' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ')) AS seq
+         |  FROM s${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to BpeRounds).map { r =>
+      s"""SELECT $r AS round, pair AS best_pair, cnt AS pair_count,
+         |  (SELECT bit_xor(CAST(('0x' || substr(md5(word || '>' || seq), 1, 15))
+         |     AS BIGINT)) FROM s$r) AS vocab_checksum
+         |FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |    FROM documents) GROUP BY word),
+       |s0 AS MATERIALIZED (SELECT word, n,
+       |  trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS seq FROM words),
+       |$rounds
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_bpe_merge" -> bpeMergeSql,
     "q_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
          |  FROM documents),

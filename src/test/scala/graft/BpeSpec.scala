@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** q_bpe_merge vs an independently-written in-JVM reference BPE
+  * trainer (list-based merge, no string replace tricks): the oracle
+  * gate proves cross-engine bit-exactness; this proves the shared
+  * semantics ARE textbook greedy BPE. */
+class BpeSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** Reference: one merge round on symbol LISTS — count adjacent pairs
+    * weighted by word freq, argmax (count desc, pair asc), then a
+    * greedy left-to-right scan merging each non-overlapping occurrence. */
+  private def refRound(vocab: Map[List[String], Long])
+      : ((String, String), Long, Map[List[String], Long]) = {
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    for ((syms, n) <- vocab; Seq(a, b) <- syms.sliding(2))
+      counts((a, b)) = counts.getOrElse((a, b), 0L) + n
+    val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a + " " + b) }
+    val (pair, cnt) = (best._1, best._2)
+    def apply(syms: List[String]): List[String] = syms match {
+      case a :: b :: rest if (a, b) == pair => (a + b) :: apply(rest)
+      case a :: rest => a :: apply(rest)
+      case Nil => Nil
+    }
+    (pair, cnt, vocab.map { case (k, v) => (apply(k), v) }
+      .groupBy(_._1).map { case (k, vs) => (k, vs.values.sum) })
+  }
+
+  test("q_bpe_merge rounds equal an independent list-based BPE trainer") {
+    val words = Tables.documents(spark, sf)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .as("w"))
+      .groupBy($"w").count().as[(String, Long)].collect()
+    var vocab: Map[List[String], Long] =
+      words.map { case (w, n) => (w.toList.map(_.toString), n) }.toMap
+    val expected = (1 to 3).map { r =>
+      val (pair, cnt, next) = refRound(vocab)
+      vocab = next
+      (r, pair._1 + " " + pair._2, cnt)
+    }
+    val got = TextAnalysis.qBpeMerge(spark, sf)
+      .select($"round", $"best_pair", $"pair_count")
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === expected)
+  }
+
+  test("pair_count is non-increasing across rounds (BPE argmax monotonicity)") {
+    val counts = TextAnalysis.qBpeMerge(spark, sf)
+      .orderBy($"round").select($"pair_count").as[Long].collect()
+    assert(counts.length === 3)
+    assert(counts.sliding(2).forall { case Array(a, b) => b <= a })
+  }
+}
