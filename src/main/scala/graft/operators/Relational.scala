@@ -710,6 +710,44 @@ object Relational {
             ($"n" * $"syy" - $"sy" * $"sy")), 6).as("rho"))
   }
 
+  /** GINI CONCENTRATION of customer spend per nation — the inequality
+    * audit run on revenue (and, in the LLM-pipeline reading, on
+    * per-source token mass before mixture rebalancing). Fully
+    * engine-exact: spend rides as integer cents, each nation's
+    * customers get a UNIQUE rank i (spend, custkey — deterministic
+    * ties), and G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) is evaluated as
+    * one truncating integer division at 10⁹ scale. Σi·xᵢ ≈ n²·x̄/2
+    * passes BIGINT at ~100× SF, so the moment accumulates in
+    * DECIMAL(38,0) (oracle: HUGEINT — different exact types, identical
+    * quotient). Chebyshev's sum inequality makes the numerator
+    * non-negative, so Spark div ≡ DuckDB // ≡ floor. Scale shape: one
+    * customer-keyed agg, one per-nation rank window (the q_spearman
+    * per-segment sort family), one 25-row agg + broadcast dim join. */
+  def qGini(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = "DECIMAL(38,0)"
+    val spend = Tables.orders(s, d)
+      .select($"o_custkey", round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"o_custkey").agg(sum($"cents").as("x"))
+      .join(Tables.customer(s, d).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+    spend
+      .withColumn("i", row_number().over(
+        Window.partitionBy($"c_nationkey")
+          .orderBy($"x".asc, $"c_custkey".asc)).cast("long"))
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), sum($"x").as("total_cents"),
+        sum($"i".cast(D) * $"x".cast(D)).as("six"))
+      .join(broadcast(Tables.nation(s, d).select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"n_cust", $"total_cents",
+        expr(s"(CAST(2 AS $D) * six - CAST(n_cust + 1 AS $D) " +
+          s"* CAST(total_cents AS $D)) * CAST(1000000000 AS $D) " +
+          s"div (CAST(n_cust AS $D) * CAST(total_cents AS $D))")
+          .as("gini_e9"))
+      .orderBy($"n_name".asc)
+  }
+
   private val BenfordE9 = Seq(301029996L, 176091259L, 124938737L,
     96910013L, 79181246L, 66946790L, 57991947L, 51152522L, 45757491L)
 
@@ -1559,6 +1597,7 @@ object Relational {
     "q18_large_orders" -> (q18LargeOrders _),
     "q22_idle_customers" -> (q22IdleCustomers _),
     "q_spearman" -> (qSpearman _),
+    "q_gini" -> (qGini _),
     "q_benford" -> (qBenford _),
     "q_mv_refresh" -> (qMvRefresh _),
     "q_dq_checks" -> (qDqChecks _),
@@ -1955,6 +1994,25 @@ object Relational {
         |ROUND((n * sxy - sx * sy) /
         |  sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS rho
         |FROM m""".stripMargin,
+    "q_gini" ->
+      """WITH spend AS (SELECT o_custkey,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT c_nationkey, c_custkey, x,
+        |  CAST(row_number() OVER (PARTITION BY c_nationkey
+        |    ORDER BY x ASC, c_custkey ASC) AS BIGINT) AS i
+        |  FROM spend JOIN customer ON o_custkey = c_custkey),
+        |m AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  CAST(SUM(x) AS BIGINT) AS total_cents,
+        |  SUM(i * x) AS six
+        |  FROM r GROUP BY 1)
+        |SELECT n_name, n_cust, total_cents,
+        |CAST(((2 * six - (n_cust + 1) * CAST(total_cents AS HUGEINT))
+        |  * 1000000000)
+        |  // (n_cust * CAST(total_cents AS HUGEINT)) AS BIGINT) AS gini_e9
+        |FROM m JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY n_name ASC""".stripMargin,
     "q_benford" ->
       """WITH c AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
         |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,

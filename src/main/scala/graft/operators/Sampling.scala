@@ -155,7 +155,44 @@ object Sampling {
       .orderBy($"lang".asc, $"phase".asc)
   }
 
+  /** Global sample budget for [[qAllocation]]. */
+  private val AllocBudget = 10000L
+
+  /** LARGEST-REMAINDER QUOTA ALLOCATION (Hamilton apportionment) — the
+    * exact integer answer to "split a fixed sample budget across
+    * languages proportionally": base = n·S div N seats, then the
+    * S − Σbase leftover seats go to the largest remainders
+    * (remainder desc, lang asc — deterministic ties). Guarantees
+    * Σalloc = S exactly and every share within 1 of proportional —
+    * the property float-rounded quotas can't give (they over- or
+    * under-shoot the budget). All arithmetic is BIGINT products and
+    * truncating division, identical in both engines. Scale shape: one
+    * corpus agg to the language grain, then every window runs on the
+    * lang-domain frame (≤ tens of rows) — corpus size only touches the
+    * first agg, so the plan is one shuffle at any SF. */
+  def qAllocation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val S = AllocBudget
+    val all = Window.partitionBy(lit(1))
+    val counts = Tables.documents(s, d)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("tot", sum($"n").over(all))
+      .withColumn("base", expr(s"n * $S DIV tot"))
+      .withColumn("rem", expr(s"n * $S - base * tot"))
+      .withColumn("leftover", lit(S) - sum($"base").over(all))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy($"rem".desc, $"lang".asc))
+        .cast("long"))
+      .select($"lang", $"n".as("n_docs"), $"base",
+        when($"rk" <= $"leftover", 1L).otherwise(0L).as("extra"),
+        ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy($"lang".asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_allocation" -> (qAllocation _),
     "q_curriculum" -> (qCurriculum _),
     "q_split_assign" -> (qSplitAssign _),
     "q_quota_sample" -> (qQuotaSample _),
@@ -164,6 +201,23 @@ object Sampling {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_allocation" ->
+      s"""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT lang, n, CAST(SUM(n) OVER () AS BIGINT) AS tot
+         |  FROM c),
+         |b AS (SELECT lang, n, tot, n * $AllocBudget // tot AS base,
+         |  n * $AllocBudget - (n * $AllocBudget // tot) * tot AS rem
+         |  FROM t),
+         |r AS (SELECT lang, n, base, rem,
+         |  $AllocBudget - CAST(SUM(base) OVER () AS BIGINT) AS leftover,
+         |  CAST(row_number() OVER (ORDER BY rem DESC, lang ASC) AS BIGINT)
+         |    AS rk
+         |  FROM b)
+         |SELECT lang, n AS n_docs, base,
+         |CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+         |base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+         |FROM r ORDER BY lang ASC""".stripMargin,
     "q_curriculum" ->
       s"""WITH sc AS (SELECT doc_id, lang,
          |  CAST(list_sum(list_transform(string_split(text,' '),
