@@ -373,6 +373,42 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** ASSOCIATION RULES a→b over user behavior — [[qCooccur]] grown
+    * into the full market-basket readout: for every DIRECTED pair of
+    * event types, support n_ab, confidence = P(b|a) and lift =
+    * P(ab)/(P(a)P(b)), all engine-exact integer ratios. Confidence is
+    * n_ab·10⁹ div n_a (BIGINT-safe to ~9·10⁹ users); the lift
+    * numerator n_ab·N·10⁹ passes BIGINT at ~10⁹ users, so it runs in
+    * DECIMAL(38,0) (oracle: HUGEINT — identical quotients). Scale
+    * shape: the (user, type) distinct set is bounded per user by the
+    * type DOMAIN, the self-join is co-partitioned on user_id, and
+    * every rule-side table (item counts, user total) is domain- or
+    * 1-row-sized and broadcast — linear in users at 100 TB. */
+  def qAssocRules(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = "DECIMAL(38,0)"
+    val ut = events(s, d).select($"user_id", $"event_type").distinct()
+      .transform(graft.functions.Cp.local) // reused by pairs, items, N
+    val items = ut.groupBy($"event_type").agg(count(lit(1)).as("n_item"))
+    val total = ut.agg(countDistinct($"user_id").as("n_users"))
+    ut.as("a").join(ut.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.event_type" =!= $"b.event_type")
+      .groupBy($"a.event_type".as("antecedent"),
+        $"b.event_type".as("consequent"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(items.select($"event_type".as("antecedent"),
+        $"n_item".as("n_a"))), Seq("antecedent"))
+      .join(broadcast(items.select($"event_type".as("consequent"),
+        $"n_item".as("n_b"))), Seq("consequent"))
+      .crossJoin(broadcast(total))
+      .select($"antecedent", $"consequent", $"n_ab", $"n_a", $"n_b",
+        expr("n_ab * 1000000000 DIV n_a").as("conf_e9"),
+        expr(s"CAST(n_ab AS $D) * CAST(n_users AS $D) " +
+          s"* CAST(1000000000 AS $D) " +
+          s"div (CAST(n_a AS $D) * CAST(n_b AS $D))").as("lift_e9"))
+      .orderBy($"antecedent".asc, $"consequent".asc)
+  }
+
   /** Running DISTINCT-COUNT window (daily active-user accumulation per
     * event type). Spark has no COUNT(DISTINCT) OVER — and at scale the
     * naive per-frame re-count is quadratic anyway. The scalable
@@ -1170,6 +1206,7 @@ object Events {
     "q_window_distinct" -> (qWindowDistinct _),
     "q_attribution" -> (qAttribution _),
     "q_cooccur" -> (qCooccur _),
+    "q_assoc_rules" -> (qAssocRules _),
     "q_streak" -> (qStreak _),
     "q_gap_fill" -> (qGapFill _),
     "q_interpolate" -> (qInterpolate _),
@@ -1607,6 +1644,28 @@ object Events {
         |FROM ut a JOIN ut b
         |ON a.user_id = b.user_id AND a.event_type < b.event_type
         |GROUP BY 1, 2""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |items AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_item
+        |  FROM ut GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM ut),
+        |p AS (SELECT a.event_type AS antecedent,
+        |  b.event_type AS consequent, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM ut a JOIN ut b
+        |  ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT antecedent, consequent, n_ab,
+        |ia.n_item AS n_a, ic.n_item AS n_b,
+        |n_ab * 1000000000 // ia.n_item AS conf_e9,
+        |CAST((CAST(n_ab AS HUGEINT) * n_users * 1000000000)
+        |  // (ia.n_item * CAST(ic.n_item AS HUGEINT)) AS BIGINT)
+        |  AS lift_e9
+        |FROM p
+        |JOIN items ia ON p.antecedent = ia.event_type
+        |JOIN items ic ON p.consequent = ic.event_type
+        |CROSS JOIN tot
+        |ORDER BY antecedent ASC, consequent ASC""".stripMargin,
     "q_streak" ->
       """WITH hrs AS (SELECT DISTINCT user_id,
         |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h
