@@ -835,7 +835,12 @@ object TextAnalysis {
     * weighted count, and a bit_xor-of-md5 checksum over every word's
     * post-merge symbol sequence, so the oracle match proves EVERY
     * word's segmentation after every round, not just the argmax. */
-  def qBpeMerge(s: SparkSession, d: String): DataFrame = {
+  def qBpeMerge(s: SparkSession, d: String): DataFrame =
+    bpeTrain(s, d)._1
+
+  /** The shared trainer loop behind [[qBpeMerge]] (per-round reports)
+    * and [[qBpeApply]] (final word → symbol-sequence vocabulary). */
+  private def bpeTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val sc = s.sparkContext
     val before0 = sc.getPersistentRDDs.keySet
@@ -880,11 +885,43 @@ object TextAnalysis {
       prevGen = (midR -- beforeR) -- outIds
       out
     }
-    rounds.reduce(_ union _).orderBy($"round".asc)
+    (rounds.reduce(_ union _).orderBy($"round".asc), seqs)
+  }
+
+  /** BPE APPLY — the corpus-scale other half of [[qBpeMerge]]'s
+    * vocabulary-scale training: segment every document with the
+    * learned merges and report per-source subword mass. The learned
+    * vocabulary (word → final symbol sequence) is joined to the
+    * corpus at the (doc, word, count) grain — pre-aggregated so
+    * repeated words join once per doc — with hint("merge"): the
+    * vocabulary GROWS WITH THE CORPUS (Heaps' law), so it is never
+    * left to the AQE broadcast heuristic (the q_bigram_lm OOM rule).
+    * The bit_xor over doc_id ⊕ n_subwords·1000003 proves every
+    * document's segmented length. Scale: explode+agg to doc-word
+    * grain, one sort-merge join on word, two bounded aggs. */
+  def qBpeApply(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = bpeTrain(s, d)._2
+      .select($"word", size(split($"seq", "  ")).cast("long").as("n_sym"))
+    Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .as("word"))
+      .groupBy($"doc_id", $"source", $"word")
+      .agg(count(lit(1)).as("cnt"))
+      .join(vocab.hint("merge"), Seq("word"))
+      .groupBy($"doc_id", $"source")
+      .agg(sum($"cnt" * $"n_sym").as("n_sub"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_sub").as("total_subwords"),
+        expr("bit_xor(doc_id ^ (n_sub * 1000003))").as("seg_checksum"))
+      .orderBy($"source".asc)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merge" -> (qBpeMerge _),
+    "q_bpe_apply" -> (qBpeApply _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_mann_whitney" -> (qMannWhitney _),
     "q_bigram_lm" -> (qBigramLm _),
@@ -939,7 +976,7 @@ object TextAnalysis {
   /** Unrolled-rounds BPE oracle: AS MATERIALIZED is load-bearing
     * (plain CTEs inline and the self-referencing rounds explode the
     * upstream pipeline exponentially — the q_kcore/q_pagerank rule). */
-  private lazy val bpeMergeSql: String = {
+  private lazy val bpeCtes: String = {
     val rounds = (1 to BpeRounds).map { r =>
       s"""p$r AS MATERIALIZED (
          |  SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
@@ -955,25 +992,46 @@ object TextAnalysis {
          |    ' ' || replace((SELECT pair FROM b$r), ' ', '') || ' ')) AS seq
          |  FROM s${r - 1})""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to BpeRounds).map { r =>
-      s"""SELECT $r AS round, pair AS best_pair, cnt AS pair_count,
-         |  (SELECT bit_xor(CAST(('0x' || substr(md5(word || '>' || seq), 1, 15))
-         |     AS BIGINT)) FROM s$r) AS vocab_checksum
-         |FROM b$r""".stripMargin
-    }.mkString("\nUNION ALL\n")
     s"""WITH words AS MATERIALIZED (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
        |    FROM documents) GROUP BY word),
        |s0 AS MATERIALIZED (SELECT word, n,
        |  trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS seq FROM words),
-       |$rounds
-       |$sel
-       |ORDER BY round""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  private lazy val bpeMergeSql: String = {
+    val sel = (1 to BpeRounds).map { r =>
+      s"""SELECT $r AS round, pair AS best_pair, cnt AS pair_count,
+         |  (SELECT bit_xor(CAST(('0x' || substr(md5(word || '>' || seq), 1, 15))
+         |     AS BIGINT)) FROM s$r) AS vocab_checksum
+         |FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$bpeCtes\n$sel\nORDER BY round"
+  }
+
+  private lazy val bpeApplySql: String =
+    s"""$bpeCtes,
+       |tok AS (SELECT doc_id, source,
+       |  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents),
+       |dw AS (SELECT doc_id, source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM tok GROUP BY 1, 2, 3),
+       |v AS (SELECT word,
+       |  CAST(len(string_split(seq, '  ')) AS BIGINT) AS n_sym
+       |  FROM s$BpeRounds),
+       |dsub AS (SELECT doc_id, source,
+       |  CAST(SUM(cnt * n_sym) AS BIGINT) AS n_sub
+       |  FROM dw JOIN v USING (word) GROUP BY 1, 2)
+       |SELECT source, COUNT(*) AS n_docs,
+       |CAST(SUM(n_sub) AS BIGINT) AS total_subwords,
+       |bit_xor(xor(doc_id, n_sub * 1000003)) AS seg_checksum
+       |FROM dsub GROUP BY source ORDER BY source ASC""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_bpe_merge" -> bpeMergeSql,
+    "q_bpe_apply" -> bpeApplySql,
     "q_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
          |  FROM documents),
