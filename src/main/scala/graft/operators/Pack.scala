@@ -156,6 +156,61 @@ object Pack {
     s"(${spread(x)} | (${spread(y)} << 1))"
   }
 
+  /** 3-dimensional Morton interleave: each 21-bit value spread to
+    * every third bit (the classic 5-round mask ladder), then
+    * x | y<<1 | z<<2 — 63 bits, sign-safe in BIGINT in both engines. */
+  def mortonZ3(x: Column, y: Column, z: Column): Column = {
+    def spread(c: Column): Column = {
+      val s0 = c.bitwiseAND(lit(0x1fffffL))
+      val s1 = s0.bitwiseOR(shiftleft(s0, 32)).bitwiseAND(lit(0x1f00000000ffffL))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 16)).bitwiseAND(lit(0x1f0000ff0000ffL))
+      val s3 = s2.bitwiseOR(shiftleft(s2, 8)).bitwiseAND(lit(0x100f00f00f00f00fL))
+      val s4 = s3.bitwiseOR(shiftleft(s3, 4)).bitwiseAND(lit(0x10c30c30c30c30c3L))
+      s4.bitwiseOR(shiftleft(s4, 2)).bitwiseAND(lit(0x1249249249249249L))
+    }
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+      .bitwiseOR(shiftleft(spread(z), 2))
+  }
+
+  /** [[mortonZ3]] as engine-neutral SQL. */
+  def sqlMortonZ3(x: String, y: String, z: String): String = {
+    def spread(c: String): String = {
+      val s0 = s"($c & ${0x1fffffL})"
+      val s1 = s"(($s0 | ($s0 << 32)) & ${0x1f00000000ffffL})"
+      val s2 = s"(($s1 | ($s1 << 16)) & ${0x1f0000ff0000ffL})"
+      val s3 = s"(($s2 | ($s2 << 8)) & ${0x100f00f00f00f00fL})"
+      val s4 = s"(($s3 | ($s3 << 4)) & ${0x10c30c30c30c30c3L})"
+      s"(($s4 | ($s4 << 2)) & ${0x1249249249249249L})"
+    }
+    s"(${spread(x)} | (${spread(y)} << 1) | (${spread(z)} << 2))"
+  }
+
+  /** [[qZorder]] in THREE dimensions — (l_partkey, l_suppkey,
+    * l_quantity): the multi-column OPTIMIZE ZORDER case. 16-bit
+    * masked dims interleave into 48 used bits; cell = z div 2³⁶
+    * fixes the top 4 bits of EACH dimension, so every cell bounds
+    * all three key ranges to 4096-wide blocks simultaneously — the
+    * stats a three-predicate skipping layer needs. Same scale shape
+    * as [[qZorder]]: one narrow map + one shuffle agg. */
+  def qZorder3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q16 = $"l_quantity".cast("long").bitwiseAND(lit(65535L))
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber",
+        $"l_partkey".bitwiseAND(lit(65535L)).as("pk"),
+        $"l_suppkey".bitwiseAND(lit(65535L)).as("sk"),
+        q16.as("qk"))
+      .withColumn("z", mortonZ3($"pk", $"sk", $"qk"))
+      .groupBy(expr(s"z div ${1L << 36}").as("cell"))
+      .agg(count(lit(1)).as("n"),
+        min($"pk").as("pk_min"), max($"pk").as("pk_max"),
+        min($"sk").as("sk_min"), max($"sk").as("sk_max"),
+        min($"qk").as("qk_min"), max($"qk").as("qk_max"),
+        bit_xor($"z".bitwiseXOR(
+          $"l_orderkey" * lit(1000003L) + $"l_linenumber"))
+          .as("z_checksum"))
+  }
+
   /** Z-ORDER LAYOUT CENSUS over lineitem on (l_partkey, l_suppkey):
     * per 256×256 z-cell (z div 65536 — a joint block of both key
     * ranges), the row count and the min/max of each dimension — the
@@ -210,7 +265,32 @@ object Pack {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** [[writeZOrdered]] in three dimensions: min/max-scale each column
+    * to 16 bits, interleave with [[mortonZ3]], range-partition + sort
+    * on z — every file bounds ALL THREE dimensions (PackSpec-asserted
+    * against a linear sort). */
+  def writeZOrdered3(df: DataFrame, cols: (String, String, String),
+                     path: String, numFiles: Int): Unit = {
+    val (xc, yc, zc) = cols
+    val b = df.agg(
+      min(col(xc)).cast("double"), max(col(xc)).cast("double"),
+      min(col(yc)).cast("double"), max(col(yc)).cast("double"),
+      min(col(zc)).cast("double"), max(col(zc)).cast("double")).head()
+    def norm(c: String, lo: Double, hi: Double): Column =
+      if (hi > lo) ((col(c) - lo) / (hi - lo) * 65535.0).cast("long")
+      else lit(0L)
+    df.withColumn("__z", mortonZ3(
+        norm(xc, b.getDouble(0), b.getDouble(1)),
+        norm(yc, b.getDouble(2), b.getDouble(3)),
+        norm(zc, b.getDouble(4), b.getDouble(5))))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder3" -> (qZorder3 _),
     "q_seq_pack" -> (qSeqPack _),
     "q_shard_assign" -> (qShardAssign _),
     "q_corpus_stats" -> (qCorpusStats _),
@@ -283,6 +363,19 @@ object Pack {
          |SELECT z // 65536 AS cell, COUNT(*) AS n,
          |MIN(pk) AS pk_min, MAX(pk) AS pk_max,
          |MIN(sk) AS sk_min, MAX(sk) AS sk_max,
+         |bit_xor(xor(z, l_orderkey * 1000003 + l_linenumber))
+         |  AS z_checksum
+         |FROM z GROUP BY 1""".stripMargin,
+    "q_zorder3" ->
+      s"""WITH z AS (SELECT l_orderkey, l_linenumber,
+         |  l_partkey & 65535 AS pk, l_suppkey & 65535 AS sk,
+         |  CAST(l_quantity AS BIGINT) & 65535 AS qk,
+         |  ${sqlMortonZ3("(l_partkey & 65535)", "(l_suppkey & 65535)",
+             "(CAST(l_quantity AS BIGINT) & 65535)")} AS z FROM lineitem)
+         |SELECT z // ${1L << 36} AS cell, COUNT(*) AS n,
+         |MIN(pk) AS pk_min, MAX(pk) AS pk_max,
+         |MIN(sk) AS sk_min, MAX(sk) AS sk_max,
+         |MIN(qk) AS qk_min, MAX(qk) AS qk_max,
          |bit_xor(xor(z, l_orderkey * 1000003 + l_linenumber))
          |  AS z_checksum
          |FROM z GROUP BY 1""".stripMargin

@@ -117,6 +117,44 @@ class PackSpec extends AnyFunSuite {
       "z-order must beat linear sort on the max-dim-range metric")
   }
 
+  test("3-dim z-order bounds all three dims per file; linear sort does not") {
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+    def span(c: String): Double = {
+      val (lo, hi) = li.agg(min(col(c)), max(col(c)))
+        .as[(Long, Long)].head()
+      (hi - lo).toDouble.max(1)
+    }
+    val (okS, pkS, skS) = (span("l_orderkey"), span("l_partkey"),
+      span("l_suppkey"))
+    val dir = java.nio.file.Files.createTempDirectory("zord3").toString
+    Pack.writeZOrdered3(li, ("l_orderkey", "l_partkey", "l_suppkey"),
+      dir + "/z", 16)
+    li.repartitionByRange(16, $"l_orderkey")
+      .sortWithinPartitions($"l_orderkey")
+      .write.mode("overwrite").parquet(dir + "/lin")
+    def ranges(path: String): Seq[(Double, Double, Double)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min($"l_orderkey"), max($"l_orderkey"),
+          min($"l_partkey"), max($"l_partkey"),
+          min($"l_suppkey"), max($"l_suppkey"))
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+        .map { case (_, a, b, c, d2, e, f) =>
+          ((b - a) / okS, (d2 - c) / pkS, (f - e) / skS) }
+    def worst(t: (Double, Double, Double)) = t._1.max(t._2).max(t._3)
+    def avg(xs: Seq[Double]) = xs.sum / xs.size
+    val z = ranges(dir + "/z")
+    val lin = ranges(dir + "/lin")
+    // linear: the unsorted dims stay full-width
+    assert(avg(lin.map(t => t._2.max(t._3))) > 0.85)
+    // z3: every dim bounded below full width on average, and the
+    // worst-dim metric beats the linear layout
+    assert(avg(z.map(_._1)) < 0.75 && avg(z.map(_._2)) < 0.75 &&
+      avg(z.map(_._3)) < 0.75, s"z3 ranges not bounded: ${z.take(3)}")
+    assert(avg(z.map(worst)) < avg(lin.map(worst)))
+  }
+
   test("interpolated days are bounded by their neighbors") {
     val r = graft.operators.Events.qInterpolate(spark, sf)
     val interp = r.filter($"is_interp" === 1).count()
