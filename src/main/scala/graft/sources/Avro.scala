@@ -118,4 +118,73 @@ object Avro {
       }
     spark.createDataFrame(rows, struct)
   }
+
+  /** Avro schema for a Spark StructType (the writer-side inverse of
+    * [[sqlSchema]], same type coverage). */
+  private[graft] def avroSchema(struct: StructType, name: String): Schema = {
+    def prim(dt: DataType): Schema = dt match {
+      case LongType    => Schema.create(Schema.Type.LONG)
+      case IntegerType => Schema.create(Schema.Type.INT)
+      case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+      case FloatType   => Schema.create(Schema.Type.FLOAT)
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case StringType  => Schema.create(Schema.Type.STRING)
+      case BinaryType  => Schema.create(Schema.Type.BYTES)
+      case ArrayType(el, _) => Schema.createArray(prim(el))
+      case other => throw new IllegalArgumentException(
+        s"avro writer: unsupported Spark type $other")
+    }
+    val fields = struct.fields.map { f =>
+      val base = prim(f.dataType)
+      val s = if (f.nullable)
+        Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+      else base
+      new Schema.Field(f.name, s, null, null)
+    }
+    Schema.createRecord(name, null, "graft", false,
+      java.util.Arrays.asList(fields: _*))
+  }
+
+  /** Spark value → Avro value for [[writeAvro]]. */
+  private def toAvro(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (b: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(b)
+    case (seq: scala.collection.Seq[_], ArrayType(el, _)) =>
+      java.util.Arrays.asList(seq.map(x => toAvro(x, el)).toSeq: _*)
+    case (x, _) => x
+  }
+
+  /** Write a DataFrame as splittable .avro container files via the
+    * public avro-mapreduce `AvroKeyOutputFormat` (the writer twin of
+    * [[readAvro]]; same type coverage). The Avro `Schema` object is
+    * not serializable, so its JSON travels to executors and each
+    * partition re-parses it once; records are built per row — one
+    * output file per partition, the standard Hadoop commit protocol
+    * (task-attempt temp + atomic rename) giving all-or-nothing
+    * output at any parallelism. */
+  def writeAvro(df: DataFrame, path: String): Unit = {
+    val struct = df.schema
+    val schema = avroSchema(struct, "row")
+    val schemaJson = schema.toString
+    val fields = struct.fields.map(f => (f.name, f.dataType))
+    val rdd = df.rdd.mapPartitions { it =>
+      val s = new Schema.Parser().parse(schemaJson)
+      it.map { row =>
+        val rec = new org.apache.avro.generic.GenericData.Record(s)
+        var i = 0
+        while (i < fields.length) {
+          rec.put(fields(i)._1, toAvro(row.get(i), fields(i)._2))
+          i += 1
+        }
+        (new AvroKey[GenericRecord](rec), NullWritable.get())
+      }
+    }
+    val job = org.apache.hadoop.mapreduce.Job
+      .getInstance(df.sparkSession.sparkContext.hadoopConfiguration)
+    org.apache.avro.mapreduce.AvroJob.setOutputKeySchema(job, schema)
+    rdd.saveAsNewAPIHadoopFile(path,
+      classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+      classOf[org.apache.avro.mapreduce.AvroKeyOutputFormat[GenericRecord]],
+      job.getConfiguration)
+  }
 }

@@ -63,6 +63,23 @@ class AvroSpec extends AnyFunSuite {
       .getLong(0) === 6L)
   }
 
+  test("writeAvro round-trips a DataFrame through the container format") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("avrow").toString
+    val src = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text", $"n_chars",
+        split($"text", " ").as("toks"),
+        when($"doc_id" % 3 === 0, $"n_chars".cast("double")).as("maybe"))
+    graft.sources.Avro.writeAvro(src, dir + "/docs")
+    val back = graft.sources.Avro.readAvro(spark, dir + "/docs")
+    assert(back.schema("maybe").nullable)
+    val a = src.orderBy($"doc_id").collect().toSeq
+    val b = back.select(src.columns.map(col): _*)
+      .orderBy($"doc_id").collect().toSeq
+    assert(a === b)
+  }
+
   test("unsupported avro shapes fail loudly with the field named") {
     val bad = SchemaBuilder.record("m").fields()
       .name("kv").`type`().map().values().stringType().noDefault()
