@@ -362,15 +362,19 @@ object Dedup {
         Window.partitionBy($"doc_id").orderBy($"df".asc, $"s".asc)))
       .filter($"pos" <= expr("n div 2 + 1"))
       .select($"doc_id", $"n", $"s")
-    val cand = pref.as("a").join(pref.as("b"),
+    // every side of the candidate and verify joins GROWS WITH THE
+    // CORPUS: never left to the AQE broadcast heuristic (compressed
+    // stats slide under the threshold at 100× SF while the hash
+    // relation inflates 10×+ → driver broadcast OOM, observed sf10)
+    val cand = pref.as("a").hint("merge").join(pref.as("b").hint("merge"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
           lit(2) * $"b.n" >= $"a.n" && lit(2) * $"a.n" >= $"b.n")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         $"a.n".as("na"), $"b.n".as("nb"))
       .distinct()
-    cand
-      .join(ds.select($"doc_id".as("doc_a"), $"s"), Seq("doc_a"))
-      .join(ds.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
+    cand.hint("merge")
+      .join(ds.select($"doc_id".as("doc_a"), $"s").hint("merge"), Seq("doc_a"))
+      .join(ds.select($"doc_id".as("doc_b"), $"s").hint("merge"), Seq("doc_b", "s"))
       .groupBy($"doc_a", $"doc_b", $"na", $"nb")
       .agg(count(lit(1)).as("inter"))
       .filter(lit(3) * $"inter" > $"na" + $"nb")
