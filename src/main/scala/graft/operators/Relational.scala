@@ -677,33 +677,48 @@ object Relational {
     * grouped agg — shuffles on the segment key only. */
   def qSpearman(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    def rank2(c: Column, tie: Column) = (lit(2) * rank().over(
-      Window.partitionBy($"l_returnflag").orderBy(c)).cast("long") +
-      tie - 1).cast("long")
-    val ranked = Tables.lineitem(s, d)
-      .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
-      .withColumn("tx", count(lit(1)).over(
-        Window.partitionBy($"l_returnflag", $"l_quantity")))
-      .withColumn("ty", count(lit(1)).over(
-        Window.partitionBy($"l_returnflag", $"l_extendedprice")))
-      .select($"l_returnflag",
-        rank2($"l_quantity", $"tx").as("rx"),
-        rank2($"l_extendedprice", $"ty").as("ry"))
+    // Ranks NEVER touch row grain: tie-averaged 2·avgrank =
+    // 2·cumBelow + t + 1 comes from the per-segment VALUE histogram
+    // (the medianBy idiom), so each rank window sorts the distinct-
+    // value spine, not the table — at 100× SF lineitem has ~100×
+    // fewer distinct prices than rows, and segment-partition skew
+    // (3 segments = 3-way parallelism on a row-grain sort) vanishes.
+    // Moments then accumulate on the joint (seg, x, y) grain weighted
+    // by cnt — same exact integers as the row-grain sum.
+    val joint = Tables.lineitem(s, d)
+      .select($"l_returnflag", $"l_quantity".as("x"),
+        $"l_extendedprice".as("y"))
+      .groupBy($"l_returnflag", $"x", $"y")
+      .agg(count(lit(1)).as("cnt"))
+      .transform(graft.functions.Cp.local) // feeds both marginals + moments
+    def rank2(vc: String, rc: String): DataFrame = {
+      val cumW = Window.partitionBy($"l_returnflag").orderBy(col(vc).asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      joint.groupBy($"l_returnflag", col(vc))
+        .agg(sum($"cnt").as("t"))
+        .withColumn("below", coalesce(sum($"t").over(cumW), lit(0L)))
+        .select($"l_returnflag", col(vc),
+          (lit(2) * $"below" + $"t" + 1).as(rc))
+    }
     // rank products overflow BIGINT once groups pass ~1M rows (rank ≤
     // 2n, so Σ rx·ry ~ 4n³): compute products and sums in DECIMAL(38,0)
     // — exact at any SF — and convert once at the end. The oracle's
     // BIGINT sums widen to HUGEINT in DuckDB; both engines then
     // correctly-round the same exact integer to the same double.
+    val c = $"cnt".cast("decimal(19,0)")
     val dx = $"rx".cast("decimal(19,0)")
     val dy = $"ry".cast("decimal(19,0)")
-    ranked.groupBy($"l_returnflag")
+    joint
+      .join(rank2("x", "rx"), Seq("l_returnflag", "x"))
+      .join(rank2("y", "ry"), Seq("l_returnflag", "y"))
+      .groupBy($"l_returnflag")
       .agg(
-        count(lit(1)).cast("double").as("n"),
-        sum(dx).cast("double").as("sx"),
-        sum(dy).cast("double").as("sy"),
-        sum(dx * dy).cast("double").as("sxy"),
-        sum(dx * dx).cast("double").as("sxx"),
-        sum(dy * dy).cast("double").as("syy"))
+        sum($"cnt").cast("double").as("n"),
+        sum(c * dx).cast("double").as("sx"),
+        sum(c * dy).cast("double").as("sy"),
+        sum(c * dx * dy).cast("double").as("sxy"),
+        sum(c * dx * dx).cast("double").as("sxx"),
+        sum(c * dy * dy).cast("double").as("syy"))
       .select($"l_returnflag", $"n".cast("long").as("n"),
         round(($"n" * $"sxy" - $"sx" * $"sy") /
           sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
