@@ -1263,18 +1263,24 @@ object Relational {
     * (Spark's `percentile` builds one; on a near-continuous 100 TB
     * column that map is executor-memory-sized). Same shape as
     * [[qWeightedMedian]]. */
-  private def medianBy(df: DataFrame, key: String, v: String): DataFrame = {
-    import df.sparkSession.implicits._
-    val h = df.groupBy(col(key), col(v)).agg(count(lit(1)).as("cnt"))
+  /** Median from a pre-built (key, value, count) histogram — windows
+    * run on the distinct-value spine only. */
+  private def medianOfHist(h: DataFrame, key: String, v: String,
+                           cnt: String): DataFrame = {
+    import h.sparkSession.implicits._
     val cumW = Window.partitionBy(col(key)).orderBy(col(v).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totW = Window.partitionBy(col(key))
-    h.withColumn("cum", sum($"cnt").over(cumW))
-      .withColumn("tot", sum($"cnt").over(totW))
+    h.withColumn("cum", sum(col(cnt)).over(cumW))
+      .withColumn("tot", sum(col(cnt)).over(totW))
       .groupBy(col(key))
       .agg(((min(when($"cum" >= expr("(tot + 1) div 2"), col(v))) +
         min(when($"cum" >= expr("tot div 2 + 1"), col(v)))) / 2.0).as("med"))
   }
+
+  private def medianBy(df: DataFrame, key: String, v: String): DataFrame =
+    medianOfHist(df.groupBy(col(key), col(v))
+      .agg(count(lit(1)).as("__mcnt")), key, v, "__mcnt")
 
   /** ROBUST OUTLIER DETECTION via median absolute deviation — the
     * skew-immune anomaly gate (mean/stddev outlier rules break under
@@ -1287,23 +1293,28 @@ object Relational {
     * median frames broadcast back (groups × 1 row each). */
   def qOutlierMad(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // materialized once: the (flag, cents) projection feeds the median
-    // histogram AND both deviation passes; without it each pass
-    // re-runs the parquet scan + decimal conversion (3 scans measured).
-    val li = Tables.lineitem(s, d).select($"l_returnflag",
+    // ONE row-grain shuffle total: the corpus collapses to the
+    // (flag, cents) histogram once, the deviation histogram is DERIVED
+    // from it by re-grouping the value spine around the median (never
+    // a second corpus pass), and the final census is a spine-sized agg
+    // — at 100× SF lineitem has ~100× fewer distinct prices than rows,
+    // so everything after the first agg is two orders smaller.
+    val h = Tables.lineitem(s, d).select($"l_returnflag",
       ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy($"l_returnflag", $"cents").agg(count(lit(1)).as("t"))
       .transform(graft.functions.Cp.local)
-    val med = medianBy(li, "l_returnflag", "cents")
-    val dev = li.join(broadcast(med), "l_returnflag")
-      .withColumn("dev", abs($"cents" - $"med"))
-    val mad = medianBy(dev.select($"l_returnflag", $"dev"), "l_returnflag", "dev")
+    val med = medianOfHist(h, "l_returnflag", "cents", "t")
+    val hdev = h.join(broadcast(med), "l_returnflag")
+      .groupBy($"l_returnflag", $"med", abs($"cents" - $"med").as("dev"))
+      .agg(sum($"t").as("t"))
+    val mad = medianOfHist(hdev, "l_returnflag", "dev", "t")
       .withColumnRenamed("med", "mad")
-    dev.join(broadcast(mad), "l_returnflag")
+    hdev.join(broadcast(mad), "l_returnflag")
       .groupBy($"l_returnflag")
-      .agg(count(lit(1)).as("n"),
+      .agg(sum($"t").as("n"),
         min($"med").as("median_cents"),
         min($"mad").as("mad_cents"),
-        sum(when($"dev" > $"mad" * 3, 1L).otherwise(0L)).as("n_outliers"))
+        sum(when($"dev" > $"mad" * 3, $"t").otherwise(0L)).as("n_outliers"))
   }
 
   /** Explicit CROSS JOIN surface — the dense-grid pattern: every
