@@ -24,7 +24,10 @@ object DumpPlans {
     "q2_min_supplier", "q9_product_profit", "q11_important_stock",
     "q16_supplier_cnt", "q20_dominant_supplier", "q_bigram_lm",
     "q_source_overlap", "q_curriculum", "q_sax", "q_rrf",
-    "q_percentiles_exact", "q_abtest")
+    "q_percentiles_exact", "q_abtest",
+    "q_bpe_merge", "q_bpe_apply", "q_gini", "q_allocation",
+    "q_assoc_rules", "q_zorder3", "q_spearman", "q_outlier_mad",
+    "q_prefix_join")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("plans")
