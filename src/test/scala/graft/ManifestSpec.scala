@@ -222,6 +222,46 @@ class ManifestSpec extends AnyFunSuite {
     assert(onDisk === referenced)
   }
 
+  test("CDC replication: applying readChanges deltas converges a replica to every snapshot") {
+    import spark.implicits._
+    val primary = tmp(); val replica = tmp()
+    def contentOf(path: String): Seq[(Long, Long)] =
+      ManifestTable.read(spark, path).as[(Long, Long)]
+        .collect().toSeq.sorted
+    // v1: two range-disjoint files (so later merges rewrite only one)
+    ManifestTable.create(spark,
+      (1L to 40L).map(i => (i, i)).toDF("id", "v").repartition(1), primary)
+    ManifestTable.merge(spark, primary,
+      (1001L to 1040L).map(i => (i, i)).toDF("id", "v").repartition(1), "id")
+    val (pfs, proot) = fsRoot(primary)
+    // initial seed: full copy, remember the synced version
+    var synced = ManifestTable.version(pfs, proot)
+    ManifestTable.create(spark, ManifestTable.read(spark, primary), replica)
+    assert(contentOf(replica) === contentOf(primary))
+    // a few primary mutations: update, insert, update
+    ManifestTable.merge(spark, primary, Seq((7L, 700L)).toDF("id", "v"), "id")
+    ManifestTable.merge(spark, primary,
+      (2001L to 2010L).map(i => (i, i)).toDF("id", "v"), "id")
+    ManifestTable.merge(spark, primary, Seq((1005L, -5L)).toDF("id", "v"), "id")
+    // sync: changed-file rows since the last synced version, key-merged.
+    // Deltas carry whole rewritten files (changed + co-located rows);
+    // the key-merge makes re-applying co-located rows idempotent.
+    ManifestTable.upsert(spark,
+      ManifestTable.readChanges(spark, primary, synced), replica, "id")
+    assert(contentOf(replica) === contentOf(primary))
+    // second round, including an update of a previously-synced insert
+    synced = ManifestTable.version(pfs, proot)
+    ManifestTable.merge(spark, primary, Seq((2001L, 0L)).toDF("id", "v"), "id")
+    ManifestTable.upsert(spark,
+      ManifestTable.readChanges(spark, primary, synced), replica, "id")
+    assert(contentOf(replica) === contentOf(primary))
+    // replaying the SAME delta is a no-op (at-least-once delivery safe)
+    val before = contentOf(replica)
+    ManifestTable.upsert(spark,
+      ManifestTable.readChanges(spark, primary, synced), replica, "id")
+    assert(contentOf(replica) === before)
+  }
+
   test("readWhere prunes files by footer key range and still filters rows") {
     import spark.implicits._
     val dir = tmp()
