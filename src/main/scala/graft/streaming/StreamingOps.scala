@@ -43,6 +43,20 @@ case class AbOut(arm: Long, n: Long, sumCents: Long, sumSqCents: Long)
 
 private case class AbState(n: Long, sumCents: Long, sumSqCents: Long)
 
+/** Tagged input row for the stream–stream AS-OF join (side 0 = left /
+  * reference stream, side 1 = right / probe stream). */
+case class AsofIn(side: Int, eventId: Long, ts: Timestamp,
+                  userId: Long, value: Double)
+
+/** A probe event enriched with the latest in-horizon reference event
+  * at or before it (−1 sentinels when none exists). */
+case class AsofOut(userId: Long, probeUs: Long, probeEvent: Long,
+                   refUs: Long, refEvent: Long, lagUs: Long)
+
+private case class AsofState(leftUs: Seq[Long], leftIds: Seq[Long],
+                             rightUs: Seq[Long], rightIds: Seq[Long],
+                             rightVals: Seq[Double])
+
 /** One token observation on the stream (for windowed heavy hitters). */
 case class TokenEv(ts: Timestamp, term: String)
 
@@ -903,6 +917,97 @@ object StreamingOps {
   def intervalJoinOuter(signups: Dataset[Ev], purchases: Dataset[Ev],
                         withinMinutes: Int = 60): DataFrame =
     intervalJoin(signups, purchases, withinMinutes, "left_outer")
+
+  /** STREAM–STREAM AS-OF JOIN — the streaming twin of the batch
+    * AsofJoinExec family, a shape Spark's interval join cannot give
+    * (it emits EVERY in-window match; as-of needs exactly the LATEST
+    * reference ≤ each probe). transformWithState per user: reference
+    * events accumulate in state (pruned below watermark − horizon —
+    * nothing older can be the latest for any future probe), probe
+    * events BUFFER until the watermark passes their timestamp — only
+    * then is "no earlier reference can still arrive" proven and the
+    * match deterministic under any arrival order. Matured probes emit
+    * with the max-(ts, eventId) reference within the horizon, or −1
+    * sentinels. State is O(horizon) references + O(watermark lag)
+    * probes per user — volume-independent. Parity with the batch
+    * max-per-probe build asserted in StreamingSpec. */
+  def asofEnrich(refs: Dataset[Ev], probes: Dataset[Ev],
+                 horizonMinutes: Int = 60,
+                 watermark: String = "30 minutes"): Dataset[AsofOut] = {
+    val s = refs.sparkSession
+    import s.implicits._
+    def tag(d: Dataset[Ev], side: Int) = d
+      .withWatermark("ts", watermark)
+      .select(lit(side).as("side"), col("eventId"), col("ts"),
+        col("userId"), col("value")).as[AsofIn]
+    tag(refs, 0).union(tag(probes, 1))
+      .groupByKey(_.userId)
+      .transformWithState(new AsofProcessor(horizonMinutes),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  class AsofProcessor(horizonMinutes: Int)
+      extends StatefulProcessor[Long, AsofIn, AsofOut] {
+    private val horizonMs = horizonMinutes.toLong * 60 * 1000
+    @transient private var st: ValueState[AsofState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AsofState](
+        "asof", Encoders.product[AsofState], TTLConfig.NONE)
+
+    private def stateOr(): AsofState =
+      if (st.exists()) st.get()
+      else AsofState(Nil, Nil, Nil, Nil, Nil)
+
+    /** Emit every probe the watermark has matured, prune dead
+      * references, persist the rest, and keep a timer armed for the
+      * oldest still-pending probe. */
+    private def flush(userId: Long, s0: AsofState, wmMs: Long)
+        : Iterator[AsofOut] = {
+      val probes = s0.rightUs.lazyZip(s0.rightIds).lazyZip(s0.rightVals).toSeq
+      val (matured, pending) = probes.partition(_._1 / 1000 < wmMs)
+      val lefts = s0.leftUs.zip(s0.leftIds)
+      val out = matured.sortBy(p => (p._1, p._2)).map { case (pUs, pId, _) =>
+        val cands = lefts.filter(l =>
+          l._1 <= pUs && l._1 >= pUs - horizonMs * 1000)
+        if (cands.isEmpty) AsofOut(userId, pUs, pId, -1L, -1L, -1L)
+        else {
+          val (lUs, lId) = cands.max
+          AsofOut(userId, pUs, pId, lUs, lId, pUs - lUs)
+        }
+      }
+      // references older than wm − horizon can't be the latest-≤ for
+      // any probe still to mature (those all have ts ≥ wm)
+      val keep = lefts.filter(_._1 / 1000 >= wmMs - horizonMs)
+      if (pending.isEmpty && keep.isEmpty) st.clear()
+      else {
+        st.update(AsofState(keep.map(_._1), keep.map(_._2),
+          pending.map(_._1), pending.map(_._2), pending.map(_._3)))
+        if (pending.nonEmpty)
+          getHandle.registerTimer(pending.map(_._1 / 1000).min + 1)
+      }
+      out.iterator
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[AsofIn],
+                                 tv: TimerValues): Iterator[AsofOut] = {
+      val wmMs = tv.getCurrentWatermarkInMs()
+      val s0 = stateOr()
+      var lU = s0.leftUs; var lI = s0.leftIds
+      var rU = s0.rightUs; var rI = s0.rightIds; var rV = s0.rightVals
+      rows.filter(_.ts.getTime >= wmMs).foreach { e =>
+        val us = e.ts.getTime * 1000
+        if (e.side == 0) { lU :+= us; lI :+= e.eventId }
+        else { rU :+= us; rI :+= e.eventId; rV :+= e.value }
+      }
+      flush(userId, AsofState(lU, lI, rU, rI, rV), wmMs)
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[AsofOut] =
+      if (st.exists()) flush(userId, st.get(), tv.getCurrentWatermarkInMs())
+      else Iterator.empty
+  }
 
   /** Ingest-time dedup against an EXISTING corpus — the streaming twin
     * of batch q_incremental_dedup's probe: drop events whose content

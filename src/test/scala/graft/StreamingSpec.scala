@@ -198,6 +198,84 @@ class StreamingSpec extends AnyFunSuite {
   }
 
 
+  test("stream-stream as-of join picks the LATEST in-horizon reference per probe") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val refs = MemoryStream[Ev](spark)
+    val probes = MemoryStream[Ev](spark)
+    val q = StreamingOps.asofEnrich(refs.toDS(), probes.toDS(),
+        horizonMinutes = 60, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("asof")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: refs at 10 and 35; probes at 40 (→ ref 35, NOT 10),
+      // 20 (→ ref 10), and 200 (horizon-expired → no match);
+      // user 2: probe with no ref at all. Probe 20 ARRIVES AFTER
+      // probe 40 (out of order); ref 35 arrives after probe 40 too.
+      probes.addData(ev(100, 40))
+      refs.addData(ev(1, 10, typ = "ref"))
+      probes.addData(ev(101, 20), ev(102, 200), ev(103, 45, user = 2))
+      refs.addData(ev(2, 35, typ = "ref"))
+      q.processAllAvailable()
+      // mature everything: advance both watermarks far past 200 + 10
+      refs.addData(ev(8, 1000, user = 99, typ = "ref"))
+      probes.addData(ev(9, 1000, user = 99))
+      q.processAllAvailable()
+      refs.addData(ev(10, 1010, user = 99, typ = "ref"))
+      probes.addData(ev(11, 1010, user = 99))
+      q.processAllAvailable()
+      val got = spark.table("asof")
+        .select($"userId", $"probeEvent", $"refEvent", $"lagUs")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got.contains((1L, 100L, 2L, 5L * 60000000L)), got.toString)
+      assert(got.contains((1L, 101L, 1L, 10L * 60000000L)), got.toString)
+      assert(got.contains((1L, 102L, -1L, -1L)), got.toString) // horizon passed
+      assert(got.contains((2L, 103L, -1L, -1L)), got.toString) // no ref ever
+      // exactly one emission per probe (append-mode determinism)
+      val perProbe = spark.table("asof").groupBy($"probeEvent").count()
+        .as[(Long, Long)].collect().toMap
+      assert(perProbe.values.forall(_ === 1L), perProbe.toString)
+
+      // batch parity on the same event set: max-(ts,id) ref per probe
+      val refB = Seq((1L, 10L), (2L, 35L), (8L, 1000L), (10L, 1010L))
+        .toDF("refEvent", "rmin")
+      val prbB = Seq((100L, 40L, 1L), (101L, 20L, 1L), (102L, 200L, 1L),
+        (103L, 45L, 2L), (9L, 1000L, 99L), (11L, 1010L, 99L))
+        .toDF("probeEvent", "pmin", "puser")
+      val refU = Seq((1L, 10L, 1L), (2L, 35L, 1L), (8L, 1000L, 99L),
+        (10L, 1010L, 99L)).toDF("refEvent", "rmin", "ruser")
+      val expect = prbB.join(refU,
+          $"ruser" === $"puser" && $"rmin" <= $"pmin" &&
+            $"rmin" >= $"pmin" - 60, "left")
+        .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"probeEvent")
+            .orderBy($"rmin".desc_nulls_last, $"refEvent".desc_nulls_last)))
+        .filter($"rk" === 1)
+        .select($"puser", $"probeEvent",
+          org.apache.spark.sql.functions.coalesce($"refEvent",
+            org.apache.spark.sql.functions.lit(-1L)).as("refEvent"))
+        // the user-99 sentinels only exist to advance the watermark;
+        // the stream never matures them (nothing passes their ts)
+        .filter($"puser" =!= 99L)
+        .as[(Long, Long, Long)].collect().toSet
+      val gotPar = spark.table("asof")
+        .select($"userId", $"probeEvent", $"refEvent")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(gotPar === expect, s"stream $gotPar vs batch $expect")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("outer interval join emits unmatched purchases once the watermark passes") {
     import spark.implicits._
     val signups = MemoryStream[Ev](spark)
