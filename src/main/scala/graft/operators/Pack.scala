@@ -156,6 +156,47 @@ object Pack {
     s"(${spread(x)} | (${spread(y)} << 1))"
   }
 
+  /** Span start period / span length for [[qSpanMask]]. */
+  private val SpanEvery = 16L
+  private val SpanLen = 3
+
+  /** SPAN-CORRUPTION MASK LAYOUT (T5/UL2 denoising objective): decide
+    * every mask span DETERMINISTICALLY from md5(doc_id:position) — the
+    * same hash-not-rand discipline as the shard/split family, so the
+    * corruption pattern is reproducible across reruns, retries and
+    * repartitions (and the oracle can recompute it exactly). A span of
+    * [[SpanLen]] tokens starts wherever the position hash ≡ 0 mod
+    * [[SpanEvery]]; overlapping spans merge (a token is masked iff ANY
+    * span covers it — the exists() fold). Per-source census reports
+    * token/masked/span mass, the exact masked share as an integer
+    * ratio, and a bit_xor(doc_id ⊕ masked·1000003) placement checksum
+    * proving every document's masked-token count. Scale shape: one
+    * narrow map (all per-doc array work inside codegen'd higher-order
+    * functions, no explode) + one source-sized agg. */
+  def qSpanMask(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashMod = s"CAST(conv(substring(md5(concat(cast(doc_id AS string)," +
+      s" ':', cast(j AS string))), 1, 15), 16, 10) AS BIGINT) % $SpanEvery"
+    Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        expr("size(split(text, ' '))").cast("long").as("n"))
+      .withColumn("starts",
+        expr(s"filter(sequence(1L, n), j -> $hashMod = 0)"))
+      .select($"doc_id", $"source", $"n",
+        size($"starts").cast("long").as("n_spans"),
+        expr(s"size(filter(sequence(1L, n), i -> " +
+          s"exists(starts, j -> j <= i AND i < j + $SpanLen)))")
+          .cast("long").as("masked"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n").as("n_tokens"),
+        sum($"masked").as("n_masked"),
+        sum($"n_spans").as("n_spans"),
+        expr("sum(masked) * 1000000000 DIV sum(n)").as("mask_e9"),
+        expr("bit_xor(doc_id ^ (masked * 1000003))").as("mask_checksum"))
+      .orderBy($"source".asc)
+  }
+
   /** 3-dimensional Morton interleave: each 21-bit value spread to
     * every third bit (the classic 5-round mask ladder), then
     * x | y<<1 | z<<2 — 63 bits, sign-safe in BIGINT in both engines. */
@@ -290,6 +331,7 @@ object Pack {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_mask" -> (qSpanMask _),
     "q_zorder3" -> (qZorder3 _),
     "q_seq_pack" -> (qSeqPack _),
     "q_shard_assign" -> (qShardAssign _),
@@ -302,6 +344,29 @@ object Pack {
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "q_span_mask" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents),
+         |st AS (SELECT doc_id, source, n,
+         |  list_filter(range(1, n + 1), j ->
+         |    CAST(('0x' || substr(md5(doc_id || ':' || j), 1, 15))
+         |      AS BIGINT) % $SpanEvery = 0) AS starts
+         |  FROM t),
+         |m AS (SELECT doc_id, source, n,
+         |  CAST(len(starts) AS BIGINT) AS n_spans,
+         |  CAST(len(list_filter(range(1, n + 1), i ->
+         |    len(list_filter(starts, j -> j <= i AND i < j + $SpanLen)) > 0))
+         |    AS BIGINT) AS masked
+         |  FROM st)
+         |SELECT source, COUNT(*) AS n_docs,
+         |CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |CAST(SUM(masked) AS BIGINT) AS n_masked,
+         |CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+         |CAST(SUM(masked) AS BIGINT) * 1000000000
+         |  // CAST(SUM(n) AS BIGINT) AS mask_e9,
+         |bit_xor(xor(doc_id, masked * 1000003)) AS mask_checksum
+         |FROM m GROUP BY source ORDER BY source ASC""".stripMargin,
     "q_seq_pack" ->
       s"""WITH h AS (SELECT doc_id, $sqlH AS h,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
