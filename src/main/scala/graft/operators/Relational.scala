@@ -763,6 +763,47 @@ object Relational {
       .orderBy($"n_name".asc)
   }
 
+  /** Bootstrap replica count and the cumulative Poisson(1) weight
+    * table at 1/1000 resolution (e⁻¹·Σ1/k! rounded to integers —
+    * fixed mirrored CONSTANTS, never computed in-engine): a hash
+    * bucket h∈[0,1000) maps to weight w = #thresholds ≤ h. */
+  private val BootReplicas = 32
+  private val PoissonCum1000 = Seq(368L, 736L, 920L, 981L, 996L, 999L)
+
+  /** POISSON-BOOTSTRAP CONFIDENCE SPREAD — resampling statistics made
+    * fully deterministic and engine-exact: each of [[BootReplicas]]
+    * replicas draws every order with weight w ~ Poisson(1) (the
+    * standard streaming/distributed bootstrap, where resampling n of n
+    * rows is approximated row-independently so NO global coordination
+    * is needed), but w comes from md5(orderkey:replica) against the
+    * fixed cumulative table — reproducible on any cluster, any
+    * partitioning, any retry, and recomputable by the oracle. Replica
+    * sums ride as exact integer cents; only the final replica-mean is
+    * an IEEE division downstream. Scale shape: the replica explode is
+    * map-side (32× rows into a map-combinable partial agg → 32·groups
+    * rows after combine, NOT 32× shuffle volume); one narrow scan at
+    * any SF. */
+  def qBootstrap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val thresholds = PoissonCum1000.map(t => s"CASE WHEN h >= $t THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .withColumn("replica",
+        explode(expr(s"sequence(0L, ${BootReplicas - 1}L)")))
+      .withColumn("h", graft.functions.TextFunctions.md5Prefix60(
+        concat($"o_orderkey".cast("string"), lit(":"), $"replica".cast("string")))
+        % 1000L)
+      .withColumn("w", expr(s"CAST($thresholds AS BIGINT)"))
+      .groupBy($"o_orderpriority", $"replica")
+      .agg(sum($"w").as("n_eff"),
+        sum($"w" * $"cents").as("sum_cents"))
+      .withColumn("mean_cents_e3",
+        expr("sum_cents * 1000 DIV n_eff"))
+      .orderBy($"o_orderpriority".asc, $"replica".asc)
+  }
+
   private val BenfordE9 = Seq(301029996L, 176091259L, 124938737L,
     96910013L, 79181246L, 66946790L, 57991947L, 51152522L, 45757491L)
 
@@ -1625,6 +1666,7 @@ object Relational {
     "q_spearman" -> (qSpearman _),
     "q_gini" -> (qGini _),
     "q_benford" -> (qBenford _),
+    "q_bootstrap" -> (qBootstrap _),
     "q_mv_refresh" -> (qMvRefresh _),
     "q_dq_checks" -> (qDqChecks _),
     "q_semi_join" -> (qSemiJoin _),
@@ -2020,6 +2062,25 @@ object Relational {
         |ROUND((n * sxy - sx * sy) /
         |  sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS rho
         |FROM m""".stripMargin,
+    "q_bootstrap" -> {
+      val wSql = PoissonCum1000
+        .map(t => s"(CASE WHEN h >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH o AS (SELECT o_orderkey, o_orderpriority,
+         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         |r AS (SELECT o_orderkey, o_orderpriority, cents,
+         |  unnest(range(0, $BootReplicas)) AS replica FROM o),
+         |hh AS (SELECT o_orderpriority, replica, cents,
+         |  CAST(('0x' || substr(md5(o_orderkey || ':' || replica), 1, 15))
+         |    AS BIGINT) % 1000 AS h FROM r),
+         |w AS (SELECT o_orderpriority, replica, cents,
+         |  CAST($wSql AS BIGINT) AS w FROM hh)
+         |SELECT o_orderpriority, replica,
+         |CAST(SUM(w) AS BIGINT) AS n_eff,
+         |CAST(SUM(w * cents) AS BIGINT) AS sum_cents,
+         |CAST(SUM(w * cents) AS BIGINT) * 1000 // CAST(SUM(w) AS BIGINT)
+         |  AS mean_cents_e3
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "q_gini" ->
       """WITH spend AS (SELECT o_custkey,
         |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
