@@ -104,13 +104,70 @@ object Multimodal {
         sum($"h").as("sum_height"), sum($"luma").as("sum_luma"))
   }
 
+  private val AudMod = 5
+
+  /** REAL AUDIO DECODE in the distributed path — the WAV twin of
+    * [[qImageDecode]]: every selected doc synthesizes a deterministic
+    * 8-bit mono PCM clip, encodes it to RIFF bytes and RIFF-walks it
+    * back ([[AssetPipeline.encodeWav]]/[[AssetPipeline.decodeWav]] —
+    * the real parser, per partition, per row), then reports integer
+    * DC and energy (Σs, Σs²) per source. The oracle computes the
+    * closed form of the SAME samples directly, so the hash match
+    * proves the lossless container round-trip for every clip on every
+    * partition. One narrow mapPartitions + one source-sized agg. */
+  def qAudioEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val decoded = Tables.documents(s, d)
+      .filter($"doc_id" % AudMod === 1)
+      .select($"doc_id", $"source").as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        val n = 128 + (id % 4).toInt * 64
+        val rate = 8000 * ((id % 3).toInt + 1)
+        val samples = Array.tabulate(n)(i => ((id * 31 + i * 7) % 251).toByte)
+        val (dRate, ch, dSamples) =
+          AssetPipeline.decodeWav(AssetPipeline.encodeWav(rate, samples)).get
+        require(ch == 1 && dRate == rate && dSamples.length == n)
+        var dc = 0L; var energy = 0L
+        dSamples.foreach { b =>
+          val v = (b & 0xff).toLong; dc += v; energy += v * v
+        }
+        (id, src, dRate.toLong, n.toLong, dc, energy)
+      }).toDF("doc_id", "source", "rate", "n_samples", "dc", "energy")
+    decoded.groupBy($"source")
+      .agg(count(lit(1)).as("n_clips"),
+        sum($"rate").as("sum_rate"),
+        sum($"n_samples").as("sum_samples"),
+        sum($"dc").as("sum_dc"),
+        sum($"energy").as("sum_energy"),
+        expr("bit_xor(doc_id ^ energy)").as("energy_checksum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_asset_dedup" -> (qAssetDedup _),
-    "q_image_decode" -> (qImageDecode _)
+    "q_image_decode" -> (qImageDecode _),
+    "q_audio_energy" -> (qAudioEnergy _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_audio_energy" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  128 + (doc_id % 4) * 64 AS n,
+         |  8000 * ((doc_id % 3) + 1) AS rate
+         |  FROM documents WHERE doc_id % $AudMod = 1),
+         |l AS (SELECT doc_id, source, rate, n, dc, energy
+         |  FROM d CROSS JOIN LATERAL
+         |  (SELECT CAST(SUM((doc_id * 31 + i * 7) % 251) AS BIGINT) AS dc,
+         |     CAST(SUM(((doc_id * 31 + i * 7) % 251)
+         |       * ((doc_id * 31 + i * 7) % 251)) AS BIGINT) AS energy
+         |   FROM (SELECT unnest(generate_series(0, n - 1)) AS i)) t)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clips,
+         |CAST(SUM(rate) AS BIGINT) AS sum_rate,
+         |CAST(SUM(n) AS BIGINT) AS sum_samples,
+         |CAST(SUM(dc) AS BIGINT) AS sum_dc,
+         |CAST(SUM(energy) AS BIGINT) AS sum_energy,
+         |bit_xor(xor(doc_id, energy)) AS energy_checksum
+         |FROM l GROUP BY 1""".stripMargin,
     "q_image_decode" ->
       s"""WITH d AS (SELECT doc_id, source,
          |  16 + (doc_id % 8) * 8 AS w, 16 + (doc_id % 5) * 8 AS h
