@@ -142,14 +142,65 @@ object Multimodal {
         expr("bit_xor(doc_id ^ energy)").as("energy_checksum"))
   }
 
+  private val VidMod = 16
+
+  /** REAL VIDEO-CONTAINER DECODE in the distributed path — the
+    * multi-frame twin of [[qImageDecode]]/[[qAudioEnergy]]: each
+    * selected doc synthesizes a deterministic 2–4-frame grayscale
+    * animation, encodes it as an animated GIF (ImageIO sequence
+    * writer) and decodes EVERY frame back (sequence reader), then
+    * reports per-source frame and luma mass. The closed-form oracle
+    * recomputes the same pixels, so the hash match proves the
+    * lossless multi-frame round-trip per clip per partition. */
+  def qVideoFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val decoded = Tables.documents(s, d)
+      .filter($"doc_id" % VidMod === 2)
+      .select($"doc_id", $"source").as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        val (w, h) = (8, 8)
+        val nf = 2 + (id % 3).toInt
+        val frames = (0 until nf).map(f =>
+          Array.tabulate(w * h)(i => ((id * 17 + f * 31 + i * 7) % 256).toByte))
+        val gif = AssetPipeline.encodeGif(w, h, frames)
+        val back = AssetPipeline.decodeGifFrames(gif).get
+        require(back.length == nf)
+        var luma = 0L
+        back.foreach { case (bw, bh, px) =>
+          require(bw == w && bh == h)
+          px.foreach(b => luma += (b & 0xff))
+        }
+        (id, src, nf.toLong, luma)
+      }).toDF("doc_id", "source", "n_frames", "luma")
+    decoded.groupBy($"source")
+      .agg(count(lit(1)).as("n_videos"),
+        sum($"n_frames").as("sum_frames"),
+        sum($"luma").as("sum_luma"),
+        expr("bit_xor(doc_id ^ luma)").as("luma_checksum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_asset_dedup" -> (qAssetDedup _),
     "q_image_decode" -> (qImageDecode _),
-    "q_audio_energy" -> (qAudioEnergy _)
+    "q_audio_energy" -> (qAudioEnergy _),
+    "q_video_frames" -> (qVideoFrames _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_video_frames" ->
+      s"""WITH d AS (SELECT doc_id, source, 2 + (doc_id % 3) AS nf
+         |  FROM documents WHERE doc_id % $VidMod = 2),
+         |l AS (SELECT doc_id, source, nf, luma FROM d CROSS JOIN LATERAL
+         |  (SELECT CAST(SUM((doc_id * 17 + f * 31 + i * 7) % 256) AS BIGINT)
+         |     AS luma
+         |   FROM (SELECT unnest(generate_series(0, nf - 1)) AS f),
+         |        (SELECT unnest(generate_series(0, 63)) AS i)) t)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_videos,
+         |CAST(SUM(nf) AS BIGINT) AS sum_frames,
+         |CAST(SUM(luma) AS BIGINT) AS sum_luma,
+         |bit_xor(xor(doc_id, luma)) AS luma_checksum
+         |FROM l GROUP BY 1""".stripMargin,
     "q_audio_energy" ->
       s"""WITH d AS (SELECT doc_id, source,
          |  128 + (doc_id % 4) * 64 AS n,
