@@ -763,6 +763,37 @@ object Relational {
       .orderBy($"n_name".asc)
   }
 
+  /** NONPARAMETRIC MEDIAN CONFIDENCE INTERVAL via order statistics —
+    * the distribution-free CI (binomial argument: the j-th and
+    * (n−j+1)-th order statistics bracket the true median with ≥95%
+    * coverage for j = ⌊(n − z√n)/2⌋, z = 1.959964): exact at any
+    * scale because the order statistics come from the value-histogram
+    * cum ≥ rank compare (the medianBy idiom — never a per-group
+    * sort of rows), and the rank indices are the SAME IEEE expression
+    * in both engines (sqrt/mult/floor are correctly-rounded, so the
+    * floor'd integer agrees bit-for-bit). One row-grain agg + one
+    * spine window. */
+  def qMedianCi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h = Tables.lineitem(s, d).select($"l_returnflag",
+      ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy($"l_returnflag", $"cents").agg(count(lit(1)).as("t"))
+    val cumW = Window.partitionBy($"l_returnflag").orderBy($"cents".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy($"l_returnflag")
+    h.withColumn("cum", sum($"t").over(cumW))
+      .withColumn("n", sum($"t").over(totW))
+      .withColumn("lo_rank", greatest(lit(1L),
+        floor(($"n" - lit(1.959964) * sqrt($"n".cast("double"))) / 2)
+          .cast("long")))
+      .withColumn("hi_rank", $"n" - $"lo_rank" + 1)
+      .groupBy($"l_returnflag")
+      .agg(min($"n").as("n"),
+        min(when($"cum" >= $"lo_rank", $"cents")).as("ci_lo_cents"),
+        min(when($"cum" >= $"hi_rank", $"cents")).as("ci_hi_cents"))
+      .orderBy($"l_returnflag".asc)
+  }
+
   /** Bootstrap replica count and the cumulative Poisson(1) weight
     * table at 1/1000 resolution (e⁻¹·Σ1/k! rounded to integers —
     * fixed mirrored CONSTANTS, never computed in-engine): a hash
@@ -1667,6 +1698,7 @@ object Relational {
     "q_gini" -> (qGini _),
     "q_benford" -> (qBenford _),
     "q_bootstrap" -> (qBootstrap _),
+    "q_median_ci" -> (qMedianCi _),
     "q_mv_refresh" -> (qMvRefresh _),
     "q_dq_checks" -> (qDqChecks _),
     "q_semi_join" -> (qSemiJoin _),
@@ -2062,6 +2094,27 @@ object Relational {
         |ROUND((n * sxy - sx * sy) /
         |  sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS rho
         |FROM m""".stripMargin,
+    "q_median_ci" ->
+      """WITH h AS (SELECT l_returnflag,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+        |    AS BIGINT) AS cents,
+        |  CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, cents, t,
+        |  CAST(SUM(t) OVER (PARTITION BY l_returnflag ORDER BY cents ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum,
+        |  CAST(SUM(t) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM h),
+        |r AS (SELECT *, GREATEST(1,
+        |    CAST(floor((n - 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2)
+        |      AS BIGINT)) AS lo_rank
+        |  FROM c)
+        |SELECT l_returnflag, MIN(n) AS n,
+        |MIN(CASE WHEN cum >= lo_rank THEN cents END) AS ci_lo_cents,
+        |MIN(CASE WHEN cum >= n - lo_rank + 1 THEN cents END)
+        |  AS ci_hi_cents
+        |FROM r GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "q_bootstrap" -> {
       val wSql = PoissonCum1000
         .map(t => s"(CASE WHEN h >= $t THEN 1 ELSE 0 END)").mkString(" + ")
