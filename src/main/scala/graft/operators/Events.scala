@@ -1108,6 +1108,45 @@ object Events {
 
   private val AnomTopK = 20 // most-anomalous days reported
 
+  /** THEIL–SEN ROBUST TREND per event type — the outlier-immune slope
+    * the per-segment OLS trend can't give (one traffic spike drags a
+    * least-squares line; the median of pairwise slopes ignores it,
+    * 29% breakdown point). Engine-exact: slopes are integer
+    * dy·10⁹ div dx with the SIGN APPLIED OUTSIDE the division (both
+    * engines truncate non-negative quotients identically; a negative
+    * numerator would expose trunc-vs-floor divergence), and the median
+    * over the slope histogram uses the cum ≥ rank compare. Scale
+    * shape: pairs are generated on the DAY SPINE (≈ spine² per type,
+    * bounded by the calendar, not event volume); the only row-grain
+    * work is the daily rollup. */
+  def qTheilSen(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, d)
+      .groupBy($"event_type", expr("ts_us div 86400000000").as("epoch_day"))
+      .agg(count(lit(1)).as("y"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        $"a.event_type" === $"b.event_type" &&
+          $"a.epoch_day" < $"b.epoch_day")
+      .select($"a.event_type".as("event_type"),
+        expr("""CASE WHEN b.y >= a.y
+                |THEN (b.y - a.y) * 1000000000 DIV (b.epoch_day - a.epoch_day)
+                |ELSE -((a.y - b.y) * 1000000000 DIV (b.epoch_day - a.epoch_day))
+                |END""".stripMargin).as("slope_e9"))
+    val h = pairs.groupBy($"event_type", $"slope_e9")
+      .agg(count(lit(1)).as("t"))
+    val cumW = Window.partitionBy($"event_type").orderBy($"slope_e9".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy($"event_type")
+    h.withColumn("cum", sum($"t").over(cumW))
+      .withColumn("tot", sum($"t").over(totW))
+      .groupBy($"event_type")
+      .agg(min($"tot").as("n_pairs"),
+        ((min(when($"cum" >= expr("(tot + 1) div 2"), $"slope_e9")) +
+          min(when($"cum" >= expr("tot div 2 + 1"), $"slope_e9"))) / 2.0)
+          .as("slope_e9_med"))
+      .orderBy($"event_type".asc)
+  }
+
   /** SEASONALITY-ADJUSTED ANOMALY DETECTION — [[qSeasonality]]'s
     * factors put to work: a day is anomalous when its count deviates
     * >30% from its weekday-seasonal expectation (centered-MA level ×
@@ -1186,6 +1225,7 @@ object Events {
     "q_funnel_steps" -> (qFunnelSteps _),
     "q_chisq" -> (qChisq _),
     "q_seasonality" -> (qSeasonality _),
+    "q_theilsen" -> (qTheilSen _),
     "q_abtest" -> (qAbtest _),
     "q_sax" -> (qSax _),
     "q_autocorr" -> (qAutocorr _),
@@ -1356,6 +1396,30 @@ object Events {
         |SELECT event_type, dow, o, exp_e9, contrib_e9,
         |  CAST(SUM(contrib_e9) OVER () AS BIGINT) AS chi2_e9
         |FROM x""".stripMargin,
+    "q_theilsen" ->
+      """WITH daily AS (SELECT event_type,
+        |  epoch_us(ts) // 86400000000 AS epoch_day,
+        |  CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |  CASE WHEN b.y >= a.y
+        |  THEN (b.y - a.y) * 1000000000 // (b.epoch_day - a.epoch_day)
+        |  ELSE -((a.y - b.y) * 1000000000 // (b.epoch_day - a.epoch_day))
+        |  END AS slope_e9
+        |  FROM daily a JOIN daily b
+        |  ON a.event_type = b.event_type AND a.epoch_day < b.epoch_day),
+        |h AS (SELECT event_type, slope_e9, CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM p GROUP BY 1, 2),
+        |c AS (SELECT event_type, slope_e9, t,
+        |  CAST(SUM(t) OVER (PARTITION BY event_type ORDER BY slope_e9 ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum,
+        |  CAST(SUM(t) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM h)
+        |SELECT event_type, MIN(tot) AS n_pairs,
+        |(MIN(CASE WHEN cum >= (tot + 1) // 2 THEN slope_e9 END) +
+        | MIN(CASE WHEN cum >= tot // 2 + 1 THEN slope_e9 END)) / 2.0
+        |  AS slope_e9_med
+        |FROM c GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "q_seasonality" ->
       """WITH daily AS (SELECT event_type,
         |  epoch_us(ts) // 86400000000 AS epoch_day,
