@@ -919,7 +919,39 @@ object TextAnalysis {
       .orderBy($"source".asc)
   }
 
+  /** Suppression threshold for [[qKanon]]. */
+  private val KanonK = 5L
+
+  /** K-ANONYMITY SUPPRESSION CENSUS — the release-gate a governed
+    * data pipeline runs before publishing grouped statistics: cells
+    * of the quasi-identifier grid (lang × source × length bucket)
+    * with fewer than [[KanonK]] documents are suppressed (count
+    * withheld, flagged), because small cells re-identify. Output is
+    * cell-grain (bounded by the attribute-domain product, not corpus
+    * size) with the published count NULL on suppressed cells plus a
+    * per-lang suppression rollup via a domain-bounded window. One
+    * shuffle agg at any SF. */
+  def qKanon(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.documents(s, d)
+      .groupBy($"lang", $"source",
+        expr("n_chars div 100").as("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+    val langW = Window.partitionBy($"lang")
+    cells
+      .withColumn("suppressed", ($"n" < KanonK).cast("int"))
+      .withColumn("n_published", when($"n" >= KanonK, $"n"))
+      .withColumn("lang_cells", count(lit(1)).over(langW))
+      .withColumn("lang_suppressed",
+        sum($"suppressed".cast("long")).over(langW))
+      .select($"lang", $"source", $"len_bucket", $"n_published",
+        $"suppressed".cast("long").as("suppressed"),
+        $"lang_cells", $"lang_suppressed")
+      .orderBy($"lang".asc, $"source".asc, $"len_bucket".asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kanon" -> (qKanon _),
     "q_bpe_merge" -> (qBpeMerge _),
     "q_bpe_apply" -> (qBpeApply _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -1030,6 +1062,18 @@ object TextAnalysis {
        |FROM dsub GROUP BY source ORDER BY source ASC""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_kanon" ->
+      s"""WITH cells AS (SELECT lang, source, n_chars // 100 AS len_bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1, 2, 3)
+         |SELECT lang, source, len_bucket,
+         |CASE WHEN n >= $KanonK THEN n END AS n_published,
+         |CAST(CASE WHEN n < $KanonK THEN 1 ELSE 0 END AS BIGINT)
+         |  AS suppressed,
+         |CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS lang_cells,
+         |CAST(SUM(CASE WHEN n < $KanonK THEN 1 ELSE 0 END)
+         |  OVER (PARTITION BY lang) AS BIGINT) AS lang_suppressed
+         |FROM cells ORDER BY lang ASC, source ASC, len_bucket ASC""".stripMargin,
     "q_bpe_merge" -> bpeMergeSql,
     "q_bpe_apply" -> bpeApplySql,
     "q_heavy_hitters" ->
