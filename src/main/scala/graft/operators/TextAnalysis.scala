@@ -950,7 +950,85 @@ object TextAnalysis {
       .orderBy($"lang".asc, $"source".asc, $"len_bucket".asc)
   }
 
+  /** WordPiece vocab size (multi-char pieces) and max greedy steps
+    * (= max word length; asserted at runtime, mirrored in the
+    * oracle's unroll depth). */
+  private val WpTopPieces = 200
+  private[graft] val WpMaxSteps = 8
+
+  /** WORDPIECE GREEDY SEGMENTATION (BERT-tokenizer shape) — the
+    * longest-match-first counterpart of [[qBpeMerge]]'s merge
+    * training: the piece vocabulary is the [[WpTopPieces]]
+    * highest-frequency 2–4-char substrings (occurrence-weighted by
+    * word count, tie piece asc — deterministic) plus every single
+    * character, and each DISTINCT WORD is segmented by repeatedly
+    * taking the longest vocab piece at the cursor (4→3→2→1; singles
+    * always match, so the cursor always advances and
+    * [[WpMaxSteps]] = max word length bounds the fold — asserted).
+    * Per-length report with corpus-weighted fertility (pieces per
+    * letter, exact integer ratio) and a bit_xor-of-md5 checksum over
+    * every word's piece count — the oracle (same vocab CTE + 8
+    * unrolled greedy rounds) proves every segmentation. Scale shape:
+    * one corpus agg to the word grain; vocabulary selection is a
+    * bounded top-k; the segmentation fold runs at vocabulary grain
+    * with the piece set as a ~226-entry broadcast literal (a MODEL
+    * collect, the IVF-centroid discipline). */
+  def qWordpiece(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("n"))
+      .transform(graft.functions.Cp.local)
+    val occ = words.select($"n", explode(expr(
+      """flatten(transform(array(2, 3, 4), l ->
+        |  filter(transform(sequence(1, length(word)), i ->
+        |    CASE WHEN i + l - 1 <= length(word)
+        |    THEN substring(word, i, l) END), x -> x IS NOT NULL)))"""
+        .stripMargin)).as("piece"))
+      .groupBy($"piece").agg(sum($"n").as("f"))
+      .orderBy($"f".desc, $"piece".asc).limit(WpTopPieces)
+    // bounded MODEL collect: ≤ WpTopPieces pieces (chars need no list —
+    // the fold's l=1 fallback is unconditional)
+    val pieces = occ.select($"piece").as[String].collect().toSet
+    def arr(l: Int) = typedLit(pieces.filter(_.length == l).toSeq.sorted)
+    val (p4, p3, p2) = (arr(4), arr(3), arr(2))
+    val seg = words
+      .withColumn("len", length($"word").cast("int"))
+      .withColumn("st", aggregate(
+        sequence(lit(1), lit(WpMaxSteps)),
+        struct(lit(1).as("pos"), lit(0L).as("np")),
+        (acc, _) => {
+          val pos = acc.getField("pos")
+          val l = when(pos + 3 <= $"len" &&
+              array_contains(p4, $"word".substr(pos, lit(4))), 4)
+            .when(pos + 2 <= $"len" &&
+              array_contains(p3, $"word".substr(pos, lit(3))), 3)
+            .when(pos + 1 <= $"len" &&
+              array_contains(p2, $"word".substr(pos, lit(2))), 2)
+            .otherwise(1)
+          val active = pos <= $"len"
+          struct(
+            (pos + when(active, l).otherwise(0)).as("pos"),
+            (acc.getField("np") + when(active, 1L).otherwise(0L)).as("np"))
+        }))
+      .select($"word", $"n", $"len", $"st.np".as("np"), $"st.pos".as("pos"))
+    seg.groupBy(length($"word").cast("long").as("wlen"))
+      .agg(count(lit(1)).as("n_distinct_words"),
+        sum($"n").as("corpus_words"),
+        sum($"n" * $"np").as("sum_pieces"),
+        // honesty gauge: words the 8-step fold did not fully consume
+        // (impossible while max word length ≤ WpMaxSteps; mirrored in
+        // the oracle's unroll depth so even a violation stays exact)
+        sum(when($"pos" <= $"len", 1L).otherwise(0L)).as("n_unfinished"),
+        expr("sum(n * np) * 1000000000 DIV sum(n * len)").as("fertility_e9"),
+        bit_xor(md5Prefix60(concat($"word", lit(">"), $"np".cast("string"))))
+          .as("seg_checksum"))
+      .orderBy($"wlen".asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_wordpiece" -> (qWordpiece _),
     "q_kanon" -> (qKanon _),
     "q_bpe_merge" -> (qBpeMerge _),
     "q_bpe_apply" -> (qBpeApply _),
@@ -1061,7 +1139,55 @@ object TextAnalysis {
        |bit_xor(xor(doc_id, n_sub * 1000003)) AS seg_checksum
        |FROM dsub GROUP BY source ORDER BY source ASC""".stripMargin
 
+  /** [[qWordpiece]] oracle: same vocab ranking, greedy rounds unrolled
+    * to [[WpMaxSteps]] MATERIALIZED CTEs. */
+  private lazy val wordpieceSql: String = {
+    val rounds = (1 to WpMaxSteps).map { r =>
+      s"""g$r AS MATERIALIZED (SELECT word, n, len,
+         |  CASE WHEN pos > len THEN pos ELSE pos +
+         |    CASE WHEN pos + 3 <= len
+         |           AND word[pos:pos+3] IN (SELECT piece FROM v4) THEN 4
+         |         WHEN pos + 2 <= len
+         |           AND word[pos:pos+2] IN (SELECT piece FROM v3) THEN 3
+         |         WHEN pos + 1 <= len
+         |           AND word[pos:pos+1] IN (SELECT piece FROM v2) THEN 2
+         |         ELSE 1 END END AS pos,
+         |  np + CASE WHEN pos > len THEN 0 ELSE 1 END AS np
+         |  FROM g${r - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |    FROM documents) GROUP BY 1),
+       |occ AS (SELECT piece, CAST(SUM(n) AS BIGINT) AS f FROM (
+       |  SELECT n, unnest(list_filter(list_transform(
+       |    range(1, len(word) + 1), i ->
+       |      CASE WHEN i + l - 1 <= len(word) THEN word[i:i+l-1] END),
+       |    x -> x IS NOT NULL)) AS piece
+       |  FROM words, (SELECT unnest([2, 3, 4]) AS l) ls) GROUP BY 1),
+       |vp AS MATERIALIZED (SELECT piece FROM occ
+       |  ORDER BY f DESC, piece ASC LIMIT $WpTopPieces),
+       |v4 AS (SELECT piece FROM vp WHERE len(piece) = 4),
+       |v3 AS (SELECT piece FROM vp WHERE len(piece) = 3),
+       |v2 AS (SELECT piece FROM vp WHERE len(piece) = 2),
+       |g0 AS MATERIALIZED (SELECT word, n, len(word) AS len,
+       |  1 AS pos, CAST(0 AS BIGINT) AS np FROM words),
+       |$rounds
+       |SELECT CAST(len AS BIGINT) AS wlen,
+       |COUNT(*) AS n_distinct_words,
+       |CAST(SUM(n) AS BIGINT) AS corpus_words,
+       |CAST(SUM(n * np) AS BIGINT) AS sum_pieces,
+       |CAST(SUM(CASE WHEN pos <= len THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS n_unfinished,
+       |CAST(SUM(n * np) AS BIGINT) * 1000000000
+       |  // CAST(SUM(n * len) AS BIGINT) AS fertility_e9,
+       |bit_xor(CAST(('0x' || substr(md5(word || '>' || np), 1, 15))
+       |  AS BIGINT)) AS seg_checksum
+       |FROM g$WpMaxSteps GROUP BY 1 ORDER BY 1 ASC""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_wordpiece" -> wordpieceSql,
     "q_kanon" ->
       s"""WITH cells AS (SELECT lang, source, n_chars // 100 AS len_bucket,
          |  CAST(COUNT(*) AS BIGINT) AS n
