@@ -94,6 +94,54 @@ object Pack {
         bit_xor($"h".bitwiseXOR($"pos" * lit(1000003L))).as("perm_checksum"))
   }
 
+  /** NO-SPLIT BIN PACKING (first-fit-decreasing per shard) — the
+    * packing discipline for objectives that cannot cross document
+    * boundaries (SFT examples, contrastive pairs): unlike
+    * [[qSeqPack]]'s concat-then-chunk, a document never spans two
+    * context windows; the price is padding waste, bounded by FFD's
+    * classical 11/9·OPT + 1 guarantee. Sequential by nature, so it
+    * runs per shard inside one partition (`repartition(shard)` +
+    * `mapPartitions`): shards are uniform md5 residues, the per-shard
+    * doc list is the only buffered state, and shard count scales with
+    * the cluster — the exact parallelism contract of the rest of the
+    * layout family. Documents longer than the budget are returned
+    * with bin = -1 (caller must chunk those through [[qSeqPack]]).
+    * Deterministic: docs sort (nTok desc, h, docId) and bins probe
+    * first-fit in creation order. Property-tested in PackSpec (never
+    * over budget, beats or ties naive sequential fill, deterministic
+    * across runs). */
+  def packNoSplit(docs: DataFrame, budget: Long,
+                  shards: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tagged = docs
+      .select($"doc_id".cast("long"), $"h".cast("long"),
+        $"n_tok".cast("long"),
+        pmod($"h", lit(shards.toLong)).as("shard"))
+      .as[(Long, Long, Long, Long)]
+    tagged
+      .repartition(shards, $"shard")
+      .mapPartitions { it =>
+        val ds = it.toArray
+        // a partition may carry several shards (hash collisions at
+        // small shard counts): pack each shard independently
+        ds.groupBy(_._4).iterator.flatMap { case (shard, sdocs) =>
+          val sorted = sdocs.sortBy { case (id, h, n, _) => (-n, h, id) }
+          val binLoad = scala.collection.mutable.ArrayBuffer.empty[Long]
+          sorted.iterator.map { case (id, _, n, _) =>
+            if (n > budget) (id, shard, -1L, n)
+            else {
+              var b = 0
+              while (b < binLoad.length && binLoad(b) + n > budget) b += 1
+              if (b == binLoad.length) binLoad += 0L
+              binLoad(b) += n
+              (id, shard, b.toLong, n)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "shard", "bin", "n_tok")
+  }
+
   /** CORPUS STATS — the "dataset card" report: one pass over the
     * corpus producing the headline numbers a data release documents
     * (volume, vocabulary of sources/langs, token mass, exact-duplicate

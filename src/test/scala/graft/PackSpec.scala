@@ -155,6 +155,38 @@ class PackSpec extends AnyFunSuite {
     assert(avg(z.map(worst)) < avg(lin.map(worst)))
   }
 
+  test("no-split packer: under budget, complete, deterministic, beats naive fill") {
+    import graft.functions.TextFunctions.md5Prefix60
+    val budget = 256L
+    val docs = Tables.documents(spark, sf).select(
+      $"doc_id",
+      md5Prefix60($"doc_id".cast("string")).as("h"),
+      size(split($"text", " ")).cast("long").as("n_tok"))
+    val packed = Pack.packNoSplit(docs, budget, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val inDocs = docs.as[(Long, Long, Long)].collect()
+    // complete: every document placed exactly once
+    assert(packed.map(_._1).sorted.toSeq === inDocs.map(_._1).sorted.toSeq)
+    // never over budget; oversized docs flagged -1, never silently split
+    packed.groupBy(p => (p._2, p._3)).foreach { case ((_, bin), ds) =>
+      if (bin >= 0) assert(ds.map(_._4).sum <= budget, s"bin over budget: $ds")
+    }
+    packed.filter(_._3 == -1L).foreach(p => assert(p._4 > budget))
+    // FFD bin count per shard <= naive sequential-fill bin count
+    val byShard = packed.filter(_._3 >= 0).groupBy(_._2)
+    byShard.foreach { case (shard, ds) =>
+      val ffdBins = ds.map(_._3).distinct.length
+      val naive = ds.sortBy(_._1).foldLeft((0L, 1)) { case ((load, bins), d) =>
+        if (load + d._4 > budget) (d._4, bins + 1) else (load + d._4, bins)
+      }._2
+      assert(ffdBins <= naive, s"shard $shard: FFD $ffdBins > naive $naive")
+    }
+    // deterministic across runs
+    val again = Pack.packNoSplit(docs, budget, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packed.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("interpolated days are bounded by their neighbors") {
     val r = graft.operators.Events.qInterpolate(spark, sf)
     val interp = r.filter($"is_interp" === 1).count()
