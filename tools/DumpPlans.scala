@@ -27,7 +27,9 @@ object DumpPlans {
     "q_percentiles_exact", "q_abtest",
     "q_bpe_merge", "q_bpe_apply", "q_gini", "q_allocation",
     "q_assoc_rules", "q_zorder3", "q_spearman", "q_outlier_mad",
-    "q_prefix_join")
+    "q_prefix_join",
+    "q_wordpiece", "q_kanon", "q_theilsen", "q_bootstrap",
+    "q_median_ci", "q_audio_energy", "q_video_frames", "q_span_mask")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("plans")
