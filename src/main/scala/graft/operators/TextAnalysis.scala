@@ -1027,7 +1027,89 @@ object TextAnalysis {
       .orderBy($"wlen".asc)
   }
 
+  /** Unigram-LM vocab size (multi-char pieces) and the Viterbi unroll
+    * depth (= max word length; words are filtered to it in BOTH
+    * engines, so the bound is explicit, not silent). */
+  private val UniTopPieces = 200
+  private[graft] val UniMaxLen = 8
+
+  /** UNIGRAM-LM VITERBI SEGMENTATION (SentencePiece-shape) — the
+    * probabilistic counterpart of [[qWordpiece]]'s greedy matcher:
+    * every vocab piece (each single character seen in the corpus +
+    * the [[UniTopPieces]] highest-frequency 2–4-char substrings,
+    * occurrence-weighted, tie piece asc) carries the integer cost
+    * `64 - length(bin(f))` — a quantized -log2(p) surrogate both
+    * engines compute bit-exactly (no libm log) — and each DISTINCT
+    * WORD takes the segmentation minimizing (total cost, piece
+    * count), found by exact Viterbi DP over positions. dp values pack
+    * as `cost*16 + np` (np ≤ [[UniMaxLen]] < 16), so the
+    * lexicographic minimum is a plain integer MIN and the transition
+    * is `dp(i-l) + 16*cost(piece) + 1`. A word's cost/np pair is
+    * therefore unique even when the argmin segmentation is not —
+    * the per-word checksum stays deterministic. Per-length report
+    * with corpus totals + a bit_xor checksum over every word's
+    * (cost, np); oracle = same vocab CTE + [[UniMaxLen]] unrolled
+    * MATERIALIZED DP rounds (dall accumulates positions, each round
+    * joins the ≤4 reachable predecessors against the vocab). Scale
+    * shape: one corpus agg to the word grain (Heaps-bounded); the
+    * vocab is a ≤ 226-entry broadcast literal (a MODEL collect, the
+    * IVF-centroid discipline); DP runs at word grain. */
+  def qUnigramLm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .as("word"))
+      .where(length($"word") <= UniMaxLen)
+      .groupBy($"word").agg(count(lit(1)).as("n"))
+      .transform(graft.functions.Cp.local)
+    val occ = words.select($"n", explode(expr(
+      """flatten(transform(array(1, 2, 3, 4), l ->
+        |  filter(transform(sequence(1, length(word)), i ->
+        |    CASE WHEN i + l - 1 <= length(word)
+        |    THEN substring(word, i, l) END), x -> x IS NOT NULL)))"""
+        .stripMargin)).as("piece"))
+      .groupBy($"piece").agg(sum($"n").as("f"))
+    val multi = occ.where(length($"piece") > 1)
+      .orderBy($"f".desc, $"piece".asc).limit(UniTopPieces)
+    val singles = occ.where(length($"piece") === 1)
+    // bounded MODEL collect: ≤ UniTopPieces + alphabet entries
+    val vocab: Map[String, Long] = multi.unionAll(singles)
+      .select($"piece", expr("64 - length(bin(f))").cast("long").as("cost"))
+      .as[(String, Long)].collect().toMap
+    val vlit = typedLit(vocab)
+    val seg = words
+      .withColumn("len", length($"word").cast("int"))
+      .withColumn("dparr", aggregate(
+        sequence(lit(1), lit(UniMaxLen)),
+        array(lit(0L)), // dp(0): cost 0, np 0
+        (acc, i) => {
+          // candidates: end a piece of length l at position i
+          val cands = (1 to 4).map { l =>
+            val piece = $"word".substr(i - lit(l) + 1, lit(l))
+            when(i - lit(l) >= 0 && i <= $"len",
+              element_at(acc, i - lit(l) + 1) +
+                lit(16L) * try_element_at(vlit, piece) + lit(1L))
+          }
+          concat(acc, array(least(cands: _*)))
+        }))
+      .select($"word", $"n", $"len",
+        element_at($"dparr", $"len" + 1).as("packed"))
+      .withColumn("np", $"packed" % 16)
+      .withColumn("cost", expr("packed DIV 16"))
+    seg.groupBy($"len".cast("long").as("wlen"))
+      .agg(count(lit(1)).as("n_distinct_words"),
+        sum($"n").as("corpus_words"),
+        sum($"n" * $"np").as("sum_pieces"),
+        sum($"n" * $"cost").as("corpus_cost"),
+        expr("sum(n * np) * 1000000000 DIV sum(n * len)").as("fertility_e9"),
+        bit_xor(md5Prefix60(concat($"word", lit(">"),
+          $"np".cast("string"), lit("#"), $"cost".cast("string"))))
+          .as("seg_checksum"))
+      .orderBy($"wlen".asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unigram_lm" -> (qUnigramLm _),
     "q_wordpiece" -> (qWordpiece _),
     "q_kanon" -> (qKanon _),
     "q_bpe_merge" -> (qBpeMerge _),
@@ -1186,7 +1268,58 @@ object TextAnalysis {
        |FROM g$WpMaxSteps GROUP BY 1 ORDER BY 1 ASC""".stripMargin
   }
 
+  /** [[qUnigramLm]] oracle: same vocab + cost CTE, Viterbi DP unrolled
+    * to [[UniMaxLen]] MATERIALIZED rounds over an accumulating
+    * position table (each round joins its ≤4 reachable predecessor
+    * positions against the vocab and takes the packed-integer MIN). */
+  private lazy val unigramLmSql: String = {
+    val rounds = (1 to UniMaxLen).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT p.word, p.len, p.n, $i AS pos,
+         |    MIN(p.dp + 16 * v.cost + 1) AS dp
+         |  FROM dall${i - 1} p JOIN vocab v
+         |    ON v.piece = p.word[p.pos + 1:$i]
+         |  WHERE p.pos >= $i - 4 AND p.pos < $i AND $i <= p.len
+         |  GROUP BY 1, 2, 3),
+         |dall$i AS MATERIALIZED (
+         |  SELECT * FROM dall${i - 1} UNION ALL SELECT * FROM d$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |    FROM documents) WHERE len(word) <= $UniMaxLen GROUP BY 1),
+       |occ AS MATERIALIZED (SELECT piece, CAST(SUM(n) AS BIGINT) AS f FROM (
+       |  SELECT n, unnest(list_filter(list_transform(
+       |    range(1, len(word) + 1), i ->
+       |      CASE WHEN i + l - 1 <= len(word) THEN word[i:i+l-1] END),
+       |    x -> x IS NOT NULL)) AS piece
+       |  FROM words, (SELECT unnest([1, 2, 3, 4]) AS l) ls) GROUP BY 1),
+       |vocab AS MATERIALIZED (
+       |  SELECT piece, 64 - len(bin(f)) AS cost FROM (
+       |    SELECT piece, f FROM (SELECT piece, f FROM occ
+       |      WHERE len(piece) > 1
+       |      ORDER BY f DESC, piece ASC LIMIT $UniTopPieces)
+       |    UNION ALL
+       |    SELECT piece, f FROM occ WHERE len(piece) = 1)),
+       |dall0 AS MATERIALIZED (SELECT word, len(word) AS len, n,
+       |  0 AS pos, CAST(0 AS BIGINT) AS dp FROM words),
+       |$rounds
+       |SELECT CAST(len AS BIGINT) AS wlen,
+       |COUNT(*) AS n_distinct_words,
+       |CAST(SUM(n) AS BIGINT) AS corpus_words,
+       |CAST(SUM(n * (dp % 16)) AS BIGINT) AS sum_pieces,
+       |CAST(SUM(n * (dp // 16)) AS BIGINT) AS corpus_cost,
+       |CAST(SUM(n * (dp % 16)) AS BIGINT) * 1000000000
+       |  // CAST(SUM(n * len) AS BIGINT) AS fertility_e9,
+       |bit_xor(CAST(('0x' || substr(md5(word || '>' || (dp % 16) ||
+       |  '#' || (dp // 16)), 1, 15)) AS BIGINT)) AS seg_checksum
+       |FROM dall$UniMaxLen WHERE pos = len GROUP BY 1 ORDER BY 1 ASC"""
+      .stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_unigram_lm" -> unigramLmSql,
     "q_wordpiece" -> wordpieceSql,
     "q_kanon" ->
       s"""WITH cells AS (SELECT lang, source, n_chars // 100 AS len_bucket,
