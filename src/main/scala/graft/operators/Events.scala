@@ -615,6 +615,60 @@ object Events {
       .agg(min($"n").as("cms_estimate"))
   }
 
+  private val KmvK = 64
+
+  /** K-MINIMUM-VALUES distinct sketch — the third sketch of the family
+    * ([[qCountmin]] frequencies, [[qHllRegisters]] log-scale distinct):
+    * per event type the registers are the [[KmvK]] smallest DISTINCT
+    * 60-bit md5 hashes of user_id, an order-statistic sketch whose
+    * estimator (k−1)·2⁶⁰ / h₍ₖ₎ is pure integer arithmetic — computed
+    * exactly in DECIMAL(38,0) (HUGEINT in the oracle, identical BIGINT
+    * out; numerator 63·2⁶⁰ ≈ 7.3e19 overflows BIGINT). Registers carry
+    * a rank-placement checksum (xor with r·1000003), and MERGEABILITY
+    * is proven in-query: users split into two halves, each half
+    * sketched independently, the union of the two register sets
+    * re-sketched — `merged_checksum` must (and does) equal
+    * `reg_checksum`, the property that lets 1000 executors sketch
+    * shards independently and combine. Groups under k distinct users
+    * fall back to the exact count (the KMV rule). Scale shape: one
+    * distinct-grain shuffle agg over raw volume (map-side combine),
+    * then per-group ordered windows at the DISTINCT-HASH grain — the
+    * established top-k idiom; everything downstream is k-bounded. */
+  def qKmv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.md5Prefix60
+    val hashes = events(s, d)
+      .select($"event_type", pmod($"user_id", lit(2L)).as("half"),
+        md5Prefix60($"user_id".cast("string")).as("h"))
+      .distinct()
+      .transform(graft.functions.Cp.local)
+    val dist = hashes.select($"event_type", $"h").distinct()
+      .transform(graft.functions.Cp.local)
+    val wg = Window.partitionBy($"event_type").orderBy($"h".asc)
+    val wh = Window.partitionBy($"event_type", $"half").orderBy($"h".asc)
+    def checksum = bit_xor($"h".bitwiseXOR($"r".cast("long") * lit(1000003L)))
+    val glob = dist
+      .withColumn("r", row_number().over(wg)).where($"r" <= KmvK)
+      .groupBy($"event_type").agg(
+        count(lit(1)).as("n_reg"),
+        max(when($"r" === KmvK, $"h")).as("kth"),
+        checksum.as("reg_checksum"))
+      .withColumn("est_distinct",
+        when($"n_reg" < KmvK, $"n_reg").otherwise(expr(
+          s"CAST(CAST(${KmvK - 1} AS DECIMAL(38,0)) * " +
+            "CAST(1152921504606846976 AS DECIMAL(38,0)) DIV kth AS BIGINT)")))
+    val merged = hashes
+      .withColumn("r", row_number().over(wh)).where($"r" <= KmvK)
+      .select($"event_type", $"h").distinct()
+      .withColumn("r", row_number().over(wg)).where($"r" <= KmvK)
+      .groupBy($"event_type").agg(checksum.as("merged_checksum"))
+    val tot = dist.groupBy($"event_type").agg(count(lit(1)).as("n_exact"))
+    glob.join(merged, Seq("event_type")).join(tot, Seq("event_type"))
+      .select($"event_type", $"n_exact", $"n_reg", $"kth", $"est_distinct",
+        $"reg_checksum", $"merged_checksum")
+      .orderBy($"event_type".asc)
+  }
+
   private val HllBuckets = 64L // 2^6 registers
 
   /** HYPERLOGLOG register construction — the mergeable
@@ -783,6 +837,48 @@ object Events {
           .otherwise(lit(55L) - length(bin($"rem")).cast("long")).as("rho"))
       .groupBy($"event_type", $"bucket")
       .agg(max($"rho").as("max_rho"))
+  }
+
+  /** KENDALL TAU-B rank correlation per event type — the third exact
+    * correlation of the family ([[graft.operators.Relational.qCorrelation]]
+    * Pearson, q_spearman rank-moment): does daily traffic VOLUME move
+    * with daily traffic VALUE? Works directly on sign comparisons, so
+    * no ranks at all: the daily series (count x, micro-unit decimal-
+    * exact value sum y) self-joins day < day within type — the pair
+    * space is CALENDAR² (the q_open_interval rule: bounded by the date
+    * domain, not event volume, and scale-independent) — and
+    * concordant / discordant / tied-x / tied-y pair counts are exact
+    * BIGINTs. tau_b = (nc−nd)/√((n0−tx)(n0−ty)) is two IEEE ops
+    * (one sqrt, one divide — both correctly rounded) on identical
+    * exact integers, so the double is bit-equal in both engines.
+    * Scale shape: one shuffle to the (type, day) grid, broadcast
+    * self-join on the bounded spine, one grouped agg. */
+  def qKendall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, d)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("x"),
+        (sum($"value".cast("decimal(28,6)")) * 1000000).cast("long").as("y"))
+      .transform(graft.functions.Cp.local)
+    val b = daily.select($"event_type".as("et2"), $"day".as("d2"),
+      $"x".as("x2"), $"y".as("y2"))
+    val pairs = daily.join(broadcast(b),
+      $"event_type" === $"et2" && $"day" < $"d2")
+    val k = pairs.groupBy($"event_type").agg(
+      count(lit(1)).as("n0"),
+      sum((($"x" < $"x2" && $"y" < $"y2") ||
+        ($"x" > $"x2" && $"y" > $"y2")).cast("long")).as("nc"),
+      sum((($"x" < $"x2" && $"y" > $"y2") ||
+        ($"x" > $"x2" && $"y" < $"y2")).cast("long")).as("nd"),
+      sum(($"x" === $"x2").cast("long")).as("tx"),
+      sum(($"y" === $"y2").cast("long")).as("ty"))
+    val nDays = daily.groupBy($"event_type").agg(count(lit(1)).as("n_days"))
+    k.join(nDays, Seq("event_type"))
+      .select($"event_type", $"n_days", $"n0", $"nc", $"nd", $"tx", $"ty",
+        (($"nc" - $"nd").cast("double") /
+          sqrt((($"n0" - $"tx") * ($"n0" - $"ty")).cast("double")))
+          .as("tau_b"))
+      .orderBy($"event_type".asc)
   }
 
   /** AUTOCORRELATION of the daily value series, lags 1 and 7 — the
@@ -1236,6 +1332,8 @@ object Events {
     "q_cumulative_uniques" -> (qCumulativeUniques _),
     "q_hll_setops" -> (qHllSetops _),
     "q_hll_registers" -> (qHllRegisters _),
+    "q_kmv" -> (qKmv _),
+    "q_kendall" -> (qKendall _),
     "q_countmin" -> (qCountmin _),
     "q_concentration" -> (qConcentration _),
     "q_argmax" -> (qArgmax _),
@@ -1596,6 +1694,67 @@ object Events {
          |MAX(CASE WHEN rem = 0 THEN 55
          |  ELSE 55 - length(bin(rem)) END) AS max_rho
          |FROM r GROUP BY bucket""".stripMargin,
+    "q_kendall" ->
+      s"""WITH daily AS MATERIALIZED (
+         |  SELECT event_type, DATE_TRUNC('day', ts) AS day,
+         |    COUNT(*) AS x,
+         |    CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT)
+         |      AS y
+         |  FROM events GROUP BY 1, 2),
+         |p AS (SELECT a.event_type, a.x AS x1, a.y AS y1,
+         |    b.x AS x2, b.y AS y2
+         |  FROM daily a JOIN daily b
+         |    ON a.event_type = b.event_type AND a.day < b.day),
+         |k AS (SELECT event_type, COUNT(*) AS n0,
+         |  CAST(SUM(CASE WHEN (x1 < x2 AND y1 < y2)
+         |    OR (x1 > x2 AND y1 > y2) THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         |  CAST(SUM(CASE WHEN (x1 < x2 AND y1 > y2)
+         |    OR (x1 > x2 AND y1 < y2) THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+         |  CAST(SUM(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+         |  CAST(SUM(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+         |  FROM p GROUP BY 1),
+         |nd_ AS (SELECT event_type, COUNT(*) AS n_days FROM daily
+         |  GROUP BY 1)
+         |SELECT k.event_type, nd_.n_days, k.n0, k.nc, k.nd, k.tx, k.ty,
+         |CAST(k.nc - k.nd AS DOUBLE) /
+         |  sqrt(CAST((k.n0 - k.tx) * (k.n0 - k.ty) AS DOUBLE)) AS tau_b
+         |FROM k JOIN nd_ USING (event_type)
+         |ORDER BY event_type ASC""".stripMargin,
+    "q_kmv" ->
+      s"""WITH hdist AS MATERIALIZED (
+         |  SELECT DISTINCT event_type, user_id % 2 AS half,
+         |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) AS h
+         |  FROM events),
+         |dist AS MATERIALIZED (SELECT DISTINCT event_type, h FROM hdist),
+         |gk AS (SELECT event_type, h,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h ASC) AS r
+         |  FROM dist QUALIFY r <= $KmvK),
+         |halves AS (SELECT event_type, h,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type, half
+         |      ORDER BY h ASC) AS r
+         |  FROM hdist QUALIFY r <= $KmvK),
+         |mrg AS (SELECT event_type, h,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h ASC) AS r
+         |  FROM (SELECT DISTINCT event_type, h FROM halves)
+         |  QUALIFY r <= $KmvK),
+         |tot AS (SELECT event_type, COUNT(*) AS n_exact FROM dist
+         |  GROUP BY 1),
+         |g AS (SELECT event_type, COUNT(*) AS n_reg,
+         |    MAX(CASE WHEN r = $KmvK THEN h END) AS kth,
+         |    bit_xor(xor(h, r * 1000003)) AS reg_checksum
+         |  FROM gk GROUP BY 1),
+         |m AS (SELECT event_type, bit_xor(xor(h, r * 1000003))
+         |    AS merged_checksum
+         |  FROM mrg GROUP BY 1)
+         |SELECT g.event_type, tot.n_exact, g.n_reg, g.kth,
+         |CAST(CASE WHEN g.n_reg < $KmvK THEN g.n_reg
+         |  ELSE CAST((${KmvK - 1}::HUGEINT *
+         |    1152921504606846976::HUGEINT) // kth AS BIGINT)
+         |  END AS BIGINT) AS est_distinct,
+         |g.reg_checksum, m.merged_checksum
+         |FROM g JOIN m USING (event_type) JOIN tot USING (event_type)
+         |ORDER BY event_type ASC""".stripMargin,
     "q_countmin" ->
       s"""WITH ev AS (SELECT user_id FROM events),
          |dd AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS d),
