@@ -60,6 +60,9 @@ private case class AsofState(leftUs: Seq[Long], leftIds: Seq[Long],
 /** One token observation on the stream (for windowed heavy hitters). */
 case class TokenEv(ts: Timestamp, term: String)
 
+/** A timestamped raw-text document (streaming corpus element). */
+case class DocEv(ts: Timestamp, text: String)
+
 /** A window's current heavy-hitter candidate set (Misra–Gries summary
   * keys; counts are deliberately absent — they are underestimates, the
   * exact recount is a batch probe, the q_heavy_hitters discipline).
@@ -620,6 +623,35 @@ object StreamingOps {
       .select(col("window.start").as("window_start"),
         col("bucket"), col("max_rho"))
   }
+
+  /** Windowed BPE PAIR COUNTS — the streaming half of the
+    * q_bpe_merge trainer: per window, corpus-weighted counts of
+    * adjacent symbol pairs at the character round (exactly the
+    * statistics the trainer's argmax+merge loop consumes). State is
+    * O(active windows × alphabet²) — bounded by the symbol VOCABULARY,
+    * never by text volume — and the counts are plain sums, so window
+    * frames merge across shards and re-aggregate to coarser windows;
+    * feeding closed windows' counts into the batch merge loop trains
+    * BPE incrementally without re-scanning old text. Pair extraction
+    * guards the 1-char case with the filter/CASE idiom (never
+    * `sequence(1, len-1)`, which yields [1,0] on empty ranges). */
+  def windowedBpePairs(docs: DataFrame,
+                       windowLen: String = "1 hour",
+                       watermark: String = "30 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .select(col("ts"), explode(expr(
+        """filter(transform(sequence(1, length(word)), i ->
+          |  CASE WHEN i < length(word)
+          |  THEN concat(substring(word, i, 1), ' ',
+          |              substring(word, i + 1, 1)) END),
+          |  x -> x IS NOT NULL)""".stripMargin)).as("pair"))
+      .groupBy(window(col("ts"), windowLen), col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("pair"),
+        col("cnt"))
 
   /** Windowed value HISTOGRAM over fixed integer buckets — the
     * bounded-state streaming quantile primitive. State is one count

@@ -169,6 +169,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally { qCm.stop(); qHll.stop() }
   }
 
+  test("windowed BPE pair counts agree with an independent list-based count") {
+    import spark.implicits._
+    import graft.streaming.DocEv
+    val texts = Seq("the quick Fox", "a theme, the queue", "x oo the")
+    val docs = texts.zipWithIndex.map { case (t, i) => DocEv(ts(i + 1), t) }
+    val in = MemoryStream[DocEv](spark)
+    val q = StreamingOps.windowedBpePairs(in.toDF())
+      .writeStream.format("memory").queryName("bpepairs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(docs: _*); q.processAllAvailable()
+      in.addData(DocEv(ts(24 * 60), "z")) // push watermark, close window
+      q.processAllAvailable()
+      val got = spark.table("bpepairs").filter($"window_start" === ts(0))
+        .select($"pair", $"cnt").as[(String, Long)].collect().toMap
+      // independent reference: plain Scala sliding(2) over the words
+      val want: Map[String, Long] = texts
+        .flatMap(t => "[a-z]+".r.findAllIn(t.toLowerCase))
+        .flatMap(w => w.toSeq.sliding(2).filter(_.length == 2).toSeq)
+        .groupBy(p => s"${p(0)} ${p(1)}")
+        .map { case (k, v) => k -> v.size.toLong }
+      assert(got === want)
+      // single-char words ("a", "x", "z") contribute no pairs and must
+      // not blow up the extraction (the sequence(1, 0) trap)
+      assert(!got.keys.exists(_.length != 3))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches purchases to in-window signups") {
     import spark.implicits._
     val signups = MemoryStream[Ev](spark)
