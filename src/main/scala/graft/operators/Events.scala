@@ -881,6 +881,56 @@ object Events {
       .orderBy($"event_type".asc)
   }
 
+  /** CUSUM CHANGEPOINT detection per event type — did the daily
+    * traffic level shift, and when? The textbook recursion
+    * S_t = max(0, S_(t-1) + d_t) is not window-expressible, but its
+    * closed form IS: S_t = cum_t − min(0, min_(j≤t) cum_j) (and the
+    * downward chart mirrors with the running MAX), so both CUSUM
+    * curves come out of ordinary cumulative windows over the
+    * CALENDAR-bounded daily spine. Deviations are kept integer by
+    * scaling with the day count: d_t = n·x_t − Σx (exact BIGINTs —
+    * no mean division), which scales both charts by n and changes no
+    * argmax. The changepoint is the S-maximizing day (tie → earliest),
+    * and a bit_xor checksum over every (day, S⁺, S⁻) row proves the
+    * entire curve, not just the winner. Scale shape: one shuffle to
+    * the (type, day) grid; every window runs on the bounded calendar
+    * spine (the q_open_interval rule). */
+  def qCusum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, d)
+      .groupBy($"event_type", date_trunc("day", $"ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wt = Window.partitionBy($"event_type")
+    val wc = Window.partitionBy($"event_type").orderBy($"day".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = daily
+      .withColumn("n", count(lit(1)).over(wt))
+      .withColumn("sx", sum($"x").over(wt))
+      .withColumn("dd", $"n" * $"x" - $"sx")
+      .withColumn("cum", sum($"dd").over(wc))
+      .withColumn("s_up", $"cum" - least(lit(0L), min($"cum").over(wc)))
+      .withColumn("s_down",
+        greatest(lit(0L), max($"cum").over(wc)) - $"cum")
+    val wUp = Window.partitionBy($"event_type")
+      .orderBy($"s_up".desc, $"day".asc)
+    val wDown = Window.partitionBy($"event_type")
+      .orderBy($"s_down".desc, $"day".asc)
+    curve
+      .withColumn("r_up", row_number().over(wUp))
+      .withColumn("r_down", row_number().over(wDown))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n_days"),
+        max(when($"r_up" === 1, $"s_up")).as("smax_up"),
+        max(when($"r_up" === 1, $"day")).as("cp_day_up"),
+        max(when($"r_down" === 1, $"s_down")).as("smax_down"),
+        max(when($"r_down" === 1, $"day")).as("cp_day_down"),
+        bit_xor(graft.functions.TextFunctions.md5Prefix60(
+          concat($"event_type", lit("|"), $"day".cast("string"), lit("|"),
+            $"s_up".cast("string"), lit("|"), $"s_down".cast("string"))))
+          .as("curve_checksum"))
+      .orderBy($"event_type".asc)
+  }
+
   /** AUTOCORRELATION of the daily value series, lags 1 and 7 — the
     * seasonality probe behind traffic forecasting and anomaly
     * baselines. Daily sums stay DECIMAL(18,2) end to end; the Pearson
@@ -1334,6 +1384,7 @@ object Events {
     "q_hll_registers" -> (qHllRegisters _),
     "q_kmv" -> (qKmv _),
     "q_kendall" -> (qKendall _),
+    "q_cusum" -> (qCusum _),
     "q_countmin" -> (qCountmin _),
     "q_concentration" -> (qConcentration _),
     "q_argmax" -> (qArgmax _),
@@ -1694,6 +1745,44 @@ object Events {
          |MAX(CASE WHEN rem = 0 THEN 55
          |  ELSE 55 - length(bin(rem)) END) AS max_rho
          |FROM r GROUP BY bucket""".stripMargin,
+    "q_cusum" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+         |    COUNT(*) AS x
+         |  FROM events GROUP BY 1, 2),
+         |curve AS (SELECT event_type, day,
+         |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         |    CAST(COUNT(*) OVER (PARTITION BY event_type) * x -
+         |      SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS dd
+         |  FROM daily),
+         |cum AS (SELECT event_type, day, n,
+         |    CAST(SUM(dd) OVER (PARTITION BY event_type ORDER BY day ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM curve),
+         |ss AS (SELECT event_type, day, n,
+         |    cum - LEAST(0, CAST(MIN(cum) OVER (PARTITION BY event_type
+         |      ORDER BY day ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |      CURRENT ROW) AS BIGINT)) AS s_up,
+         |    GREATEST(0, CAST(MAX(cum) OVER (PARTITION BY event_type
+         |      ORDER BY day ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |      CURRENT ROW) AS BIGINT)) - cum AS s_down
+         |  FROM cum),
+         |rk AS (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY s_up DESC, day ASC) AS r_up,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY s_down DESC, day ASC) AS r_down
+         |  FROM ss)
+         |SELECT event_type, MAX(n) AS n_days,
+         |MAX(CASE WHEN r_up = 1 THEN s_up END) AS smax_up,
+         |MAX(CASE WHEN r_up = 1 THEN day END) AS cp_day_up,
+         |MAX(CASE WHEN r_down = 1 THEN s_down END) AS smax_down,
+         |MAX(CASE WHEN r_down = 1 THEN day END) AS cp_day_down,
+         |bit_xor(CAST(('0x' || substr(md5(event_type || '|' || day ||
+         |  '|' || s_up || '|' || s_down), 1, 15)) AS BIGINT))
+         |  AS curve_checksum
+         |FROM rk GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "q_kendall" ->
       s"""WITH daily AS MATERIALIZED (
          |  SELECT event_type, DATE_TRUNC('day', ts) AS day,

@@ -1027,6 +1027,35 @@ object TextAnalysis {
       .orderBy($"wlen".asc)
   }
 
+  /** LENGTH-BUCKET PADDING CENSUS — the dynamic-batching efficiency
+    * report: every document lands in the smallest power-of-two token
+    * bucket that holds it (computed with shift/bin integer ops — no
+    * float log2), and per bucket the report carries doc count, real
+    * tokens, padded slots (bucket × docs), exact integer waste ratio,
+    * and a per-doc placement checksum (xor with doc_id·1000003) that
+    * proves every document's bucket, not just the counts. The answer
+    * to "what does pad-to-pow2 batching cost on this corpus, and
+    * which bucket should be split?". Scale shape: narrow per-doc map
+    * + one bounded agg (≤ log2(max_len) buckets). */
+  def qLengthBuckets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("ntok"))
+      .withColumn("bucket",
+        when($"ntok" <= 1, lit(1L))
+          .otherwise(expr(
+            "shiftleft(CAST(1 AS BIGINT), length(bin(ntok - 1)))")))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"ntok").as("sum_tokens"),
+        (max($"bucket") * count(lit(1))).as("padded_slots"),
+        expr("(max(bucket) * count(1) - sum(ntok)) * 1000000000" +
+          " DIV (max(bucket) * count(1))").as("waste_e9"),
+        bit_xor(md5Prefix60($"doc_id".cast("string"))
+          .bitwiseXOR($"ntok" * lit(1000003L))).as("place_checksum"))
+      .orderBy($"bucket".asc)
+  }
+
   /** Unigram-LM vocab size (multi-char pieces) and the Viterbi unroll
     * depth (= max word length; words are filtered to it in BOTH
     * engines, so the bound is explicit, not silent). */
@@ -1110,6 +1139,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_lm" -> (qUnigramLm _),
+    "q_length_buckets" -> (qLengthBuckets _),
     "q_wordpiece" -> (qWordpiece _),
     "q_kanon" -> (qKanon _),
     "q_bpe_merge" -> (qBpeMerge _),
@@ -1319,6 +1349,22 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_length_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |b AS (SELECT doc_id, ntok,
+        |  CASE WHEN ntok <= 1 THEN 1
+        |    ELSE 1::BIGINT << len(bin(ntok - 1)) END AS bucket FROM t)
+        |SELECT bucket, COUNT(*) AS n_docs,
+        |CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+        |CAST(MAX(bucket) * COUNT(*) AS BIGINT) AS padded_slots,
+        |(CAST(MAX(bucket) * COUNT(*) AS BIGINT) -
+        |  CAST(SUM(ntok) AS BIGINT)) * 1000000000 //
+        |  CAST(MAX(bucket) * COUNT(*) AS BIGINT) AS waste_e9,
+        |bit_xor(xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |  1, 15)) AS BIGINT), ntok * 1000003)) AS place_checksum
+        |FROM b GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "q_unigram_lm" -> unigramLmSql,
     "q_wordpiece" -> wordpieceSql,
     "q_kanon" ->
