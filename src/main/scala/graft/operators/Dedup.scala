@@ -912,7 +912,39 @@ object Dedup {
         bit_xor($"ra" * lit(1073741824L) + $"rb").as("pair_checksum"))
   }
 
+  /** JARO–WINKLER RECORD LINKAGE — the edit-distance-free third member
+    * of the fuzzy family ([[qFuzzyMatch]] blocked Levenshtein,
+    * [[qFuzzyExact]] FastSS exact-recall): prefix-weighted similarity
+    * over the part-NAME dictionary using the
+    * [[graft.functions.StringSimilarity.JaroWinkler]] codegen
+    * expression, pinned bit-for-bit to DuckDB's
+    * `jaro_winkler_similarity` (the oracle calls the real thing — the
+    * strongest possible cross-check for a custom expression).
+    * Blocking: equal 4-byte prefix (principled for a prefix-boosted
+    * metric) + length band ≤ 2, so candidate pairs are generated
+    * inside vocabulary-bounded blocks, never all-pairs; the dictionary
+    * itself is Heaps-bounded and broadcast. Output: every name pair at
+    * jw ≥ 0.85 with its exact double similarity and the part-level
+    * pair multiplicity. */
+  def qJaroLinkage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dict = Tables.part(s, d)
+      .groupBy($"p_name".as("w")).agg(count(lit(1)).as("n"))
+      .transform(graft.functions.Cp.local)
+    val b = dict.select($"w".as("w2"), $"n".as("n2"))
+    dict.join(broadcast(b), $"w" < $"w2" &&
+        substring($"w", 1, 4) === substring($"w2", 1, 4) &&
+        abs(length($"w") - length($"w2")) <= 2)
+      .withColumn("jw",
+        graft.functions.StringSimilarity.jaroWinkler($"w", $"w2"))
+      .where($"jw" >= 0.85)
+      .select($"w".as("name_a"), $"w2".as("name_b"), $"jw",
+        ($"n" * $"n2").as("part_pairs"))
+      .orderBy($"name_a".asc, $"name_b".asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jaro_linkage" -> (qJaroLinkage _),
     "q_kcore" -> (qKcore _),
     "q_degree_dist" -> (qDegreeDist _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
@@ -1014,6 +1046,18 @@ object Dedup {
       |FROM s0 CROSS JOIN pp""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_jaro_linkage" ->
+      """WITH w AS (SELECT p_name AS w, COUNT(*) AS n FROM part
+        |  GROUP BY 1),
+        |p AS (SELECT a.w AS name_a, b.w AS name_b,
+        |    jaro_winkler_similarity(a.w, b.w) AS jw,
+        |    a.n * b.n AS part_pairs
+        |  FROM w a JOIN w b ON a.w < b.w
+        |    AND substr(a.w, 1, 4) = substr(b.w, 1, 4)
+        |    AND abs(len(a.w) - len(b.w)) <= 2)
+        |SELECT name_a, name_b, jw,
+        |CAST(part_pairs AS BIGINT) AS part_pairs
+        |FROM p WHERE jw >= 0.85 ORDER BY 1 ASC, 2 ASC""".stripMargin,
     "q_degree_dist" ->
       s"""WITH pj AS ($jaccardEdgesSql),
          |e AS (SELECT doc_a AS v FROM pj UNION ALL SELECT doc_b FROM pj),
