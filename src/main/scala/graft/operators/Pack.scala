@@ -326,6 +326,33 @@ object Pack {
           .as("z_checksum"))
   }
 
+  /** HILBERT-CURVE LAYOUT CENSUS — [[qZorder]]'s locality upgrade on
+    * the same (l_partkey, l_suppkey) keys: per 65536-step curve cell
+    * (a CONTIGUOUS Hilbert segment — unlike a Morton cell it can never
+    * straddle a curve seam), row count, both dimensions' min/max (the
+    * footer stats a skipping layer reads) and a per-row placement
+    * checksum over the index itself. The index comes from the
+    * [[graft.functions.HilbertCurve.HilbertIndex]] codegen expression;
+    * the ORACLE recomputes the full 16-round rotate/reflect state
+    * machine in unrolled MATERIALIZED SQL — every row's index is
+    * proven, not sampled. Same scale shape as q_zorder: one narrow
+    * map + one shuffle agg. */
+  def qHilbert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber",
+        $"l_partkey".bitwiseAND(lit(65535L)).as("pk"),
+        $"l_suppkey".bitwiseAND(lit(65535L)).as("sk"))
+      .withColumn("h", graft.functions.HilbertCurve.hilbertD($"pk", $"sk"))
+      .groupBy(expr("h div 65536").as("cell"))
+      .agg(count(lit(1)).as("n"),
+        min($"pk").as("pk_min"), max($"pk").as("pk_max"),
+        min($"sk").as("sk_min"), max($"sk").as("sk_max"),
+        bit_xor($"h".bitwiseXOR(
+          $"l_orderkey" * lit(1000003L) + $"l_linenumber"))
+          .as("h_checksum"))
+  }
+
   /** Physical z-ordered writer: each column is first min/max-scaled
     * to the full 16-bit width (otherwise the wider-domain column owns
     * every significant interleaved bit and the narrow one never
@@ -384,7 +411,8 @@ object Pack {
     "q_seq_pack" -> (qSeqPack _),
     "q_shard_assign" -> (qShardAssign _),
     "q_corpus_stats" -> (qCorpusStats _),
-    "q_zorder" -> (qZorder _)
+    "q_zorder" -> (qZorder _),
+    "q_hilbert" -> (qHilbert _)
   )
 
   /** `h` on the oracle side: the engine's md5-prefix60 of the doc id. */
@@ -479,6 +507,20 @@ object Pack {
          |bit_xor(xor(z, l_orderkey * 1000003 + l_linenumber))
          |  AS z_checksum
          |FROM z GROUP BY 1""".stripMargin,
+    "q_hilbert" ->
+      s"""WITH h0 AS MATERIALIZED (SELECT l_orderkey, l_linenumber,
+         |  l_partkey & 65535 AS pk, l_suppkey & 65535 AS sk,
+         |  l_partkey & 65535 AS x, l_suppkey & 65535 AS y,
+         |  CAST(0 AS BIGINT) AS d
+         |  FROM lineitem),
+         |${graft.functions.HilbertCurve.sqlRounds(
+             "p.l_orderkey, p.l_linenumber, p.pk, p.sk")}
+         |SELECT d // 65536 AS cell, COUNT(*) AS n,
+         |MIN(pk) AS pk_min, MAX(pk) AS pk_max,
+         |MIN(sk) AS sk_min, MAX(sk) AS sk_max,
+         |bit_xor(xor(d, l_orderkey * 1000003 + l_linenumber))
+         |  AS h_checksum
+         |FROM h16 GROUP BY 1""".stripMargin,
     "q_zorder3" ->
       s"""WITH z AS (SELECT l_orderkey, l_linenumber,
          |  l_partkey & 65535 AS pk, l_suppkey & 65535 AS sk,
