@@ -381,6 +381,31 @@ object Pack {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** [[writeZOrdered]] with the HILBERT key: same min/max 16-bit
+    * normalization and range-partition + sort plan, but file
+    * boundaries cut a CONTIGUOUS curve — a Hilbert index range is one
+    * connected region of the plane (no Morton seam-jumps), so
+    * per-file min/max boxes are never inflated by a cross-space jump.
+    * Same cost as z-order: the range exchange samples the key, no
+    * global sort. PackSpec asserts both-dims boundedness and
+    * no-regression vs the Morton writer on the max-dim-range
+    * metric. */
+  def writeHilbertOrdered(df: DataFrame, xCol: String, yCol: String,
+                          path: String, numFiles: Int): Unit = {
+    val b = df.agg(min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
+      min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).head()
+    def norm(c: String, lo: Double, hi: Double): Column =
+      if (hi > lo) ((col(c) - lo) / (hi - lo) * 65535.0).cast("long")
+      else lit(0L)
+    df.withColumn("__h", graft.functions.HilbertCurve.hilbertD(
+        norm(xCol, b.getDouble(0), b.getDouble(1)),
+        norm(yCol, b.getDouble(2), b.getDouble(3))))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** [[writeZOrdered]] in three dimensions: min/max-scale each column
     * to 16 bits, interleave with [[mortonZ3]], range-partition + sort
     * on z — every file bounds ALL THREE dimensions (PackSpec-asserted

@@ -117,6 +117,40 @@ class PackSpec extends AnyFunSuite {
       "z-order must beat linear sort on the max-dim-range metric")
   }
 
+  test("hilbert layout bounds both dims and does not regress vs morton") {
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey")
+    def span(c: String): Double = {
+      val (lo, hi) = li.agg(min(col(c)), max(col(c)))
+        .as[(Long, Long)].head()
+      (hi - lo).toDouble.max(1)
+    }
+    val (okSpan, pkSpan) = (span("l_orderkey"), span("l_partkey"))
+    val dir = java.nio.file.Files.createTempDirectory("hord").toString
+    Pack.writeHilbertOrdered(li, "l_orderkey", "l_partkey", dir + "/h", 16)
+    Pack.writeZOrdered(li, "l_orderkey", "l_partkey", dir + "/z", 16)
+    def normRanges(path: String): Seq[(Double, Double)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min($"l_orderkey"), max($"l_orderkey"),
+          min($"l_partkey"), max($"l_partkey"))
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+        .map { case (_, a, b, c, d2) =>
+          ((b - a) / okSpan, (d2 - c) / pkSpan) }
+    val h = normRanges(dir + "/h")
+    val z = normRanges(dir + "/z")
+    def avgMax(xs: Seq[(Double, Double)]) =
+      xs.map(t => t._1.max(t._2)).sum / xs.size
+    // the data-skipping property: every dim bounded per file
+    assert(h.forall { case (a, b) => a < 0.8 && b < 0.8 },
+      s"hilbert file not bounded in both dims: $h")
+    // locality no-regression: a contiguous curve segment must not be
+    // looser than morton's seam-jumping cells (25% slack for layout
+    // noise at 16 files)
+    assert(avgMax(h) <= avgMax(z) * 1.25,
+      s"hilbert ${avgMax(h)} vs morton ${avgMax(z)}")
+  }
+
   test("3-dim z-order bounds all three dims per file; linear sort does not") {
     val li = Tables.lineitem(spark, sf)
       .select($"l_orderkey", $"l_partkey", $"l_suppkey")
