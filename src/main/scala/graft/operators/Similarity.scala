@@ -288,6 +288,43 @@ object Similarity {
 
   def qNearDupLsh(s: SparkSession, d: String): DataFrame = nearDupLsh(s, d)
 
+  /** MUTUAL-NEAREST-NEIGHBOR ALIGNMENT — the embedding verb behind
+    * cross-corpus linking (bitext mining, translated-page pairing,
+    * cross-source entity match): the corpus splits into two sides by
+    * vec_id parity (the cross-source surrogate), and a pair is an
+    * alignment iff each side is the other's BEST candidate — the
+    * reciprocal top-1 filter that kills the asymmetric hub matches a
+    * one-directional top-1 keeps. Candidates come from the shared
+    * [[nearDupLshOf]] bucket machinery (never all-pairs; ladder-width
+    * buckets + star caps), top-1 per side via rank windows on the
+    * 6-dp-rounded cosine with id tie-breaks — fully deterministic,
+    * and mirrored 1:1 in the oracle on the same candidate SQL.
+    * Output also carries each side's candidate count (match
+    * confidence context). Recall is LSH-bounded by design, same as
+    * q_neardup_lsh. */
+  def qMutualNn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cross = nearDupLsh(s, d)
+      .filter(pmod($"vec_a", lit(2L)) =!= pmod($"vec_b", lit(2L)))
+      .select(
+        when(pmod($"vec_a", lit(2L)) === 0, $"vec_a").otherwise($"vec_b")
+          .as("a"),
+        when(pmod($"vec_a", lit(2L)) === 0, $"vec_b").otherwise($"vec_a")
+          .as("b"),
+        $"cos")
+    val wa = Window.partitionBy($"a").orderBy($"cos".desc, $"b".asc)
+    val wb = Window.partitionBy($"b").orderBy($"cos".desc, $"a".asc)
+    cross
+      .withColumn("cand_a", count(lit(1)).over(Window.partitionBy($"a")))
+      .withColumn("cand_b", count(lit(1)).over(Window.partitionBy($"b")))
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+      .filter($"ra" === 1 && $"rb" === 1)
+      .select($"a".as("id_even"), $"b".as("id_odd"), $"cos",
+        $"cand_a", $"cand_b")
+      .orderBy($"id_even".asc)
+  }
+
   /** Overflow diagnostic: the (table, bucket) cells whose occupancy
     * exceeds the cap — i.e. where [[nearDupLshOf]] engaged the star
     * fallback. Empty on healthy data; a non-empty result names the
@@ -508,6 +545,7 @@ object Similarity {
     "q_knn_brute" -> (qKnnBrute _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_neardup_lsh" -> (qNearDupLsh _),
+    "q_mutual_nn" -> (qMutualNn _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_multiprobe" -> (qAnnMultiProbe _),
@@ -537,6 +575,35 @@ object Similarity {
        |  ROUND(list_cosine_similarity(q.qv, c.v), 6) AS cos
        |  FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.query_id) t
        |WHERE rank <= $K""".stripMargin
+
+  /** Shared DuckDB mirror of [[nearDupLshOf]] — the full MaxPlanes-bit
+    * bucket expression masked down to the ladder-chosen width:
+    * identical to Spark's bucket built from the first `planes`
+    * hyperplanes (prefix property, LshScaleSpec). Consumed by
+    * `q_neardup_lsh` and as `q_mutual_nn`'s candidate prelude. */
+  private lazy val neardupLshSql: String = {
+    val cap = LshParams.BucketCap
+    val ctes = (0 until NdTables).map(t =>
+      s"""bkt$t AS (SELECT vec_id, v,
+         |  (${sqlBucketExpr("v", t, LshParams.MaxPlanes)}
+         |   & ((CAST(1 AS BIGINT) << planes) - 1)) AS bucket
+         |  FROM e CROSS JOIN p),
+         |st$t AS (SELECT vec_id, v, bucket,
+         |  COUNT(*) OVER (PARTITION BY bucket) AS f,
+         |  MIN(vec_id) OVER (PARTITION BY bucket) AS bmin FROM bkt$t)""".stripMargin)
+    val arms = (0 until NdTables).map(t =>
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+         |FROM st$t a JOIN st$t b
+         |ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |AND (a.f <= $cap OR a.vec_id = a.bmin)
+         |WHERE list_cosine_similarity(a.v, b.v) > 0.4""".stripMargin)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT COUNT(*) AS cnt FROM e),
+       |p AS (SELECT ${LshParams.ladderSql("cnt")} AS planes FROM n),
+       |${ctes.mkString(",\n")}
+       |${arms.mkString("\nUNION\n")}""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q_rrf" ->
@@ -613,32 +680,25 @@ object Similarity {
         |ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) > 0.4""".stripMargin,
-    "q_neardup_lsh" -> {
-      // The full MaxPlanes-bit bucket expression masked down to the
-      // ladder-chosen width: identical to Spark's bucket built from the
-      // first `planes` hyperplanes (prefix property, LshScaleSpec).
-      val cap = LshParams.BucketCap
-      val ctes = (0 until NdTables).map(t =>
-        s"""bkt$t AS (SELECT vec_id, v,
-           |  (${sqlBucketExpr("v", t, LshParams.MaxPlanes)}
-           |   & ((CAST(1 AS BIGINT) << planes) - 1)) AS bucket
-           |  FROM e CROSS JOIN p),
-           |st$t AS (SELECT vec_id, v, bucket,
-           |  COUNT(*) OVER (PARTITION BY bucket) AS f,
-           |  MIN(vec_id) OVER (PARTITION BY bucket) AS bmin FROM bkt$t)""".stripMargin)
-      val arms = (0 until NdTables).map(t =>
-        s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           |ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
-           |FROM st$t a JOIN st$t b
-           |ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-           |AND (a.f <= $cap OR a.vec_id = a.bmin)
-           |WHERE list_cosine_similarity(a.v, b.v) > 0.4""".stripMargin)
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |n AS (SELECT COUNT(*) AS cnt FROM e),
-         |p AS (SELECT ${LshParams.ladderSql("cnt")} AS planes FROM n),
-         |${ctes.mkString(",\n")}
-         |${arms.mkString("\nUNION\n")}""".stripMargin
-    },
+    "q_neardup_lsh" -> neardupLshSql,
+    "q_mutual_nn" ->
+      s"""WITH nd AS MATERIALIZED ($neardupLshSql),
+         |cp AS (SELECT
+         |  CASE WHEN vec_a % 2 = 0 THEN vec_a ELSE vec_b END AS a,
+         |  CASE WHEN vec_a % 2 = 0 THEN vec_b ELSE vec_a END AS b, cos
+         |  FROM nd WHERE vec_a % 2 <> vec_b % 2),
+         |r AS (SELECT a, b, cos,
+         |  COUNT(*) OVER (PARTITION BY a) AS cand_a,
+         |  COUNT(*) OVER (PARTITION BY b) AS cand_b,
+         |  ROW_NUMBER() OVER (PARTITION BY a
+         |    ORDER BY cos DESC, b ASC) AS ra,
+         |  ROW_NUMBER() OVER (PARTITION BY b
+         |    ORDER BY cos DESC, a ASC) AS rb
+         |  FROM cp)
+         |SELECT a AS id_even, b AS id_odd, cos,
+         |CAST(cand_a AS BIGINT) AS cand_a,
+         |CAST(cand_b AS BIGINT) AS cand_b
+         |FROM r WHERE ra = 1 AND rb = 1 ORDER BY 1 ASC""".stripMargin,
     "q_ann_lsh" -> annLshSql,
     "q_ann_multiprobe" -> {
       val probeList = (0L +: (0 until AnnPlanes).map(p => 1L << p)).mkString(", ")
