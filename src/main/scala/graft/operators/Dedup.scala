@@ -663,6 +663,66 @@ object Dedup {
         bit_xor($"doc_id").as("core_checksum"))
   }
 
+  private val LpRounds = 5
+
+  /** SYNCHRONOUS LABEL PROPAGATION over the near-dup graph — the
+    * fixed-round community census: every node starts as its own label
+    * and each round adopts the MINIMUM label in its closed
+    * neighborhood (the deterministic variant — majority-vote LPA is
+    * execution-order-dependent and can never be oracle-exact). After
+    * [[LpRounds]] synchronous rounds a node's label is the smallest
+    * doc_id within R hops, so the result is an R-HOP FLOODING census —
+    * deliberately not convergence (that is q_dup_clusters' contraction
+    * CC); the per-round Δ is what an operator watches to size the full
+    * CC run. Report: community-size histogram with label and
+    * per-node assignment checksums (xor of xors proves every node's
+    * final label), plus the last round's changed-node count. Scale
+    * shape: R rounds of one edge-keyed shuffle agg + one node join
+    * each, generations checkpointed and dropped ([[qKcore]]
+    * discipline); oracle = [[LpRounds]] unrolled MATERIALIZED
+    * rounds. */
+  def qLabelProp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val und = jaccardPairs(s, d)
+      .filter(lit(3) * $"inter" > $"na" + $"nb")
+      .select($"doc_a", $"doc_b")
+    val sc = s.sparkContext
+    // the edge table is LIVE for every round — it must not join the
+    // per-round label generations that get dropped (unlike qKcore,
+    // where edges are replaced each round)
+    val e = und.select($"doc_a".as("u"), $"doc_b".as("v"))
+      .union(und.select($"doc_b".as("u"), $"doc_a".as("v")))
+      .transform(graft.functions.Cp.local)
+    var prevGen: scala.collection.Set[Int] = Set.empty
+    var lab = e.select($"u".as("node")).distinct()
+      .select($"node", $"node".as("label"))
+    var changedLast = 0L
+    for (_ <- 1 to LpRounds) {
+      val nbr = e.join(lab.select($"node".as("u"), $"label"), Seq("u"))
+        .groupBy($"v".as("node")).agg(min($"label").as("nl"))
+      val beforeR = sc.getPersistentRDDs.keySet
+      val next = lab.join(nbr, Seq("node"), "left")
+        .select($"node",
+          least($"label", coalesce($"nl", $"label")).as("label"),
+          ($"nl".isNotNull && $"nl" < $"label").cast("long").as("chg"))
+        .transform(graft.functions.Cp.local)
+      changedLast = next.agg(sum($"chg")).as[Long].head()
+      lab = next.select($"node", $"label")
+      val newGen = sc.getPersistentRDDs.keySet -- beforeR
+      dropGeneration(s, prevGen)
+      prevGen = newGen
+    }
+    val comms = lab.groupBy($"label")
+      .agg(count(lit(1)).as("csize"),
+        bit_xor($"node".bitwiseXOR($"label" * lit(1000003L))).as("ax"))
+    comms.groupBy($"csize")
+      .agg(count(lit(1)).as("n_communities"),
+        bit_xor($"label").as("label_checksum"),
+        bit_xor($"ax").as("assign_checksum"))
+      .withColumn("changed_last_round", lit(changedLast))
+      .orderBy($"csize".asc)
+  }
+
   /** DEGREE DISTRIBUTION of the near-dup graph — the power-law audit
     * run before any graph algorithm is sized (hub-heavy duplication
     * means template farms; the histogram decides salting/cap knobs):
@@ -945,6 +1005,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jaro_linkage" -> (qJaroLinkage _),
+    "q_label_prop" -> (qLabelProp _),
     "q_kcore" -> (qKcore _),
     "q_degree_dist" -> (qDegreeDist _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
@@ -1045,7 +1106,37 @@ object Dedup {
       |SELECT doc_id, simhash, simhash >> (32 - pb) AS bucket
       |FROM s0 CROSS JOIN pp""".stripMargin
 
+  /** [[qLabelProp]] oracle: [[LpRounds]] unrolled synchronous
+    * min-label rounds (MATERIALIZED — the k-core inlining rule). */
+  private lazy val labelPropSql: String = {
+    val rounds = (1 to LpRounds).map { i =>
+      s"""n$i AS MATERIALIZED (SELECT e.v AS node, MIN(p.label) AS nl
+         |  FROM ed e JOIN l${i - 1} p ON p.node = e.u GROUP BY 1),
+         |l$i AS MATERIALIZED (SELECT p.node,
+         |  LEAST(p.label, COALESCE(m.nl, p.label)) AS label
+         |  FROM l${i - 1} p LEFT JOIN n$i m ON m.node = p.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH pj AS MATERIALIZED ($jaccardEdgesSql),
+       |ed AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pj
+       |  UNION ALL SELECT doc_b, doc_a FROM pj),
+       |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label
+       |  FROM ed),
+       |$rounds,
+       |c AS (SELECT label, COUNT(*) AS csize,
+       |  bit_xor(xor(node, label * 1000003)) AS ax
+       |  FROM l$LpRounds GROUP BY 1),
+       |ch AS (SELECT CAST(COUNT(*) AS BIGINT) AS changed
+       |  FROM l$LpRounds a JOIN l${LpRounds - 1} b
+       |  ON a.node = b.node AND a.label < b.label)
+       |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_communities,
+       |bit_xor(label) AS label_checksum, bit_xor(ax) AS assign_checksum,
+       |(SELECT changed FROM ch) AS changed_last_round
+       |FROM c GROUP BY 1 ORDER BY 1 ASC""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_label_prop" -> labelPropSql,
     "q_jaro_linkage" ->
       """WITH w AS (SELECT p_name AS w, COUNT(*) AS n FROM part
         |  GROUP BY 1),
