@@ -53,5 +53,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sig_agree"),
       info("sig_agree"),
       (args: Seq[Expression]) => SigAgree(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler_sim"),
+      info("jaro_winkler_sim"),
+      (args: Seq[Expression]) =>
+        graft.functions.StringSimilarity.JaroWinkler(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hilbert_d"),
+      info("hilbert_d"),
+      (args: Seq[Expression]) =>
+        graft.functions.HilbertCurve.HilbertIndex(args(0), args(1))))
   }
 }

@@ -881,6 +881,42 @@ object Events {
       .orderBy($"event_type".asc)
   }
 
+  /** Q-Q ALIGNMENT of two value distributions (view vs purchase) — the
+    * distribution-compare verb between q_ks_drift's single max-gap
+    * statistic and a full histogram diff: every 5th percentile of both
+    * sides, exact nearest-rank from the (type, cents) value histogram
+    * via the division-free cum·100 ≥ p·tot compare (the medianBy
+    * idiom), aligned into (p, q_view, q_purchase, shift) rows. All
+    * integer cents — engine-exact by construction. Scale shape: one
+    * histogram shuffle, windows over the VALUE domain, a ×19
+    * percentile explode at histogram grain, two tiny sides joined on
+    * the 19-row spine. */
+  def qQq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = events(s, d)
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy($"event_type", $"cents").agg(count(lit(1)).as("cnt"))
+    val cumW = Window.partitionBy($"event_type").orderBy($"cents".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy($"event_type")
+    val q = hist
+      .withColumn("cum", sum($"cnt").over(cumW))
+      .withColumn("tot", sum($"cnt").over(totW))
+      .select($"event_type", $"cents", $"cum", $"tot",
+        explode(expr("sequence(5L, 95L, 5L)")).as("p"))
+      .groupBy($"event_type", $"p")
+      .agg(min(when($"cum" * 100 >= $"tot" * $"p", $"cents")).as("q"))
+    val v = q.filter($"event_type" === "view").select($"p", $"q".as("q_view"))
+    val u = q.filter($"event_type" === "purchase")
+      .select($"p".as("p2"), $"q".as("q_purchase"))
+    v.join(u, $"p" === $"p2")
+      .select($"p", $"q_view", $"q_purchase",
+        ($"q_purchase" - $"q_view").as("shift_cents"))
+      .orderBy($"p".asc)
+  }
+
   /** CUSUM CHANGEPOINT detection per event type — did the daily
     * traffic level shift, and when? The textbook recursion
     * S_t = max(0, S_(t-1) + d_t) is not window-expressible, but its
@@ -1385,6 +1421,7 @@ object Events {
     "q_kmv" -> (qKmv _),
     "q_kendall" -> (qKendall _),
     "q_cusum" -> (qCusum _),
+    "q_qq" -> (qQq _),
     "q_countmin" -> (qCountmin _),
     "q_concentration" -> (qConcentration _),
     "q_argmax" -> (qArgmax _),
@@ -1745,6 +1782,27 @@ object Events {
          |MAX(CASE WHEN rem = 0 THEN 55
          |  ELSE 55 - length(bin(rem)) END) AS max_rho
          |FROM r GROUP BY bucket""".stripMargin,
+    "q_qq" ->
+      """WITH hist AS (SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  COUNT(*) AS cnt
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2),
+        |c AS (SELECT event_type, cents,
+        |  SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  SUM(cnt) OVER (PARTITION BY event_type) AS tot
+        |  FROM hist),
+        |q AS (SELECT event_type, p,
+        |  MIN(CASE WHEN cum * 100 >= tot * p THEN cents END) AS q
+        |  FROM c CROSS JOIN (SELECT unnest(generate_series(5, 95, 5))
+        |    AS p) ps
+        |  GROUP BY 1, 2)
+        |SELECT CAST(v.p AS BIGINT) AS p, v.q AS q_view,
+        |u.q AS q_purchase, u.q - v.q AS shift_cents
+        |FROM (SELECT p, q FROM q WHERE event_type = 'view') v
+        |JOIN (SELECT p, q FROM q WHERE event_type = 'purchase') u
+        |USING (p) ORDER BY 1 ASC""".stripMargin,
     "q_cusum" ->
       s"""WITH daily AS (
          |  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,

@@ -42,6 +42,16 @@ class ExtensionsSpec extends AnyFunSuite {
       // self-pairs agree on all 16 positions; every count is in [0, 16]
       assert(sa.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 16))
       assert(sa.filter(_.getBoolean(1)).forall(_.getInt(0) === 16))
+      val jw = s2.sql(
+        "SELECT jaro_winkler_sim('martha', 'marhta') AS a, " +
+          "jaro_winkler_sim('', '') AS b").head()
+      assert(jw.getDouble(0) === 0.9611111111111111)
+      assert(jw.getDouble(1) === 0.0)
+      val hd = s2.sql(
+        "SELECT hilbert_d(0L, 0L) AS a, hilbert_d(65535L, 0L) AS b").head()
+      assert(hd.getLong(0) === 0L)
+      assert(hd.getLong(1) ===
+        graft.functions.HilbertCurve.xy2d(65535L, 0L))
     } finally {
       // getOrCreate returns the ALREADY-ACTIVE shared session when one
       // exists (its extensions come from withExtensions, so the
