@@ -104,6 +104,54 @@ object Multimodal {
         sum($"h").as("sum_height"), sum($"luma").as("sum_luma"))
   }
 
+  private val RszMod = 12
+
+  /** IMAGE RESIZE in the distributed path — the first multimodal
+    * TRANSFORM (the codec queries prove decode; this proves
+    * decode → pixel-op → re-encode): each sliced doc's deterministic
+    * PNG is decoded, nearest-neighbor 2× downsampled (even-coordinate
+    * picks — the exactly-reproducible resize kernel; bilinear would
+    * put floats between the engines), re-encoded to a REAL PNG and
+    * decoded again (the transform output stays a valid asset —
+    * asserted per row), then reported as resized dims + luma with a
+    * per-image placement checksum. PNG is lossless, so the oracle
+    * reproduces every resized image's luma from the pattern's CLOSED
+    * FORM at even coordinates — a hash match proves the whole
+    * decode/resize/encode chain per image per partition. Scale shape:
+    * per-row narrow mapPartitions + one source-sized agg; pixels never
+    * shuffle. */
+  def qImageResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val resized = Tables.documents(s, d)
+      .filter($"doc_id" % RszMod === 3)
+      .select($"doc_id", $"source").as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        val w = 16 + (id % 8).toInt * 8
+        val h = 16 + (id % 5).toInt * 8
+        val png = AssetPipeline.encodePng(
+          w, h, AssetPipeline.patternPixels(w, h, id))
+        val (dw, dh, px) = AssetPipeline.decodeImage(png).get
+        val rw = dw / 2; val rh = dh / 2
+        val rpx = Array.tabulate(rw * rh) { j =>
+          val x = (j % rw) * 2; val y = (j / rw) * 2
+          px(y * dw + x)
+        }
+        val (w2, h2, px2) =
+          AssetPipeline.decodeImage(AssetPipeline.encodePng(rw, rh, rpx)).get
+        require(w2 == rw && h2 == rh && java.util.Arrays.equals(px2, rpx),
+          s"resize round-trip broke for doc $id")
+        var luma = 0L
+        px2.foreach(b => luma += (b & 0xff))
+        (id, src, rw.toLong, rh.toLong, luma)
+      }).toDF("doc_id", "source", "rw", "rh", "luma")
+    resized.groupBy($"source")
+      .agg(count(lit(1)).as("n_images"),
+        sum($"rw").as("sum_rwidth"),
+        sum($"rh").as("sum_rheight"),
+        sum($"luma").as("sum_luma"),
+        expr("bit_xor(doc_id ^ (luma * 1000003))").as("resize_checksum"))
+  }
+
   private val AudMod = 5
 
   /** REAL AUDIO DECODE in the distributed path — the WAV twin of
@@ -183,6 +231,7 @@ object Multimodal {
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_asset_dedup" -> (qAssetDedup _),
     "q_image_decode" -> (qImageDecode _),
+    "q_image_resize" -> (qImageResize _),
     "q_audio_energy" -> (qAudioEnergy _),
     "q_video_frames" -> (qVideoFrames _)
   )
@@ -218,6 +267,22 @@ object Multimodal {
          |CAST(SUM(dc) AS BIGINT) AS sum_dc,
          |CAST(SUM(energy) AS BIGINT) AS sum_energy,
          |bit_xor(xor(doc_id, energy)) AS energy_checksum
+         |FROM l GROUP BY 1""".stripMargin,
+    "q_image_resize" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  16 + (doc_id % 8) * 8 AS w, 16 + (doc_id % 5) * 8 AS h
+         |  FROM documents WHERE doc_id % $RszMod = 3),
+         |l AS (SELECT doc_id, source, w // 2 AS rw, h // 2 AS rh, luma
+         |  FROM d CROSS JOIN LATERAL
+         |  (SELECT CAST(SUM(((2 * y * w + 2 * x) * 31 + doc_id * 17
+         |     + 2 * y * 7) % 256) AS BIGINT) AS luma
+         |   FROM (SELECT unnest(generate_series(0, w // 2 - 1)) AS x),
+         |        (SELECT unnest(generate_series(0, h // 2 - 1)) AS y)) t)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_images,
+         |  CAST(SUM(rw) AS BIGINT) AS sum_rwidth,
+         |  CAST(SUM(rh) AS BIGINT) AS sum_rheight,
+         |  CAST(SUM(luma) AS BIGINT) AS sum_luma,
+         |  bit_xor(xor(doc_id, luma * 1000003)) AS resize_checksum
          |FROM l GROUP BY 1""".stripMargin,
     "q_image_decode" ->
       s"""WITH d AS (SELECT doc_id, source,

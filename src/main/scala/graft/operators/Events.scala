@@ -881,6 +881,45 @@ object Events {
       .orderBy($"event_type".asc)
   }
 
+  /** ISOTONIC REGRESSION of the daily count series per event type —
+    * the monotone-calibration verb (does traffic trend up, and what is
+    * the best nondecreasing fit?). The sequential PAVA algorithm
+    * doesn't distribute, but its CLOSED FORM does:
+    * iso(i) = max_(j≤i) min_(k≥i) mean(y[j..k]) — and on the
+    * CALENDAR-bounded spine the (j,k) window space is spine², so the
+    * whole fit is three bounded joins (the q_kendall rule: bounded by
+    * the date domain, never by event volume). Window means are ONE
+    * IEEE division of exact BIGINTs (prefix sums; c[j-1] = c[j]−y[j],
+    * no lag join), and min/max over identical doubles are
+    * engine-exact, so the fitted values match DuckDB bit-for-bit.
+    * Scale shape: one shuffle to the daily grid, then spine-bounded
+    * joins + two grouped aggs. */
+  def qIsotonic(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wIdx = Window.partitionBy($"event_type").orderBy($"day".asc)
+    val sp = events(s, d)
+      .groupBy($"event_type", date_trunc("day", $"ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("t", row_number().over(wIdx))
+      .withColumn("c", sum($"y").over(
+        wIdx.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .transform(graft.functions.Cp.local)
+    val j = sp.select($"event_type".as("etj"), $"t".as("j"),
+      ($"c" - $"y").as("cj1"))
+    val k = sp.select($"event_type".as("etk"), $"t".as("k"), $"c".as("ck"))
+    val m = j.join(broadcast(k), $"etj" === $"etk" && $"k" >= $"j")
+      .select($"etj".as("etm"), $"j", $"k",
+        (($"ck" - $"cj1").cast("double") / ($"k" - $"j" + 1)).as("m"))
+    sp.join(broadcast(m),
+        $"event_type" === $"etm" && $"j" <= $"t" && $"k" >= $"t")
+      .groupBy($"event_type", $"t", $"day", $"y", $"j")
+      .agg(min($"m").as("mn"))
+      .groupBy($"event_type", $"t", $"day", $"y")
+      .agg(max($"mn").as("iso"))
+      .select($"event_type", $"day", $"y", $"iso")
+      .orderBy($"event_type".asc, $"day".asc)
+  }
+
   /** Q-Q ALIGNMENT of two value distributions (view vs purchase) — the
     * distribution-compare verb between q_ks_drift's single max-gap
     * statistic and a full histogram diff: every 5th percentile of both
@@ -1422,6 +1461,7 @@ object Events {
     "q_kendall" -> (qKendall _),
     "q_cusum" -> (qCusum _),
     "q_qq" -> (qQq _),
+    "q_isotonic" -> (qIsotonic _),
     "q_countmin" -> (qCountmin _),
     "q_concentration" -> (qConcentration _),
     "q_argmax" -> (qArgmax _),
@@ -1782,6 +1822,29 @@ object Events {
          |MAX(CASE WHEN rem = 0 THEN 55
          |  ELSE 55 - length(bin(rem)) END) AS max_rho
          |FROM r GROUP BY bucket""".stripMargin,
+    "q_isotonic" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(DATE_TRUNC('day', ts) AS DATE) AS day, COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, day, y,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY day ASC) AS t,
+        |  CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS c
+        |  FROM daily),
+        |m AS (SELECT a.event_type, a.t AS j, b.t AS k,
+        |  CAST(b.c - (a.c - a.y) AS DOUBLE) / (b.t - a.t + 1) AS m
+        |  FROM sp a JOIN sp b
+        |  ON a.event_type = b.event_type AND b.t >= a.t),
+        |inner_ AS (SELECT i.event_type, i.t AS ti, i.day, i.y, m.j,
+        |  MIN(m.m) AS mn
+        |  FROM sp i JOIN m ON m.event_type = i.event_type
+        |    AND m.j <= i.t AND m.k >= i.t
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT event_type, day, y, MAX(mn) AS iso
+        |FROM inner_ GROUP BY event_type, ti, day, y
+        |ORDER BY 1 ASC, 2 ASC""".stripMargin,
     "q_qq" ->
       """WITH hist AS (SELECT event_type,
         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
