@@ -29,7 +29,10 @@ object DumpPlans {
     "q_assoc_rules", "q_zorder3", "q_spearman", "q_outlier_mad",
     "q_prefix_join",
     "q_wordpiece", "q_kanon", "q_theilsen", "q_bootstrap",
-    "q_median_ci", "q_audio_energy", "q_video_frames", "q_span_mask")
+    "q_median_ci", "q_audio_energy", "q_video_frames", "q_span_mask",
+    "q_unigram_lm", "q_kmv", "q_kendall", "q_cusum", "q_length_buckets",
+    "q_jaro_linkage", "q_hilbert", "q_mutual_nn", "q_label_prop",
+    "q_qq", "q_isotonic", "q_image_resize")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("plans")
