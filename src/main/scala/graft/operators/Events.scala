@@ -669,6 +669,55 @@ object Events {
       .orderBy($"event_type".asc)
   }
 
+  /** KMV SET ALGEBRA (theta-sketch shape) — what [[qHllSetops]] is to
+    * HLL, this is to [[qKmv]]: audience overlap between the view and
+    * purchase user sets from ONE bounded sketch. The union sketch is
+    * the k smallest distinct hashes of A∪B — a GLOBAL top-k
+    * (TakeOrderedAndProject, never a sort) — and θ = its kth value.
+    * Every register below θ is a uniform sample at rate θ/2⁶⁰, so
+    * |A∩B| ≈ n_both·2⁶⁰/θ and |A∪B| ≈ (k−1)·2⁶⁰/θ, both computed
+    * EXACTLY in DECIMAL(38,0)/HUGEINT; the Jaccard estimate
+    * n_both·10⁹ div k is pure BIGINT. The exact intersection runs
+    * beside the estimate (one distinct-grain agg), so the output is
+    * its own accuracy readout. Under k distinct the sketch falls back
+    * to exact (θ = 2⁶⁰). One distinct-grain shuffle + one top-k;
+    * everything downstream is k-bounded. */
+  def qKmvSetops(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.md5Prefix60
+    val flags = events(s, d)
+      .filter($"event_type".isin("view", "purchase"))
+      .select(md5Prefix60($"user_id".cast("string")).as("h"),
+        ($"event_type" === "view").cast("int").as("a"),
+        ($"event_type" === "purchase").cast("int").as("b"))
+      .groupBy($"h")
+      .agg(max($"a").as("in_a"), max($"b").as("in_b"))
+      .transform(graft.functions.Cp.local)
+    val exact = flags.agg(
+      count(lit(1)).as("exact_union"),
+      sum(($"in_a" === 1 && $"in_b" === 1).cast("long")).as("exact_inter"))
+    val top = flags.orderBy($"h".asc).limit(KmvK)
+      .agg(count(lit(1)).as("n_reg"),
+        max($"h").as("kth"),
+        sum(($"in_a" === 1 && $"in_b" === 1).cast("long")).as("n_both"),
+        sum(($"in_a" === 1 && $"in_b" === 0).cast("long")).as("n_only_a"),
+        sum(($"in_a" === 0 && $"in_b" === 1).cast("long")).as("n_only_b"))
+    top.crossJoin(exact)
+      .withColumn("theta",
+        when($"n_reg" < KmvK, lit(1152921504606846976L)).otherwise($"kth"))
+      .select($"n_reg", $"theta", $"n_both", $"n_only_a", $"n_only_b",
+        when($"n_reg" < KmvK, $"n_reg").otherwise(expr(
+          s"CAST(CAST(${KmvK - 1} AS DECIMAL(38,0)) * " +
+            "CAST(1152921504606846976 AS DECIMAL(38,0)) DIV theta" +
+            " AS BIGINT)")).as("est_union"),
+        when($"n_reg" < KmvK, $"n_both").otherwise(expr(
+          "CAST(CAST(n_both AS DECIMAL(38,0)) * " +
+            "CAST(1152921504606846976 AS DECIMAL(38,0)) DIV theta" +
+            " AS BIGINT)")).as("est_inter"),
+        expr(s"n_both * 1000000000 DIV $KmvK").as("jaccard_e9"),
+        $"exact_union", $"exact_inter")
+  }
+
   private val HllBuckets = 64L // 2^6 registers
 
   /** HYPERLOGLOG register construction — the mergeable
@@ -1458,6 +1507,7 @@ object Events {
     "q_hll_setops" -> (qHllSetops _),
     "q_hll_registers" -> (qHllRegisters _),
     "q_kmv" -> (qKmv _),
+    "q_kmv_setops" -> (qKmvSetops _),
     "q_kendall" -> (qKendall _),
     "q_cusum" -> (qCusum _),
     "q_qq" -> (qQq _),
@@ -1930,6 +1980,42 @@ object Events {
          |  sqrt(CAST((k.n0 - k.tx) * (k.n0 - k.ty) AS DOUBLE)) AS tau_b
          |FROM k JOIN nd_ USING (event_type)
          |ORDER BY event_type ASC""".stripMargin,
+    "q_kmv_setops" ->
+      s"""WITH flags AS MATERIALIZED (
+         |  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+         |    1, 15)) AS BIGINT) AS h,
+         |  MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS in_a,
+         |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |    AS in_b
+         |  FROM events WHERE event_type IN ('view', 'purchase')
+         |  GROUP BY 1),
+         |ex AS (SELECT COUNT(*) AS exact_union,
+         |  CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS exact_inter FROM flags),
+         |tk AS (SELECT * FROM flags ORDER BY h ASC LIMIT $KmvK),
+         |top AS (SELECT COUNT(*) AS n_reg, MAX(h) AS kth,
+         |  CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_both,
+         |  CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_only_a,
+         |  CAST(SUM(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_only_b
+         |  FROM tk),
+         |th AS (SELECT *, CASE WHEN n_reg < $KmvK
+         |    THEN 1152921504606846976 ELSE kth END AS theta
+         |  FROM top)
+         |SELECT n_reg, theta, n_both, n_only_a, n_only_b,
+         |CAST(CASE WHEN n_reg < $KmvK THEN n_reg
+         |  ELSE CAST((${KmvK - 1}::HUGEINT *
+         |    1152921504606846976::HUGEINT) // theta AS BIGINT)
+         |  END AS BIGINT) AS est_union,
+         |CAST(CASE WHEN n_reg < $KmvK THEN n_both
+         |  ELSE CAST((n_both::HUGEINT *
+         |    1152921504606846976::HUGEINT) // theta AS BIGINT)
+         |  END AS BIGINT) AS est_inter,
+         |n_both * 1000000000 // $KmvK AS jaccard_e9,
+         |ex.exact_union, ex.exact_inter
+         |FROM th CROSS JOIN ex""".stripMargin,
     "q_kmv" ->
       s"""WITH hdist AS MATERIALIZED (
          |  SELECT DISTINCT event_type, user_id % 2 AS half,

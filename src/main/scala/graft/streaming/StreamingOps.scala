@@ -63,6 +63,11 @@ case class TokenEv(ts: Timestamp, term: String)
 /** A timestamped raw-text document (streaming corpus element). */
 case class DocEv(ts: Timestamp, text: String)
 
+/** Per-window KMV sketch state/output (k smallest distinct hashes). */
+case class KmvState(hashes: Seq[Long])
+case class KmvOut(windowStartUs: Long, nReg: Int, kth: Long,
+                  regChecksum: Long)
+
 /** A window's current heavy-hitter candidate set (Misra–Gries summary
   * keys; counts are deliberately absent — they are underestimates, the
   * exact recount is a batch probe, the q_heavy_hitters discipline).
@@ -751,6 +756,68 @@ object StreamingOps {
 
     override def handleExpiredTimer(w: Long, tv: TimerValues,
                                     info: ExpiredTimerInfo): Iterator[HhOut] =
+      Iterator.empty
+  }
+
+  /** md5-60 of a key's decimal string — the house hash family
+    * computed JVM-side, byte-identical to the engine's
+    * `md5Prefix60(cast(k as string))` (asserted in StreamingSpec
+    * against a batch plan). */
+  def md5Prefix60Jvm(key: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+  }
+
+  /** Windowed KMV DISTINCT sketch — the streaming twin of q_kmv:
+    * per window, the k smallest distinct user hashes via
+    * transformWithState. State is EXACTLY k longs per active window —
+    * volume- and cardinality-independent (a windowed groupBy(user)
+    * would hold O(distinct users)); the register set is
+    * order-insensitive (min-k of a set), so the sketch is
+    * deterministic under any arrival order and merges across shards
+    * by union+re-top-k — the same property q_kmv proves in-query.
+    * Update mode emits the window's current (n, kth, checksum)
+    * whenever a batch touches it; per-window equality with the batch
+    * construction is asserted in StreamingSpec. */
+  def windowedKmv(events: Dataset[Ev], k: Int = 64,
+                  windowLenUs: Long = 3600L * 1000000): Dataset[KmvOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e =>
+      Math.floorDiv(e.ts.getTime * 1000, windowLenUs) * windowLenUs)
+      .transformWithState(new KmvProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  class KmvProcessor(k: Int) extends StatefulProcessor[Long, Ev, KmvOut] {
+    @transient private var st: ValueState[KmvState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[KmvState](
+        "kmv", Encoders.product[KmvState], TTLConfig.NONE)
+
+    override def handleInputRows(windowStartUs: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[KmvOut] = {
+      val set = scala.collection.mutable.SortedSet.empty[Long]
+      if (st.exists()) set ++= st.get().hashes
+      rows.foreach { ev =>
+        val h = md5Prefix60Jvm(ev.userId.toString)
+        if (set.size < k) set += h
+        else if (h < set.max && !set.contains(h)) { set += h; set -= set.max }
+      }
+      val regs = set.toSeq
+      st.update(KmvState(regs))
+      val checksum = regs.zipWithIndex
+        .map { case (h, i) => h ^ ((i + 1).toLong * 1000003L) }
+        .reduceOption(_ ^ _).getOrElse(0L)
+      Iterator.single(
+        KmvOut(windowStartUs, regs.size, regs.lastOption.getOrElse(0L),
+          checksum))
+    }
+
+    override def handleExpiredTimer(w: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[KmvOut] =
       Iterator.empty
   }
 

@@ -197,6 +197,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed KMV sketch equals the batch k-minimum construction") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.md5Prefix60
+    // JVM-side md5 must be byte-identical to the engine's hash family
+    val engineHashes = Seq(1L, 7L, 12345L).toDF("u")
+      .select(md5Prefix60($"u".cast("string"))).as[Long].collect().toSeq
+    assert(engineHashes ===
+      Seq(1L, 7L, 12345L).map(u => StreamingOps.md5Prefix60Jvm(u.toString)))
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val data = (1 to 300).map(i => ev(i, min = i % 50, user = i % 40))
+    val in = MemoryStream[Ev](spark)
+    val q = StreamingOps.windowedKmv(in.toDS(), k = 16)
+      .writeStream.format("memory").queryName("skmv")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(data: _*); q.processAllAvailable()
+      val got = spark.table("skmv")
+        .filter($"windowStartUs" === 0L)
+        .select($"nReg", $"kth", $"regChecksum")
+        .as[(Int, Long, Long)].head()
+      // batch twin: k smallest distinct hashes of the same rows
+      val regs = data.map(_.userId).distinct
+        .map(u => StreamingOps.md5Prefix60Jvm(u.toString))
+        .distinct.sorted.take(16)
+      val want = (regs.size,
+        regs.last,
+        regs.zipWithIndex.map { case (h, i) =>
+          h ^ ((i + 1).toLong * 1000003L) }.reduce(_ ^ _))
+      assert((got._1, got._2, got._3) === want)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join matches purchases to in-window signups") {
     import spark.implicits._
     val signups = MemoryStream[Ev](spark)
