@@ -1027,6 +1027,65 @@ object TextAnalysis {
       .orderBy($"wlen".asc)
   }
 
+  private val CalBinW = 8
+  private val CalClamp = 512L // fixed ±domain → ≤ 128 bins at any SF
+
+  /** MODEL-SCORE CALIBRATION curve — the verb that turns a raw
+    * quality score into a probability: bin the [[qQualityModel]]
+    * per-doc score (floor-div bins, negative-safe via pmod), label
+    * each doc with ground truth it carries anyway (fingerprint
+    * duplicated ≥2×), and fit the WEIGHTED isotonic regression of
+    * dup-rate over score bins — the same distributable minimax closed
+    * form as [[graft.operators.Events.qIsotonic]], with window means
+    * as exact dup/count prefix-sum ratios (one IEEE division each, so
+    * the calibrated curve is bit-equal in both engines). The global
+    * windows run over the BIN spine — bounded by the score domain,
+    * never by corpus size (the q_open_interval rule). Scale shape:
+    * one fp-partitioned window for labels, one bin agg, then
+    * spine-bounded joins. */
+  def qCalibration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val half = (QmMod - 1) / 2
+    val score = aggregate(
+      transform(tokens($"text"), t => md5Prefix60(t) % QmMod - half),
+      lit(0L), (acc, x) => acc + x)
+    // clamp to a FIXED score domain before binning: raw score tails
+    // widen with corpus size (sf0.01→sf0.1 grew the bin spine 425→
+    // 1480), and the isotonic spine³ join must be bounded by
+    // CONSTRUCTION, not by luck — calibration curves saturate at the
+    // clamp exactly like production score clipping
+    val base = Tables.documents(s, d)
+      .select(greatest(lit(-CalClamp), least(lit(CalClamp - 1), score))
+        .as("score"), md5Prefix60($"text").as("fp"))
+    val lab = base
+      .withColumn("dup",
+        (count(lit(1)).over(Window.partitionBy($"fp")) > 1).cast("long"))
+      .select(expr(s"(score - pmod(score, $CalBinW)) DIV $CalBinW")
+        .as("bin"), $"dup")
+    val wIdx = Window.orderBy($"bin".asc)
+    val cum = wIdx.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sp = lab.groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"dup").as("nd"))
+      .withColumn("t", row_number().over(wIdx))
+      .withColumn("cn", sum($"n").over(cum))
+      .withColumn("cd", sum($"nd").over(cum))
+      .transform(graft.functions.Cp.local)
+    val j = sp.select($"t".as("j"), ($"cn" - $"n").as("cnj"),
+      ($"cd" - $"nd").as("cdj"))
+    val k = sp.select($"t".as("k"), $"cn".as("cnk"), $"cd".as("cdk"))
+    val m = j.join(broadcast(k), $"k" >= $"j")
+      .select($"j", $"k",
+        (($"cdk" - $"cdj").cast("double") / ($"cnk" - $"cnj")).as("m"))
+    sp.join(broadcast(m), $"j" <= $"t" && $"k" >= $"t")
+      .groupBy($"bin", $"t", $"n", $"nd", $"j")
+      .agg(min($"m").as("mn"))
+      .groupBy($"bin", $"t", $"n", $"nd")
+      .agg(max($"mn").as("iso_rate"))
+      .select($"bin", $"n", $"nd".as("n_dup"),
+        expr("nd * 1000000000 DIV n").as("rate_e9"), $"iso_rate")
+      .orderBy($"bin".asc)
+  }
+
   /** LENGTH-BUCKET PADDING CENSUS — the dynamic-batching efficiency
     * report: every document lands in the smallest power-of-two token
     * bucket that holds it (computed with shift/bin integer ops — no
@@ -1165,6 +1224,7 @@ object TextAnalysis {
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_dup_span_coverage" -> (qDupSpanCoverage _),
     "q_quality_model" -> (qQualityModel _),
+    "q_calibration" -> (qCalibration _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_bloom_decontam" -> (qBloomDecontam _),
     "q_pmi_bigrams" -> (qPmiBigrams _),
@@ -1623,6 +1683,41 @@ object TextAnalysis {
          |SELECT doc_id, n_spans, n_dup,
          |  n_dup * 1000000000 // n_spans AS ratio_e9
          |FROM pd ORDER BY ratio_e9 DESC, doc_id ASC LIMIT $CoverTopK""".stripMargin,
+    "q_calibration" ->
+      s"""WITH tok AS (SELECT text, string_split(text, ' ') AS t
+         |  FROM documents),
+         |sc AS (SELECT GREATEST(-$CalClamp, LEAST(${CalClamp - 1},
+         |    CAST(list_sum(list_transform(t,
+         |    x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % $QmMod
+         |         - ${(QmMod - 1) / 2})) AS BIGINT))) AS score,
+         |  CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS fp
+         |  FROM tok),
+         |lab AS (SELECT
+         |  (score - ((score % $CalBinW) + $CalBinW) % $CalBinW)
+         |    // $CalBinW AS bin,
+         |  CASE WHEN COUNT(*) OVER (PARTITION BY fp) > 1
+         |    THEN 1 ELSE 0 END AS dup
+         |  FROM sc),
+         |bins AS (SELECT bin, COUNT(*) AS n,
+         |  CAST(SUM(dup) AS BIGINT) AS nd FROM lab GROUP BY 1),
+         |sp AS (SELECT bin, n, nd,
+         |  ROW_NUMBER() OVER (ORDER BY bin ASC) AS t,
+         |  CAST(SUM(n) OVER (ORDER BY bin ASC ROWS BETWEEN UNBOUNDED
+         |    PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+         |  CAST(SUM(nd) OVER (ORDER BY bin ASC ROWS BETWEEN UNBOUNDED
+         |    PRECEDING AND CURRENT ROW) AS BIGINT) AS cd
+         |  FROM bins),
+         |m AS (SELECT a.t AS j, b.t AS k,
+         |  CAST(b.cd - (a.cd - a.nd) AS DOUBLE)
+         |    / (b.cn - (a.cn - a.n)) AS m
+         |  FROM sp a JOIN sp b ON b.t >= a.t),
+         |inner_ AS (SELECT i.bin, i.t AS ti, i.n, i.nd, m.j,
+         |  MIN(m.m) AS mn
+         |  FROM sp i JOIN m ON m.j <= i.t AND m.k >= i.t
+         |  GROUP BY 1, 2, 3, 4, 5)
+         |SELECT bin, n, nd AS n_dup, nd * 1000000000 // n AS rate_e9,
+         |MAX(mn) AS iso_rate
+         |FROM inner_ GROUP BY bin, ti, n, nd ORDER BY 1 ASC""".stripMargin,
     "q_quality_model" ->
       s"""WITH tok AS (SELECT lang, string_split(text,' ') AS t FROM documents),
          |sc AS (SELECT lang, CAST(list_sum(list_transform(t,
