@@ -1027,6 +1027,46 @@ object TextAnalysis {
       .orderBy($"wlen".asc)
   }
 
+  /** Two-sided-geometric CDF thresholds for ε=0.5 (α=e^−ε), z=−8..7,
+    * scaled to 2⁶⁰ — MODEL CONSTANTS precomputed offline (the
+    * q_bootstrap fixed-cumulative-table discipline; no libm in either
+    * engine). Noise beyond ±8 collapses into the end buckets —
+    * P ≈ 2·α⁹/(1+α) < 1.4%, documented truncation. */
+  private val DpThresholds = Seq(
+    13144158698603538L, 21671054031845768L, 35729527740795888L,
+    58908032378320480L, 97122925997228832L, 160128633964265600L,
+    264007484865039712L, 435274755921033152L, 717646748685813760L,
+    888914019741807232L, 992792870642581376L, 1055798578609618176L,
+    1094013472228526464L, 1117191976866051072L, 1131250450575001216L,
+    1139777345908243456L)
+
+  /** DIFFERENTIALLY-PRIVATE COUNT RELEASE (geometric mechanism) — the
+    * noisy counterpart of [[qKanon]]'s suppression: each (lang,
+    * source) cell count gets two-sided-geometric noise for ε=0.5,
+    * drawn DETERMINISTICALLY from md5(lang:source) against the
+    * [[DpThresholds]] CDF table — hash-not-rand, so the release is
+    * reproducible across reruns/retries/repartitions and the oracle
+    * recomputes it exactly (the distributed-bootstrap property; a
+    * rand() release could never be audited). Noise = −8 + #{t ≤ u},
+    * pure integer compares; released count clamps at 0. ε and the
+    * raw count ride along so the spec/consumer can audit utility.
+    * Scale shape: one cell agg + a 16-term narrow map. */
+  def qDpCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val u = pmod(md5Prefix60(concat($"lang", lit(":"), $"source")),
+      lit(1152921504606846976L))
+    val noise = DpThresholds
+      .map(t => ($"u" >= t).cast("long"))
+      .reduce(_ + _) - lit(8L)
+    Tables.documents(s, d)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
+      .withColumn("u", u)
+      .withColumn("z", noise)
+      .select($"lang", $"source", $"n", $"z",
+        greatest(lit(0L), $"n" + $"z").as("n_released"))
+      .orderBy($"lang".asc, $"source".asc)
+  }
+
   private val CalBinW = 8
   private val CalClamp = 512L // fixed ±domain → ≤ 128 bins at any SF
 
@@ -1225,6 +1265,7 @@ object TextAnalysis {
     "q_dup_span_coverage" -> (qDupSpanCoverage _),
     "q_quality_model" -> (qQualityModel _),
     "q_calibration" -> (qCalibration _),
+    "q_dp_counts" -> (qDpCounts _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_bloom_decontam" -> (qBloomDecontam _),
     "q_pmi_bigrams" -> (qPmiBigrams _),
@@ -1683,6 +1724,22 @@ object TextAnalysis {
          |SELECT doc_id, n_spans, n_dup,
          |  n_dup * 1000000000 // n_spans AS ratio_e9
          |FROM pd ORDER BY ratio_e9 DESC, doc_id ASC LIMIT $CoverTopK""".stripMargin,
+    "q_dp_counts" -> {
+      val terms = DpThresholds
+        .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH g AS (SELECT lang, source, COUNT(*) AS n FROM documents
+         |  GROUP BY 1, 2),
+         |h AS (SELECT lang, source, n,
+         |  CAST(('0x' || substr(md5(lang || ':' || source), 1, 15))
+         |    AS BIGINT) % 1152921504606846976 AS u
+         |  FROM g),
+         |z AS (SELECT lang, source, n,
+         |  u, CAST($terms - 8 AS BIGINT) AS z FROM h)
+         |SELECT lang, source, n, z,
+         |GREATEST(0, n + z) AS n_released
+         |FROM z ORDER BY 1 ASC, 2 ASC""".stripMargin
+    },
     "q_calibration" ->
       s"""WITH tok AS (SELECT text, string_split(text, ' ') AS t
          |  FROM documents),
