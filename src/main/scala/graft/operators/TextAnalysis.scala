@@ -707,6 +707,41 @@ object TextAnalysis {
       .orderBy($"containment_e9".desc, $"src_a".asc, $"src_b".asc)
   }
 
+  /** N-GRAM NOVELTY curve — "how much of each document is NEW to the
+    * corpus?", the ingest-monitoring verb behind dedup budgeting and
+    * repetition audits: every distinct 5-gram gets a first-seeing
+    * document (min doc_id at the shingle grain), a document's novel
+    * mass is the shingles IT introduced, and the per-source report
+    * carries exact integer novelty ratios plus a per-doc
+    * (doc ⊕ novel-count) checksum proving every document's novelty,
+    * not just the totals. Scale shape: one distinct posting shuffle +
+    * one shingle-grain agg; the posting-side join carries
+    * `hint("merge")` (corpus-grown side — the round-9 AQE-broadcast
+    * rule). */
+  def qNgramNovelty(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val post = Tables.documents(s, d)
+      .select($"doc_id", $"source", tokens($"text").as("t"))
+      .select($"doc_id", $"source",
+        explode(wordGrams($"t", OverlapN)).as("g"))
+      .select($"doc_id", $"source", md5Prefix60($"g").as("h"))
+      .distinct()
+      .transform(graft.functions.Cp.local)
+    val first = post.groupBy($"h").agg(min($"doc_id").as("first_doc"))
+    post.join(first.hint("merge"), Seq("h"))
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(($"first_doc" === $"doc_id").cast("long")).as("n_novel"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_sh").as("n_shingles"),
+        sum($"n_novel").as("n_novel"),
+        expr("sum(n_novel) * 1000000000 DIV sum(n_sh)").as("novelty_e9"),
+        bit_xor($"doc_id".bitwiseXOR($"n_novel" * lit(1000003L)))
+          .as("novelty_checksum"))
+      .orderBy($"source".asc)
+  }
+
   /** Misra–Gries counter budget per partition for [[qHeavyHitters]].
     * Guarantee: any item with partition frequency > n_p/(k+1) survives
     * the partition's summary, so any GLOBAL heavy hitter (count >
@@ -1126,6 +1161,38 @@ object TextAnalysis {
       .orderBy($"bin".asc)
   }
 
+  /** NORMALIZATION-LADDER DEDUP GAIN — the question every dedup
+    * pipeline answers before choosing its canonical form: how many
+    * extra collisions does each normalization level buy? Four
+    * fingerprints per doc (raw, lowercase, +digit-fold, +punct-strip
+    * & whitespace-collapse — the standard ladder), distinct counts
+    * per source at every level, the raw→full gain, and a bit_xor
+    * checksum over the FULLY-normalized fingerprints — the oracle
+    * match proves every document's normalized form byte-for-byte,
+    * not just the counts (both engines' regexp_replace replace ALL:
+    * Spark by default, DuckDB via the 'g' flag). Scale shape: narrow
+    * per-doc maps + one source-grain multi-distinct agg. */
+  def qNormalizeDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val l1 = lower($"text")
+    val l2 = regexp_replace(l1, "[0-9]+", "0")
+    val l3 = trim(regexp_replace(regexp_replace(l2, "[^a-z0-9 ]", ""),
+      " +", " "))
+    Tables.documents(s, d)
+      .select($"source",
+        md5Prefix60($"text").as("f0"), md5Prefix60(l1).as("f1"),
+        md5Prefix60(l2).as("f2"), md5Prefix60(l3).as("f3"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"f0").as("d_raw"),
+        countDistinct($"f1").as("d_lower"),
+        countDistinct($"f2").as("d_digitfold"),
+        countDistinct($"f3").as("d_full"),
+        bit_xor($"f3").as("norm_checksum"))
+      .withColumn("gain", $"d_raw" - $"d_full")
+      .orderBy($"source".asc)
+  }
+
   /** LENGTH-BUCKET PADDING CENSUS — the dynamic-batching efficiency
     * report: every document lands in the smallest power-of-two token
     * bucket that holds it (computed with shift/bin integer ops — no
@@ -1266,6 +1333,8 @@ object TextAnalysis {
     "q_quality_model" -> (qQualityModel _),
     "q_calibration" -> (qCalibration _),
     "q_dp_counts" -> (qDpCounts _),
+    "q_normalize_dedup" -> (qNormalizeDedup _),
+    "q_ngram_novelty" -> (qNgramNovelty _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_bloom_decontam" -> (qBloomDecontam _),
     "q_pmi_bigrams" -> (qPmiBigrams _),
@@ -1724,6 +1793,46 @@ object TextAnalysis {
          |SELECT doc_id, n_spans, n_dup,
          |  n_dup * 1000000000 // n_spans AS ratio_e9
          |FROM pd ORDER BY ratio_e9 DESC, doc_id ASC LIMIT $CoverTopK""".stripMargin,
+    "q_ngram_novelty" ->
+      s"""WITH tok AS (SELECT doc_id, source, string_split(text,' ') AS t
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source,
+         |  CAST(('0x'||substr(md5(g),1,15)) AS BIGINT) AS h FROM
+         |  (SELECT doc_id, source, unnest(${sqlGrams(OverlapN)}) AS g
+         |   FROM tok)),
+         |fi AS (SELECT h, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+         |pd AS (SELECT sh.doc_id, sh.source, COUNT(*) AS n_sh,
+         |  CAST(SUM(CASE WHEN fi.first_doc = sh.doc_id THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_novel
+         |  FROM sh JOIN fi USING (h) GROUP BY 1, 2)
+         |SELECT source, COUNT(*) AS n_docs,
+         |CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+         |CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+         |CAST(SUM(n_novel) AS BIGINT) * 1000000000
+         |  // CAST(SUM(n_sh) AS BIGINT) AS novelty_e9,
+         |bit_xor(xor(doc_id, n_novel * 1000003)) AS novelty_checksum
+         |FROM pd GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
+    "q_normalize_dedup" ->
+      """WITH f AS (SELECT source,
+        |  CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS f0,
+        |  CAST(('0x'||substr(md5(lower(text)),1,15)) AS BIGINT) AS f1,
+        |  CAST(('0x'||substr(md5(
+        |    regexp_replace(lower(text), '[0-9]+', '0', 'g')
+        |  ),1,15)) AS BIGINT) AS f2,
+        |  CAST(('0x'||substr(md5(
+        |    trim(regexp_replace(regexp_replace(
+        |      regexp_replace(lower(text), '[0-9]+', '0', 'g'),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
+        |  ),1,15)) AS BIGINT) AS f3
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |CAST(COUNT(DISTINCT f0) AS BIGINT) AS d_raw,
+        |CAST(COUNT(DISTINCT f1) AS BIGINT) AS d_lower,
+        |CAST(COUNT(DISTINCT f2) AS BIGINT) AS d_digitfold,
+        |CAST(COUNT(DISTINCT f3) AS BIGINT) AS d_full,
+        |bit_xor(f3) AS norm_checksum,
+        |CAST(COUNT(DISTINCT f0) - COUNT(DISTINCT f3) AS BIGINT) AS gain
+        |FROM f GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "q_dp_counts" -> {
       val terms = DpThresholds
         .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
