@@ -972,6 +972,43 @@ object Dedup {
         bit_xor($"ra" * lit(1073741824L) + $"rb").as("pair_checksum"))
   }
 
+  /** MINHASH BANDING EVALUATION — the tuning loop every LSH deployment
+    * runs before committing band/row parameters: candidates from the
+    * production banding ([[qMinhashPairs]]' shared core) measured
+    * against the engine's own EXACT truth (df-capped Jaccard pairs at
+    * J > 1/2, the [[qKcore]] edge definition) — recall, precision and
+    * a bit_xor over the MISSED pairs, so the oracle match proves
+    * exactly WHICH true pairs the banding lost, not just how many
+    * (the q_ann_recall idea applied to dedup). Scale shape: both
+    * pipelines are the existing bounded-bucket shapes; the pair-grain
+    * joins carry `hint("merge")` (corpus-grown sides); the report is
+    * four 1-row aggs cross-joined. */
+  def qMinhashRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val truth = jaccardPairs(s, d)
+      .filter(lit(3) * $"inter" > $"na" + $"nb")
+      .select($"doc_a", $"doc_b")
+      .transform(graft.functions.Cp.local)
+    val cand = minhashCandidates(Tables.documents(s, d))
+      .select($"doc_a", $"doc_b")
+      .transform(graft.functions.Cp.local)
+    val hit = truth.join(cand.hint("merge"), Seq("doc_a", "doc_b"))
+    val missed = truth.join(cand.hint("merge"), Seq("doc_a", "doc_b"),
+      "left_anti")
+    val t = truth.agg(count(lit(1)).as("n_truth"))
+    val c = cand.agg(count(lit(1)).as("n_cand"))
+    val h = hit.agg(count(lit(1)).as("n_hit"))
+    val m = missed.agg(coalesce(bit_xor(expr("doc_a * 1000003 ^ doc_b")),
+      lit(0L)).as("missed_checksum"))
+    t.crossJoin(c).crossJoin(h).crossJoin(m)
+      .select($"n_truth", $"n_cand", $"n_hit",
+        expr("CASE WHEN n_truth = 0 THEN 1000000000" +
+          " ELSE n_hit * 1000000000 DIV n_truth END").as("recall_e9"),
+        expr("CASE WHEN n_cand = 0 THEN 1000000000" +
+          " ELSE n_hit * 1000000000 DIV n_cand END").as("precision_e9"),
+        $"missed_checksum")
+  }
+
   /** JARO–WINKLER RECORD LINKAGE — the edit-distance-free third member
     * of the fuzzy family ([[qFuzzyMatch]] blocked Levenshtein,
     * [[qFuzzyExact]] FastSS exact-recall): prefix-weighted similarity
@@ -1005,6 +1042,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jaro_linkage" -> (qJaroLinkage _),
+    "q_minhash_recall" -> (qMinhashRecall _),
     "q_label_prop" -> (qLabelProp _),
     "q_kcore" -> (qKcore _),
     "q_degree_dist" -> (qDegreeDist _),
@@ -1136,6 +1174,25 @@ object Dedup {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_minhash_recall" ->
+      s"""WITH tr AS MATERIALIZED ($jaccardEdgesSql),
+         |cd AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+         |  $minhashCandCtes
+         |  SELECT doc_a, doc_b FROM cand) mq),
+         |t AS (SELECT COUNT(*) AS n_truth FROM tr),
+         |c AS (SELECT COUNT(*) AS n_cand FROM cd),
+         |h AS (SELECT COUNT(*) AS n_hit FROM tr JOIN cd
+         |  USING (doc_a, doc_b)),
+         |m AS (SELECT COALESCE(bit_xor(xor(doc_a * 1000003, doc_b)), 0)
+         |    AS missed_checksum
+         |  FROM tr ANTI JOIN cd USING (doc_a, doc_b))
+         |SELECT n_truth, n_cand, n_hit,
+         |CASE WHEN n_truth = 0 THEN 1000000000
+         |  ELSE n_hit * 1000000000 // n_truth END AS recall_e9,
+         |CASE WHEN n_cand = 0 THEN 1000000000
+         |  ELSE n_hit * 1000000000 // n_cand END AS precision_e9,
+         |missed_checksum
+         |FROM t CROSS JOIN c CROSS JOIN h CROSS JOIN m""".stripMargin,
     "q_label_prop" -> labelPropSql,
     "q_jaro_linkage" ->
       """WITH w AS (SELECT p_name AS w, COUNT(*) AS n FROM part
