@@ -972,6 +972,42 @@ object Dedup {
         bit_xor($"ra" * lit(1073741824L) + $"rb").as("pair_checksum"))
   }
 
+  private val ReachDepth = 4
+
+  /** NATIVE RECURSIVE-CTE REACHABILITY — the SQL-surface member of the
+    * graph family: Spark 4.1's `WITH RECURSIVE` (UnionLoop) drives a
+    * depth-capped BFS from the seed documents (doc_id ≡ 0 mod 10)
+    * over the near-dup edges, where [[qDupDepth]] hand-rolls the same
+    * iteration as checkpointed rounds — this entry proves a pure-SQL
+    * user gets the verb too, engine-iterated. The recursive step uses
+    * UNION (distinct), so working-set rows are bounded by
+    * nodes × depth, never by path count (UNION ALL would enumerate
+    * paths — combinatorial on cliques, exactly what near-dup clusters
+    * are). Census: per min-depth layer, reached-node count + bit_xor
+    * checksum. Oracle: the same recursive SQL in DuckDB. */
+  def qReachability(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val und = jaccardPairs(s, d)
+      .filter(lit(3) * $"inter" > $"na" + $"nb")
+      .select($"doc_a", $"doc_b")
+      .transform(graft.functions.Cp.local)
+    und.select($"doc_a".as("u"), $"doc_b".as("v"))
+      .union(und.select($"doc_b".as("u"), $"doc_a".as("v")))
+      .createOrReplaceTempView("graft_nd_edges")
+    s.sql(
+      s"""WITH RECURSIVE reach(node, depth) AS (
+         |  SELECT DISTINCT u AS node, 0 AS depth FROM graft_nd_edges
+         |  WHERE u % 10 = 0
+         |  UNION ALL
+         |  SELECT e.v, r.depth + 1 FROM reach r
+         |  JOIN graft_nd_edges e ON e.u = r.node
+         |  WHERE r.depth < $ReachDepth),
+         |md AS (SELECT node, MIN(depth) AS depth FROM reach GROUP BY 1)
+         |SELECT depth, COUNT(*) AS n_reached,
+         |bit_xor(node) AS layer_checksum
+         |FROM md GROUP BY 1 ORDER BY 1 ASC""".stripMargin)
+  }
+
   /** MINHASH BANDING EVALUATION — the tuning loop every LSH deployment
     * runs before committing band/row parameters: candidates from the
     * production banding ([[qMinhashPairs]]' shared core) measured
@@ -1043,6 +1079,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jaro_linkage" -> (qJaroLinkage _),
     "q_minhash_recall" -> (qMinhashRecall _),
+    "q_reachability" -> (qReachability _),
     "q_label_prop" -> (qLabelProp _),
     "q_kcore" -> (qKcore _),
     "q_degree_dist" -> (qDegreeDist _),
@@ -1174,6 +1211,21 @@ object Dedup {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_reachability" ->
+      s"""WITH RECURSIVE pj AS MATERIALIZED ($jaccardEdgesSql),
+         |ed AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pj
+         |  UNION ALL SELECT doc_b, doc_a FROM pj),
+         |reach(node, depth) AS (
+         |  SELECT DISTINCT u AS node, 0 AS depth FROM ed
+         |  WHERE u % 10 = 0
+         |  UNION ALL
+         |  SELECT e.v, r.depth + 1 FROM reach r
+         |  JOIN ed e ON e.u = r.node
+         |  WHERE r.depth < $ReachDepth),
+         |md AS (SELECT node, MIN(depth) AS depth FROM reach GROUP BY 1)
+         |SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_reached,
+         |bit_xor(node) AS layer_checksum
+         |FROM md GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "q_minhash_recall" ->
       s"""WITH tr AS MATERIALIZED ($jaccardEdgesSql),
          |cd AS MATERIALIZED (SELECT doc_a, doc_b FROM (
