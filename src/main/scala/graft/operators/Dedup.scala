@@ -972,6 +972,31 @@ object Dedup {
         bit_xor($"ra" * lit(1073741824L) + $"rb").as("pair_checksum"))
   }
 
+  /** DEDUP THRESHOLD SWEEP — the knob-setting census run before
+    * committing a Jaccard cutoff: pair counts and pair checksums at
+    * J ≥ 1/3, 1/2 and 2/3 from ONE pass over the shared pair
+    * pipeline, with every threshold expressed as an exact integer
+    * cross-multiplication (J = i/(na+nb−i) ≥ t ⟺ (1+t)·i ≥ t·(na+nb)
+    * in integers — 4i ≥ na+nb, 3i ≥ na+nb, 5i ≥ 2(na+nb)), so the
+    * sweep is engine-exact at every boundary. One-pass multi-metric
+    * via stack/UNION ALL (the q_corpus_stats idiom). */
+  def qThresholdSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = jaccardPairs(s, d)
+      .select($"doc_a", $"doc_b", $"inter", ($"na" + $"nb").as("sz"))
+      .transform(graft.functions.Cp.local)
+    def at(cond: Column, label: String) =
+      p.filter(cond).agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(bit_xor(expr("doc_a * 1000003 ^ doc_b")), lit(0L))
+          .as("pair_checksum"))
+        .select(lit(label).as("threshold"), $"n_pairs", $"pair_checksum")
+    at(lit(4) * $"inter" >= $"sz", "j_1_3")
+      .unionAll(at(lit(3) * $"inter" >= $"sz", "j_1_2"))
+      .unionAll(at(lit(5) * $"inter" >= lit(2) * $"sz", "j_2_3"))
+      .orderBy($"threshold".asc)
+  }
+
   private val ReachDepth = 4
 
   /** NATIVE RECURSIVE-CTE REACHABILITY — the SQL-surface member of the
@@ -1080,6 +1105,7 @@ object Dedup {
     "q_jaro_linkage" -> (qJaroLinkage _),
     "q_minhash_recall" -> (qMinhashRecall _),
     "q_reachability" -> (qReachability _),
+    "q_threshold_sweep" -> (qThresholdSweep _),
     "q_label_prop" -> (qLabelProp _),
     "q_kcore" -> (qKcore _),
     "q_degree_dist" -> (qDegreeDist _),
@@ -1211,6 +1237,34 @@ object Dedup {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_threshold_sweep" ->
+      s"""WITH $tokCte,
+         |sh AS (SELECT doc_id, unnest(${shingleExpr(JaccardN)}) AS s
+         |  FROM tok),
+         |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
+         |rare AS (SELECT s FROM ds GROUP BY s HAVING COUNT(*) <= $DfCap),
+         |dsr AS (SELECT ds.doc_id, ds.s FROM ds JOIN rare USING (s)),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  COUNT(*) AS inter
+         |  FROM dsr a JOIN dsr b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pp AS MATERIALIZED (SELECT doc_a, doc_b, inter,
+         |  sa.n + sb.n AS sz
+         |  FROM pr JOIN sz sa ON sa.doc_id = doc_a
+         |  JOIN sz sb ON sb.doc_id = doc_b)
+         |SELECT 'j_1_3' AS threshold, COUNT(*) AS n_pairs,
+         |  COALESCE(bit_xor(xor(doc_a * 1000003, doc_b)), 0)
+         |    AS pair_checksum FROM pp WHERE 4 * inter >= sz
+         |UNION ALL
+         |SELECT 'j_1_2', COUNT(*),
+         |  COALESCE(bit_xor(xor(doc_a * 1000003, doc_b)), 0)
+         |  FROM pp WHERE 3 * inter >= sz
+         |UNION ALL
+         |SELECT 'j_2_3', COUNT(*),
+         |  COALESCE(bit_xor(xor(doc_a * 1000003, doc_b)), 0)
+         |  FROM pp WHERE 5 * inter >= 2 * sz
+         |ORDER BY 1 ASC""".stripMargin,
     "q_reachability" ->
       s"""WITH RECURSIVE pj AS MATERIALIZED ($jaccardEdgesSql),
          |ed AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pj

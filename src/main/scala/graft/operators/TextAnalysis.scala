@@ -1161,6 +1161,39 @@ object TextAnalysis {
       .orderBy($"bin".asc)
   }
 
+  /** WORST-SLICE MINING (SliceFinder shape) — which (lang × source ×
+    * length-bucket) slice drags the corpus quality down most? The
+    * effect size is kept EXACT by cross-multiplication: for slice s,
+    * e(s) = S_s·N − n_s·S_total (positive ⇔ the slice scores above
+    * the corpus mean, magnitude = n_s·N·(mean_s − mean)), computed in
+    * DECIMAL(38,0)/HUGEINT — different exact types, identical values
+    * out as BIGINT (corpus sums stay < 2⁶³ after the ±512 clamp but
+    * the cross-product does not). Top-20 slices by most-negative
+    * effect under a unique tie-break. Scale shape: one slice-grain
+    * agg, a 1-row broadcast total, TakeOrderedAndProject. */
+  def qWorstSlice(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val half = (QmMod - 1) / 2
+    val score = aggregate(
+      transform(tokens($"text"), t => md5Prefix60(t) % QmMod - half),
+      lit(0L), (acc, x) => acc + x)
+    val sliced = Tables.documents(s, d)
+      .select($"lang", $"source", expr("n_chars DIV 200").as("len_bucket"),
+        greatest(lit(-CalClamp), least(lit(CalClamp - 1), score))
+          .as("score"))
+      .groupBy($"lang", $"source", $"len_bucket")
+      .agg(count(lit(1)).as("n"), sum($"score").as("ss"))
+    val tot = sliced.agg(sum($"n").as("nn"), sum($"ss").as("st"))
+    sliced.crossJoin(broadcast(tot))
+      .select($"lang", $"source", $"len_bucket", $"n", $"ss",
+        expr("CAST(CAST(ss AS DECIMAL(38,0)) * CAST(nn AS DECIMAL(38,0))" +
+          " - CAST(n AS DECIMAL(38,0)) * CAST(st AS DECIMAL(38,0))" +
+          " AS BIGINT)").as("effect"))
+      .orderBy($"effect".asc, $"lang".asc, $"source".asc,
+        $"len_bucket".asc)
+      .limit(20)
+  }
+
   /** NORMALIZATION-LADDER DEDUP GAIN — the question every dedup
     * pipeline answers before choosing its canonical form: how many
     * extra collisions does each normalization level buy? Four
@@ -1335,6 +1368,7 @@ object TextAnalysis {
     "q_dp_counts" -> (qDpCounts _),
     "q_normalize_dedup" -> (qNormalizeDedup _),
     "q_ngram_novelty" -> (qNgramNovelty _),
+    "q_worst_slice" -> (qWorstSlice _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_bloom_decontam" -> (qBloomDecontam _),
     "q_pmi_bigrams" -> (qPmiBigrams _),
@@ -1793,6 +1827,22 @@ object TextAnalysis {
          |SELECT doc_id, n_spans, n_dup,
          |  n_dup * 1000000000 // n_spans AS ratio_e9
          |FROM pd ORDER BY ratio_e9 DESC, doc_id ASC LIMIT $CoverTopK""".stripMargin,
+    "q_worst_slice" ->
+      s"""WITH sc AS (SELECT lang, source, n_chars // 200 AS len_bucket,
+         |  GREATEST(-$CalClamp, LEAST(${CalClamp - 1},
+         |    CAST(list_sum(list_transform(string_split(text, ' '),
+         |    x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % $QmMod
+         |         - ${(QmMod - 1) / 2})) AS BIGINT))) AS score
+         |  FROM documents),
+         |sl AS (SELECT lang, source, len_bucket, COUNT(*) AS n,
+         |  CAST(SUM(score) AS BIGINT) AS ss FROM sc GROUP BY 1, 2, 3),
+         |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         |  CAST(SUM(ss) AS BIGINT) AS st FROM sl)
+         |SELECT lang, source, len_bucket, n, ss,
+         |CAST(ss::HUGEINT * nn - n::HUGEINT * st AS BIGINT) AS effect
+         |FROM sl CROSS JOIN tt
+         |ORDER BY effect ASC, lang ASC, source ASC, len_bucket ASC
+         |LIMIT 20""".stripMargin,
     "q_ngram_novelty" ->
       s"""WITH tok AS (SELECT doc_id, source, string_split(text,' ') AS t
          |  FROM documents),
