@@ -32,7 +32,10 @@ object DumpPlans {
     "q_median_ci", "q_audio_energy", "q_video_frames", "q_span_mask",
     "q_unigram_lm", "q_kmv", "q_kendall", "q_cusum", "q_length_buckets",
     "q_jaro_linkage", "q_hilbert", "q_mutual_nn", "q_label_prop",
-    "q_qq", "q_isotonic", "q_image_resize")
+    "q_qq", "q_isotonic", "q_image_resize",
+    "q_kmv_setops", "q_calibration", "q_dp_counts", "q_normalize_dedup",
+    "q_ngram_novelty", "q_minhash_recall", "q_reachability",
+    "q_worst_slice", "q_threshold_sweep")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("plans")
