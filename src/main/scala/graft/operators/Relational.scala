@@ -1546,6 +1546,34 @@ object Relational {
     * over (group, value)-grain HISTOGRAM rows — the same medianBy
     * shape q_weighted_median/q_outlier_mad use, never a per-row value
     * buffer, so group size doesn't bound memory at 100 TB. */
+  /** ANALYZE-style COLUMN STATISTICS census — the numbers a
+    * cost-based optimizer (and every data-quality dashboard) reads:
+    * per column of lineitem, row count, null count, EXACT distinct
+    * count, and min/max. One pass: the columns unpivot to (col,
+    * value) rows via stack (values carried as strings — date and
+    * integer renderings are byte-identical in both engines, and
+    * min/max compare in STRING order on both sides, so the census is
+    * deterministic; doubles are deliberately excluded from min/max
+    * for that reason), then one grouped agg with a distinct count per
+    * column group. Scale shape: narrow map + 7-group distinct agg —
+    * the same shuffle ANALYZE TABLE pays. */
+  def qColStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate")
+    val stackExpr = cols.map(c => s"'$c', CAST($c AS STRING)")
+      .mkString(s"stack(${cols.size}, ", ", ", ") AS (col, v)")
+    Tables.lineitem(s, d)
+      .select(expr(stackExpr))
+      .groupBy($"col")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"v".isNull.cast("long")).as("n_null"),
+        countDistinct($"v").as("ndv"),
+        min($"v").as("min_str"),
+        max($"v").as("max_str"))
+      .orderBy($"col".asc)
+  }
+
   def qPercentilesExact(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val hist = Tables.orders(s, d)
@@ -1669,6 +1697,7 @@ object Relational {
     "q_rfm" -> (qRfm _),
     "q_window_verbs" -> (qWindowVerbs _),
     "q_percentiles_exact" -> (qPercentilesExact _),
+    "q_col_stats" -> (qColStats _),
     "q2_min_supplier" -> (q2MinSupplier _),
     "q9_product_profit" -> (q9ProductProfit _),
     "q11_important_stock" -> (q11ImportantStock _),
@@ -1751,6 +1780,20 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_col_stats" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate")
+      val arms = cols.map(c =>
+        s"SELECT '$c' AS col, CAST($c AS VARCHAR) AS v FROM lineitem")
+        .mkString("\nUNION ALL\n")
+      s"""WITH u AS ($arms)
+         |SELECT col, COUNT(*) AS n_rows,
+         |CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_null,
+         |CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
+         |MIN(v) AS min_str, MAX(v) AS max_str
+         |FROM u GROUP BY 1 ORDER BY 1 ASC""".stripMargin
+    },
     "q_grouping_id" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
         |CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
