@@ -100,9 +100,9 @@ object HilbertCurve {
          |  CASE WHEN (p.y & $s) > 0 THEN p.y
          |       WHEN (p.x & $s) > 0 THEN ${Side - 1} - p.x
          |       ELSE p.x END AS y,
-         |  p.d + $ss * xor(3 * (CASE WHEN (p.x & $s) > 0 THEN 1
-         |                       ELSE 0 END),
-         |                  CASE WHEN (p.y & $s) > 0 THEN 1 ELSE 0 END)
+         |  p.d + CAST($ss AS BIGINT) *
+         |    xor(3 * (CASE WHEN (p.x & $s) > 0 THEN 1 ELSE 0 END),
+         |        CASE WHEN (p.y & $s) > 0 THEN 1 ELSE 0 END)
          |    AS d
          |  FROM h${i - 1} p)""".stripMargin
     }.mkString(",\n")
