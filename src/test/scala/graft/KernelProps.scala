@@ -87,6 +87,52 @@ object KernelProps extends Properties("graft.kernels") {
       8 -> Gen.const("hot"), 4 -> Gen.const("warm"),
       3 -> Gen.oneOf("a", "b", "c"), 1 -> token))
 
+  property("jaroWinkler: bounds, symmetry, identity, empty rule") =
+    forAll(token, token) { (a, b) =>
+      import graft.functions.StringSimilarity.jaroWinklerBytes
+      def jw(x: String, y: String) =
+        jaroWinklerBytes(x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+      val s = jw(a, b)
+      Prop(s >= 0.0 && s <= 1.0) :| s"out of range $s" &&
+        Prop(s == jw(b, a)) :| "asymmetric" &&
+        Prop(jw(a, a) == 1.0) :| "self != 1" &&
+        Prop(jw(a, "") == 0.0) :| "empty rule"
+    }
+
+  property("hilbert xy2d is injective on sampled grids") =
+    forAll(Gen.listOfN(60, Gen.zip(Gen.choose(0L, 65535L),
+      Gen.choose(0L, 65535L)))) { pts =>
+      val ds = pts.distinct.map { case (x, y) =>
+        graft.functions.HilbertCurve.xy2d(x, y) }
+      Prop(ds.distinct.size == pts.distinct.size) :| "collision"
+    }
+
+  // KMV register sets are min-k of a SET: any arrival order, any
+  // duplication pattern, any batch split must give identical registers
+  // — the property that makes the streaming twin deterministic and
+  // shard-mergeable.
+  property("KMV min-k is arrival-order and batching invariant") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 200L)), Gen.choose(1, 16),
+      Gen.choose(0, 1000)) { (users, k, seed) =>
+      def run(xs: List[Long]): List[Long] = {
+        val set = scala.collection.mutable.SortedSet.empty[Long]
+        xs.foreach { u =>
+          val h = graft.streaming.StreamingOps.md5Prefix60Jvm(u.toString)
+          if (set.size < k) set += h
+          else if (h < set.max && !set.contains(h)) {
+            set += h; set -= set.max
+          }
+        }
+        set.toList
+      }
+      val shuffled = new scala.util.Random(seed).shuffle(users)
+      val want = users.map(u => graft.streaming.StreamingOps
+          .md5Prefix60Jvm(u.toString))
+        .distinct.sorted.take(k)
+      Prop(run(users) == want) :| "stream != batch min-k" &&
+        Prop(run(shuffled) == want) :| "order-dependent"
+    }
+
   property("misraGries never drops an item with count > n/(k+1)") =
     forAll(hhStream, Gen.choose(1, 12)) { (xs, k) =>
       val out = graft.operators.TextAnalysis
