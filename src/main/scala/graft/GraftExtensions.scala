@@ -63,5 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hilbert_d"),
       (args: Seq[Expression]) =>
         graft.functions.HilbertCurve.HilbertIndex(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hilbert_xy"),
+      info("hilbert_xy"),
+      (args: Seq[Expression]) =>
+        graft.functions.HilbertCurve.HilbertDecode(args(0))))
   }
 }

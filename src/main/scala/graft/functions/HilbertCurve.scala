@@ -84,6 +84,57 @@ object HilbertCurve {
   def hilbertD(x: Column, y: Column): Column =
     Bridge.column(HilbertIndex(Bridge.expression(x), Bridge.expression(y)))
 
+  /** d2xy packed as x·65536 + y (both coords are 16-bit). */
+  def d2xyPacked(d: Long): Long = {
+    val (x, y) = d2xy(d)
+    x * Side + y
+  }
+
+  /** hilbert_xy(d): curve index → packed (x·65536 + y) coordinates —
+    * the DECODE side ([[HilbertIndex]] is the encode); range → box
+    * pruning reads a file's curve range back into plane coordinates
+    * with this. Same static-kernel discipline. */
+  case class HilbertDecode(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(LongType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "hilbert_xy"
+
+    override protected def nullSafeEval(d: Any): Any =
+      d2xyPacked(d.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, d =>
+        s"graft.functions.HilbertCurve.d2xyPacked($d)")
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  def hilbertXY(d: Column): Column =
+    Bridge.column(HilbertDecode(Bridge.expression(d)))
+
+  /** The d2xy loop as engine-neutral unrolled SQL rounds (inverse of
+    * [[sqlRounds]]): `i0` must exist with columns (…keys, x, y, t)
+    * where t is the curve index; the caller reads `i16`, whose (x, y)
+    * are the decoded coordinates. Low bits first: round i handles
+    * s = 2^(i−1); rx = (t div 2) mod 2, ry = (t mod 2) xor rx. */
+  def sqlDecodeRounds(keyCols: String): String =
+    (1 to 16).map { i =>
+      val s = 1L << (i - 1)
+      s"""i$i AS MATERIALIZED (SELECT $keyCols,
+         |  CASE WHEN xor(p.t % 2, (p.t // 2) % 2) = 1 THEN p.x
+         |       WHEN (p.t // 2) % 2 = 1 THEN ${s - 1} - p.y
+         |       ELSE p.y END + $s * ((p.t // 2) % 2) AS x,
+         |  CASE WHEN xor(p.t % 2, (p.t // 2) % 2) = 1 THEN p.y + $s
+         |       WHEN (p.t // 2) % 2 = 1 THEN ${s - 1} - p.x
+         |       ELSE p.x END AS y,
+         |  p.t // 4 AS t
+         |  FROM i${i - 1} p)""".stripMargin
+    }.mkString(",\n")
+
   /** The xy2d loop as engine-neutral unrolled SQL rounds. Returns the
     * WITH-clause body: `h0` must exist with columns (…keys, x, y, d);
     * the caller reads the final round `h16`. Each round is

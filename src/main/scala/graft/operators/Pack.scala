@@ -353,6 +353,34 @@ object Pack {
           .as("h_checksum"))
   }
 
+  /** HILBERT ROUND-TRIP PROOF — decode through the engine, re-derive
+    * through SQL: every row's index from the encode expression is
+    * decoded back to plane coordinates by the
+    * [[graft.functions.HilbertCurve.HilbertDecode]] expression (the
+    * range → box primitive a skipping layer needs), and the ORACLE
+    * re-runs BOTH unrolled state machines — 16 encode rounds then 16
+    * decode rounds — so the hash match proves encode AND decode for
+    * every row in both engines. Per cell: row count, rows whose
+    * decode equals the original coords (must equal the count — the
+    * inverse property), and a checksum over (index ⊕ decoded). Same
+    * scale shape as q_hilbert. */
+  def qHilbertRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.HilbertCurve.{hilbertD, hilbertXY}
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber",
+        $"l_partkey".bitwiseAND(lit(65535L)).as("pk"),
+        $"l_suppkey".bitwiseAND(lit(65535L)).as("sk"))
+      .withColumn("h", hilbertD($"pk", $"sk"))
+      .withColumn("dec", hilbertXY($"h"))
+      .groupBy(expr("h div 65536").as("cell"))
+      .agg(count(lit(1)).as("n"),
+        sum(($"dec" === $"pk" * 65536 + $"sk").cast("long"))
+          .as("n_roundtrip"),
+        bit_xor($"h".bitwiseXOR($"dec" * lit(1000003L)))
+          .as("decode_checksum"))
+  }
+
   /** Physical z-ordered writer: each column is first min/max-scaled
     * to the full 16-bit width (otherwise the wider-domain column owns
     * every significant interleaved bit and the narrow one never
@@ -437,7 +465,8 @@ object Pack {
     "q_shard_assign" -> (qShardAssign _),
     "q_corpus_stats" -> (qCorpusStats _),
     "q_zorder" -> (qZorder _),
-    "q_hilbert" -> (qHilbert _)
+    "q_hilbert" -> (qHilbert _),
+    "q_hilbert_roundtrip" -> (qHilbertRoundtrip _)
   )
 
   /** `h` on the oracle side: the engine's md5-prefix60 of the doc id. */
@@ -546,6 +575,24 @@ object Pack {
          |bit_xor(xor(d, l_orderkey * 1000003 + l_linenumber))
          |  AS h_checksum
          |FROM h16 GROUP BY 1""".stripMargin,
+    "q_hilbert_roundtrip" ->
+      s"""WITH h0 AS MATERIALIZED (SELECT l_orderkey, l_linenumber,
+         |  l_partkey & 65535 AS pk, l_suppkey & 65535 AS sk,
+         |  l_partkey & 65535 AS x, l_suppkey & 65535 AS y,
+         |  CAST(0 AS BIGINT) AS d
+         |  FROM lineitem),
+         |${graft.functions.HilbertCurve.sqlRounds(
+             "p.l_orderkey, p.l_linenumber, p.pk, p.sk")},
+         |i0 AS MATERIALIZED (SELECT l_orderkey, l_linenumber, pk, sk,
+         |  d, CAST(0 AS BIGINT) AS x, CAST(0 AS BIGINT) AS y,
+         |  d AS t FROM h16),
+         |${graft.functions.HilbertCurve.sqlDecodeRounds(
+             "p.l_orderkey, p.l_linenumber, p.pk, p.sk, p.d")}
+         |SELECT d // 65536 AS cell, COUNT(*) AS n,
+         |CAST(SUM(CASE WHEN x * 65536 + y = pk * 65536 + sk
+         |  THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip,
+         |bit_xor(xor(d, (x * 65536 + y) * 1000003)) AS decode_checksum
+         |FROM i16 GROUP BY 1""".stripMargin,
     "q_zorder3" ->
       s"""WITH z AS (SELECT l_orderkey, l_linenumber,
          |  l_partkey & 65535 AS pk, l_suppkey & 65535 AS sk,

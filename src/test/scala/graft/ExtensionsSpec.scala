@@ -48,10 +48,12 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(jw.getDouble(0) === 0.9611111111111111)
       assert(jw.getDouble(1) === 0.0)
       val hd = s2.sql(
-        "SELECT hilbert_d(0L, 0L) AS a, hilbert_d(65535L, 0L) AS b").head()
+        "SELECT hilbert_d(0L, 0L) AS a, hilbert_d(65535L, 0L) AS b, " +
+          "hilbert_xy(hilbert_d(12345L, 54321L)) AS c").head()
       assert(hd.getLong(0) === 0L)
       assert(hd.getLong(1) ===
         graft.functions.HilbertCurve.xy2d(65535L, 0L))
+      assert(hd.getLong(2) === 12345L * 65536L + 54321L)
     } finally {
       // getOrCreate returns the ALREADY-ACTIVE shared session when one
       // exists (its extensions come from withExtensions, so the
