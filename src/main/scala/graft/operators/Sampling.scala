@@ -191,7 +191,55 @@ object Sampling {
       .orderBy($"lang".asc)
   }
 
+  /** TOKEN-BUDGET MIXTURE PLAN — the greedy data-mixing decision
+    * every pretraining run makes: rank sources by exact quality
+    * density (Σscore·10⁹ div Σtokens — the [[graft.operators
+    * .TextAnalysis.qQualityModel]] hashed-feature score, integer
+    * end-to-end), then fill a 30%-of-corpus token budget top-down —
+    * full sources while they fit, one boundary source partially, zero
+    * after (the prefix-sum closed form of the greedy knapsack; no
+    * iteration). Every column is exact BIGINT arithmetic; the ranking
+    * window runs over the SOURCE domain (bounded, q_open_interval
+    * rule) and the budget is a 1-row broadcast scalar. */
+  def qBudgetMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.{md5Prefix60, tokens}
+    val QmMod = 1001L
+    val half = (QmMod - 1) / 2
+    val score = aggregate(
+      transform(tokens($"text"), t => md5Prefix60(t) % QmMod - half),
+      lit(0L), (acc, x) => acc + x)
+    val cells = Tables.documents(s, d)
+      .select($"source", score.as("sc"),
+        size(tokens($"text")).cast("long").as("ntok"))
+      .groupBy($"source")
+      .agg(sum($"ntok").as("toks"), sum($"sc").as("ss"))
+      // ss can be negative and Spark DIV (trunc-to-zero) ≠ DuckDB //
+      // on negatives: shift the numerator positive by toks·10¹²
+      // (score ≥ −500/token → always positive), divide, subtract the
+      // constant back — identical trunc in both engines; the shifted
+      // product overflows BIGINT at sf10 volumes, so DECIMAL(38,0)
+      // (HUGEINT in the oracle)
+      .withColumn("density_e9", expr(
+        "CAST((CAST(ss AS DECIMAL(38,0)) * 1000000000 + " +
+          "CAST(toks AS DECIMAL(38,0)) * 1000000000000) DIV toks" +
+          " AS BIGINT) - 1000000000000"))
+    val budget = cells.agg((sum($"toks") * 30).as("b100"))
+    val w = Window.orderBy($"density_e9".desc, $"source".asc)
+    cells.crossJoin(broadcast(budget))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum($"toks" * 100).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"source", $"toks", $"density_e9", $"rank",
+        when($"cum" <= $"b100", $"toks")
+          .when($"cum" - $"toks" * 100 >= $"b100", lit(0L))
+          .otherwise(expr("(b100 - (cum - toks * 100)) DIV 100"))
+          .as("alloc_tokens"))
+      .orderBy($"rank".asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_budget_mix" -> (qBudgetMix _),
     "q_allocation" -> (qAllocation _),
     "q_curriculum" -> (qCurriculum _),
     "q_split_assign" -> (qSplitAssign _),
@@ -201,6 +249,32 @@ object Sampling {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_budget_mix" ->
+      """WITH cells AS (SELECT source,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks,
+        |  CAST(SUM(CAST(list_sum(list_transform(string_split(text, ' '),
+        |    x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % 1001
+        |         - 500)) AS BIGINT)) AS BIGINT) AS ss
+        |  FROM documents GROUP BY 1),
+        |dd AS (SELECT source, toks, ss,
+        |  CAST((ss::HUGEINT * 1000000000 + toks::HUGEINT *
+        |    1000000000000) // toks AS BIGINT) - 1000000000000
+        |    AS density_e9
+        |  FROM cells),
+        |b AS (SELECT CAST(SUM(toks) * 30 AS BIGINT) AS b100 FROM dd),
+        |r AS (SELECT *,
+        |  ROW_NUMBER() OVER (ORDER BY density_e9 DESC, source ASC)
+        |    AS rank,
+        |  CAST(SUM(toks * 100) OVER (ORDER BY density_e9 DESC,
+        |    source ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |    ROW) AS BIGINT) AS cum
+        |  FROM dd)
+        |SELECT source, toks, density_e9, CAST(rank AS BIGINT) AS rank,
+        |CASE WHEN cum <= b100 THEN toks
+        |     WHEN cum - toks * 100 >= b100 THEN 0
+        |     ELSE (b100 - (cum - toks * 100)) // 100
+        |     END AS alloc_tokens
+        |FROM r CROSS JOIN b ORDER BY rank ASC""".stripMargin,
     "q_allocation" ->
       s"""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
          |  FROM documents GROUP BY 1),
