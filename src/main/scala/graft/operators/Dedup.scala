@@ -1004,11 +1004,12 @@ object Dedup {
     * depth-capped BFS from the seed documents (doc_id ≡ 0 mod 10)
     * over the near-dup edges, where [[qDupDepth]] hand-rolls the same
     * iteration as checkpointed rounds — this entry proves a pure-SQL
-    * user gets the verb too, engine-iterated. The recursive step uses
-    * UNION (distinct), so working-set rows are bounded by
-    * nodes × depth, never by path count (UNION ALL would enumerate
-    * paths — combinatorial on cliques, exactly what near-dup clusters
-    * are). Census: per min-depth layer, reached-node count + bit_xor
+    * user gets the verb too, engine-iterated. The recursive arm is
+    * SELECT DISTINCT, so each layer is bounded by distinct
+    * (node, depth) pairs — nodes × depth overall, never path count
+    * (a bare UNION ALL arm would enumerate walks — combinatorial on
+    * cliques, exactly what near-dup clusters are). MIN(depth) makes
+    * the result identical either way; DISTINCT is the scale contract. Census: per min-depth layer, reached-node count + bit_xor
     * checksum. Oracle: the same recursive SQL in DuckDB. */
   def qReachability(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1024,7 +1025,7 @@ object Dedup {
          |  SELECT DISTINCT u AS node, 0 AS depth FROM graft_nd_edges
          |  WHERE u % 10 = 0
          |  UNION ALL
-         |  SELECT e.v, r.depth + 1 FROM reach r
+         |  SELECT DISTINCT e.v, r.depth + 1 FROM reach r
          |  JOIN graft_nd_edges e ON e.u = r.node
          |  WHERE r.depth < $ReachDepth),
          |md AS (SELECT node, MIN(depth) AS depth FROM reach GROUP BY 1)
@@ -1273,7 +1274,7 @@ object Dedup {
          |  SELECT DISTINCT u AS node, 0 AS depth FROM ed
          |  WHERE u % 10 = 0
          |  UNION ALL
-         |  SELECT e.v, r.depth + 1 FROM reach r
+         |  SELECT DISTINCT e.v, r.depth + 1 FROM reach r
          |  JOIN ed e ON e.u = r.node
          |  WHERE r.depth < $ReachDepth),
          |md AS (SELECT node, MIN(depth) AS depth FROM reach GROUP BY 1)

@@ -714,7 +714,7 @@ object Events {
           "CAST(CAST(n_both AS DECIMAL(38,0)) * " +
             "CAST(1152921504606846976 AS DECIMAL(38,0)) DIV theta" +
             " AS BIGINT)")).as("est_inter"),
-        expr(s"n_both * 1000000000 DIV $KmvK").as("jaccard_e9"),
+        expr("n_both * 1000000000 DIV n_reg").as("jaccard_e9"),
         $"exact_union", $"exact_inter")
   }
 
@@ -899,7 +899,10 @@ object Events {
     * concordant / discordant / tied-x / tied-y pair counts are exact
     * BIGINTs. tau_b = (nc−nd)/√((n0−tx)(n0−ty)) is two IEEE ops
     * (one sqrt, one divide — both correctly rounded) on identical
-    * exact integers, so the double is bit-equal in both engines.
+    * exact integers, so the double is bit-equal in both engines;
+    * a fully-tied series (n0 = tx or n0 = ty) yields NULL via an
+    * explicit guard mirrored in the oracle (bare division would emit
+    * engine-divergent NaN/Inf renderings).
     * Scale shape: one shuffle to the (type, day) grid, broadcast
     * self-join on the bounded spine, one grouped agg. */
   def qKendall(s: SparkSession, d: String): DataFrame = {
@@ -924,8 +927,9 @@ object Events {
     val nDays = daily.groupBy($"event_type").agg(count(lit(1)).as("n_days"))
     k.join(nDays, Seq("event_type"))
       .select($"event_type", $"n_days", $"n0", $"nc", $"nd", $"tx", $"ty",
-        (($"nc" - $"nd").cast("double") /
-          sqrt((($"n0" - $"tx") * ($"n0" - $"ty")).cast("double")))
+        when(($"n0" - $"tx") * ($"n0" - $"ty") === 0, lit(null))
+          .otherwise(($"nc" - $"nd").cast("double") /
+            sqrt((($"n0" - $"tx") * ($"n0" - $"ty")).cast("double")))
           .as("tau_b"))
       .orderBy($"event_type".asc)
   }
@@ -1976,8 +1980,10 @@ object Events {
          |nd_ AS (SELECT event_type, COUNT(*) AS n_days FROM daily
          |  GROUP BY 1)
          |SELECT k.event_type, nd_.n_days, k.n0, k.nc, k.nd, k.tx, k.ty,
-         |CAST(k.nc - k.nd AS DOUBLE) /
-         |  sqrt(CAST((k.n0 - k.tx) * (k.n0 - k.ty) AS DOUBLE)) AS tau_b
+         |CASE WHEN (k.n0 - k.tx) * (k.n0 - k.ty) = 0 THEN NULL
+         |  ELSE CAST(k.nc - k.nd AS DOUBLE) /
+         |  sqrt(CAST((k.n0 - k.tx) * (k.n0 - k.ty) AS DOUBLE)) END
+         |  AS tau_b
          |FROM k JOIN nd_ USING (event_type)
          |ORDER BY event_type ASC""".stripMargin,
     "q_kmv_setops" ->
@@ -2013,7 +2019,7 @@ object Events {
          |  ELSE CAST((n_both::HUGEINT *
          |    1152921504606846976::HUGEINT) // theta AS BIGINT)
          |  END AS BIGINT) AS est_inter,
-         |n_both * 1000000000 // $KmvK AS jaccard_e9,
+         |n_both * 1000000000 // n_reg AS jaccard_e9,
          |ex.exact_union, ex.exact_inter
          |FROM th CROSS JOIN ex""".stripMargin,
     "q_kmv" ->

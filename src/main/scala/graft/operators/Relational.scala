@@ -1537,15 +1537,6 @@ object Relational {
       .orderBy($"s_name".asc)
   }
 
-  /** EXACT GROUPED PERCENTILES via the histogram form — the
-    * scale-correct alternative to sorting values per group (and the
-    * exact counterpart of [[qQuantiles]]'s approx sketches):
-    * nearest-rank p25/p50/p75/p95 as the smallest value whose
-    * cumulative count reaches ⌈p·N/100⌉, found with the division-free
-    * cum·100 ≥ p·tot compare on exact BIGINT cents. The window runs
-    * over (group, value)-grain HISTOGRAM rows — the same medianBy
-    * shape q_weighted_median/q_outlier_mad use, never a per-row value
-    * buffer, so group size doesn't bound memory at 100 TB. */
   /** ANALYZE-style COLUMN STATISTICS census — the numbers a
     * cost-based optimizer (and every data-quality dashboard) reads:
     * per column of lineitem, row count, null count, EXACT distinct
@@ -1580,6 +1571,15 @@ object Relational {
       .orderBy($"col".asc)
   }
 
+  /** EXACT GROUPED PERCENTILES via the histogram form — the
+    * scale-correct alternative to sorting values per group (and the
+    * exact counterpart of [[qQuantiles]]'s approx sketches):
+    * nearest-rank p25/p50/p75/p95 as the smallest value whose
+    * cumulative count reaches ⌈p·N/100⌉, found with the division-free
+    * cum·100 ≥ p·tot compare on exact BIGINT cents. The window runs
+    * over (group, value)-grain HISTOGRAM rows — the same medianBy
+    * shape q_weighted_median/q_outlier_mad use, never a per-row value
+    * buffer, so group size doesn't bound memory at 100 TB. */
   def qPercentilesExact(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val hist = Tables.orders(s, d)
