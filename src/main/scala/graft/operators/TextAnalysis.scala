@@ -222,6 +222,142 @@ object TextAnalysis {
       .limit(CoverTopK)
   }
 
+  private val SpanDfCap = 64     // anchor-hash df cap for the pair join
+  private val MinSpanAnchors = 5 // chained anchors ⇒ spans ≥ 12 tokens
+  private val SpanReportK = 20   // bounded report size for span queries
+
+  /** VARIABLE-LENGTH shared spans — the suffix-array-dedup verb at its
+    * real grain (vs [[qSubstringDedup]]'s fixed 8-token windows): for
+    * every document PAIR, the maximal verbatim token spans they share,
+    * found by chaining adjacent matching 8-gram anchors. Dot-plot
+    * construction: duplicated anchors self-join on the 60-bit hash,
+    * each match is a point (pa, pb); within a pair, matches on one
+    * DIAGONAL (pa − pb) with consecutive pa chain into one maximal
+    * span (gaps-and-islands: pa − row_number is constant on a run).
+    * A run of k anchors certifies a shared span of k+7 tokens; runs
+    * shorter than [[MinSpanAnchors]] are dropped (spans < 12 tokens
+    * are n-gram noise, not memorization signal). Scale contract: the
+    * anchor posting table is built ONCE (checkpoint — df agg + both
+    * join sides read it), anchors with df > [[SpanDfCap]] are dropped
+    * BEFORE the self-join (boilerplate 8-grams shared by f docs would
+    * make f² join buckets — the [[Dedup.jaccardPairsOf]] DfCap rule at
+    * span grain), so every join bucket is ≤ DfCap². The diagonal
+    * windows partition by (pair, diag) — bounded by the shorter doc,
+    * never corpus-sized. Both self-join sides are corpus-grown →
+    * merge hints (the q_bigram_lm AQE lesson). */
+  private def pairSpans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val spans = transform(
+      sequence(lit(1), greatest(size(toks) - (SpanK - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(SpanK))))
+    val anchors = Tables.documents(s, d)
+      .select($"doc_id", posexplode(spans))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("pos"),
+        md5Prefix60($"col").as("h"))
+      .transform(graft.functions.Cp.local)
+    val dup = anchors.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" > 1 && $"df" <= SpanDfCap)
+      .select($"h")
+    // dup index + both join sides are span-grain (corpus-grown):
+    // never broadcastable, merge-join on the uniform hash
+    val ha = anchors.join(dup.hint("merge"), Seq("h"), "left_semi")
+      .transform(graft.functions.Cp.local)
+    val pr = ha.as("a")
+      .join(ha.as("b").hint("merge"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.pos".as("pa"), $"b.pos".as("pb"))
+    val w = Window.partitionBy($"doc_a", $"doc_b", $"diag")
+      .orderBy($"pa".asc)
+    pr.withColumn("diag", $"pa" - $"pb")
+      .withColumn("g", $"pa" - row_number().over(w))
+      .groupBy($"doc_a", $"doc_b", $"diag", $"g")
+      .agg(min($"pa").as("start_a"), min($"pb").as("start_b"),
+        (count(lit(1)) + (SpanK - 1)).as("len"))
+      .filter($"len" >= MinSpanAnchors + SpanK - 1)
+      .select($"doc_a", $"doc_b", $"start_a", $"start_b", $"len")
+  }
+
+  /** Census of ALL maximal shared spans by length — one row per span
+    * length with a placement-proof checksum (doc_a, doc_b, start_a,
+    * start_b all folded in, collision-spread multipliers), so the
+    * oracle hash match proves every span's exact extent and position
+    * on both sides of every pair, not just counts. Output is bounded
+    * by max span length — safe at any corpus size. */
+  def qSubstringSpans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pairSpans(s, d)
+      .groupBy($"len")
+      .agg(count(lit(1)).as("n_spans"),
+        countDistinct(expr("doc_a * 16777216 + doc_b")).as("n_pairs"),
+        bit_xor(expr(
+          "doc_a * 1000003 ^ doc_b * 8191 ^ start_a * 127 ^ start_b"))
+          .as("span_checksum"))
+      .orderBy($"len".asc)
+  }
+
+  /** The human-readable face of [[pairSpans]]: the [[SpanReportK]]
+    * longest shared spans with their text reconstructed by slicing
+    * doc_a's token array — the "show me the memorized passage" query.
+    * The top-k is TakeOrdered-bounded BEFORE the text join, and the
+    * k-row side is broadcast, so the documents table is scanned once
+    * and nothing data-sized shuffles for the report. */
+  def qLongestDupSpan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val top = pairSpans(s, d)
+      .orderBy($"len".desc, $"doc_a".asc, $"doc_b".asc,
+        $"start_a".asc, $"start_b".asc)
+      .limit(SpanReportK)
+    Tables.documents(s, d)
+      .join(broadcast(top), $"doc_id" === $"doc_a")
+      .select($"doc_a", $"doc_b", $"start_a", $"start_b", $"len",
+        concat_ws(" ", slice(tokens($"text"),
+          $"start_a".cast("int"), $"len".cast("int"))).as("span_text"))
+      .orderBy($"len".desc, $"doc_a".asc, $"doc_b".asc,
+        $"start_a".asc, $"start_b".asc)
+  }
+
+  /** VARIABLE-SPAN duplication coverage — [[qDupSpanCoverage]]'s
+    * fixed-window ratio upgraded to the real trim signal: per
+    * document, how many of its tokens sit inside a ≥ 12-token maximal
+    * shared span (either side of any pair). Interval-union sweep per
+    * doc: intervals sorted by (start, end), an interval starts a new
+    * island iff its start clears the running max end + 1 (prefix-max
+    * window over PRECEDING rows — all integers, tie-order invariant
+    * because equal starts can never clear a max that already includes
+    * a same-start end), islands sum to exact covered-token counts.
+    * Windows partition by doc_id — bounded by per-doc span count. */
+  def qSpanCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sp = pairSpans(s, d).transform(graft.functions.Cp.local)
+    val iv = sp.select($"doc_a".as("doc_id"), $"start_a".as("st"),
+        ($"start_a" + $"len" - 1).as("en"))
+      .unionAll(sp.select($"doc_b".as("doc_id"), $"start_b".as("st"),
+        ($"start_b" + $"len" - 1).as("en")))
+      .distinct()
+    val w = Window.partitionBy($"doc_id").orderBy($"st".asc, $"en".asc)
+    val cov = iv
+      .withColumn("pm",
+        max($"en").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("flag",
+        when($"pm".isNull || $"st" > $"pm" + 1, 1L).otherwise(0L))
+      .withColumn("isl", sum($"flag")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"isl")
+      .agg((max($"en") - min($"st") + 1).as("cv"), count(lit(1)).as("niv"))
+      .groupBy($"doc_id")
+      .agg(sum($"cv").as("covered"), sum($"niv").as("n_intervals"))
+    Tables.documents(s, d)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("ntok"))
+      .join(cov.hint("merge"), Seq("doc_id"))
+      .select($"doc_id", $"ntok", $"n_intervals", $"covered",
+        expr("covered * 1000000000 div ntok").as("ratio_e9"))
+      .orderBy($"ratio_e9".desc, $"doc_id".asc)
+      .limit(SpanReportK)
+  }
+
   private val QmMod = 1001L // hashed-feature weight modulus (odd, ~±500)
 
   /** HASHED LINEAR QUALITY SCORER — the fasttext-classifier query
@@ -1363,6 +1499,9 @@ object TextAnalysis {
     "q_top_ngrams" -> (qTopNgrams _),
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_dup_span_coverage" -> (qDupSpanCoverage _),
+    "q_substring_spans" -> (qSubstringSpans _),
+    "q_longest_dup_span" -> (qLongestDupSpan _),
+    "q_span_coverage" -> (qSpanCoverage _),
     "q_quality_model" -> (qQualityModel _),
     "q_calibration" -> (qCalibration _),
     "q_dp_counts" -> (qDpCounts _),
@@ -1381,6 +1520,33 @@ object TextAnalysis {
   private def sqlGrams(n: Int): String =
     s"list_transform(generate_series(1, greatest(len(t)-${n - 1}, 1)), " +
       s"i -> array_to_string(t[i:i+${n - 1}], ' '))"
+
+  /** Shared maximal-span pipeline for the q_substring_spans family —
+    * the oracle mirror of [[pairSpans]] (anchor hashes → df-capped
+    * self-join → diagonal gaps-and-islands). Ends with CTE `sp`
+    * (doc_a, doc_b, start_a, start_b, len). */
+  private lazy val pairSpansSql: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS t
+       |  FROM documents),
+       |an AS (SELECT doc_id,
+       |  unnest(generate_series(1, greatest(len(t)-${SpanK - 1}, 1)))
+       |    AS pos,
+       |  unnest(${sqlGrams(SpanK)}) AS span FROM tok),
+       |ah AS MATERIALIZED (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |  CAST(('0x'||substr(md5(span),1,15)) AS BIGINT) AS h FROM an),
+       |dup AS (SELECT h FROM ah GROUP BY h
+       |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND $SpanDfCap),
+       |pr AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  a.pos AS pa, b.pos AS pb
+       |  FROM ah a JOIN ah b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  WHERE a.h IN (SELECT h FROM dup)),
+       |isl AS (SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+       |  pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+       |    ORDER BY pa ASC) AS grp FROM pr),
+       |sp AS MATERIALIZED (SELECT doc_a, doc_b, MIN(pa) AS start_a,
+       |  MIN(pb) AS start_b, COUNT(*) + ${SpanK - 1} AS len
+       |  FROM isl GROUP BY doc_a, doc_b, diag, grp
+       |  HAVING COUNT(*) >= $MinSpanAnchors)""".stripMargin
 
   /** Shared by q_decontaminate and q_bloom_decontam: the bloom is a
     * result-invariant prefilter, so both must match this exact SQL. */
@@ -1813,6 +1979,49 @@ object TextAnalysis {
          |SELECT h, span, n_occurrences, n_docs FROM g
          |WHERE n_occurrences > 1 AND n_docs > 1
          |ORDER BY n_occurrences DESC, h ASC LIMIT $SpanTopK""".stripMargin,
+    "q_substring_spans" ->
+      s"""$pairSpansSql
+         |SELECT len, COUNT(*) AS n_spans,
+         |COUNT(DISTINCT doc_a * 16777216 + doc_b) AS n_pairs,
+         |bit_xor(xor(xor(xor(doc_a * 1000003, doc_b * 8191),
+         |  start_a * 127), start_b)) AS span_checksum
+         |FROM sp GROUP BY len ORDER BY len ASC""".stripMargin,
+    "q_longest_dup_span" ->
+      s"""$pairSpansSql,
+         |top AS (SELECT * FROM sp ORDER BY len DESC, doc_a ASC,
+         |  doc_b ASC, start_a ASC, start_b ASC LIMIT $SpanReportK)
+         |SELECT doc_a, doc_b, start_a, start_b, len,
+         |array_to_string(t[start_a:start_a+len-1], ' ') AS span_text
+         |FROM top JOIN tok ON tok.doc_id = top.doc_a
+         |ORDER BY len DESC, doc_a ASC, doc_b ASC, start_a ASC,
+         |  start_b ASC""".stripMargin,
+    "q_span_coverage" ->
+      s"""$pairSpansSql,
+         |iv AS (SELECT DISTINCT doc_id, st, en FROM (
+         |  SELECT doc_a AS doc_id, start_a AS st,
+         |    start_a + len - 1 AS en FROM sp
+         |  UNION ALL
+         |  SELECT doc_b, start_b, start_b + len - 1 FROM sp)),
+         |fl AS (SELECT doc_id, st, en,
+         |  MAX(en) OVER (PARTITION BY doc_id ORDER BY st ASC, en ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM iv),
+         |il AS (SELECT doc_id, st, en,
+         |  CAST(SUM(CASE WHEN pm IS NULL OR st > pm + 1 THEN 1 ELSE 0
+         |    END) OVER (PARTITION BY doc_id ORDER BY st ASC, en ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS isl FROM fl),
+         |pi AS (SELECT doc_id, isl, MAX(en) - MIN(st) + 1 AS cv,
+         |  COUNT(*) AS niv FROM il GROUP BY 1, 2),
+         |pd AS (SELECT doc_id, CAST(SUM(cv) AS BIGINT) AS covered,
+         |  CAST(SUM(niv) AS BIGINT) AS n_intervals FROM pi GROUP BY 1),
+         |nt AS (SELECT doc_id,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS ntok
+         |  FROM documents)
+         |SELECT doc_id, ntok, n_intervals, covered,
+         |covered * 1000000000 // ntok AS ratio_e9
+         |FROM nt JOIN pd USING (doc_id)
+         |ORDER BY ratio_e9 DESC, doc_id ASC LIMIT $SpanReportK""".stripMargin,
     "q_dup_span_coverage" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
          |sp AS (SELECT doc_id, unnest(${sqlGrams(SpanK)}) AS span FROM tok),

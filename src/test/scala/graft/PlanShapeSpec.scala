@@ -146,6 +146,63 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  // The bounded-spine window invariant: an UNPARTITIONED WindowExec
+  // funnels its whole input through ONE task — fine over a bounded
+  // spine (value histogram, calendar, top-k pool, vocabulary), fatal
+  // over data-sized rows at 100 TB. Every query whose physical plan
+  // contains a global window must be here, with the bound that makes
+  // it safe. Anything new that plans a global window fails the test
+  // until its input is argued (and listed) as bounded.
+  private val globalWindowWhitelist: Map[String, String] = Map(
+    "q_allocation" -> "one row per lang (bounded label domain)",
+    "q_benford" -> "9 leading-digit rows",
+    "q_budget_mix" -> "one row per source (bounded label domain)",
+    "q_chisq" -> "contingency cells = langs x sources",
+    "q_cumulative_uniques" -> "daily calendar spine",
+    "q_ks_drift" -> "value-histogram grain (bounded value domain)",
+    "q_mann_whitney" -> "value-histogram grain (bounded value domain)",
+    "q_open_interval" -> "daily calendar spine",
+    "q_rfm" -> "value-histogram grain per metric (bounded)",
+    "q_rrf" -> "rank pools LIMIT-bounded before the window",
+    "q_survival" -> "duration-k spine (bounded day domain)",
+    "q_vocab_coverage" -> "term table (vocabulary-bounded, sublinear)")
+
+  private def globalWindows(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+    plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty =>
+        w.windowExpression.map(_.sql).mkString("; ").take(80)
+    }
+
+  test("global windows appear ONLY over documented bounded spines") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val gw = globalWindows(fn(spark, sf).queryExecution.sparkPlan)
+        if (gw.nonEmpty && !globalWindowWhitelist.contains(name))
+          Some(s"$name: ${gw.mkString(" || ")}")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"undocumented unpartitioned WindowExec (one-task funnel at " +
+        s"100 TB) in:\n${offenders.mkString("\n")}")
+    // the whitelist must not go stale: every entry still plans one
+    for ((name, why) <- globalWindowWhitelist)
+      assert(globalWindows(
+        SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan)
+        .nonEmpty, s"$name no longer plans a global window ($why) — " +
+        "remove it from the whitelist")
+  }
+
+  test("the global-window detector catches a data-sized offender") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val bad = Tables.lineitem(spark, sf)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("l_orderkey"), col("l_linenumber"))))
+    assert(globalWindows(bad.queryExecution.sparkPlan).nonEmpty)
+  }
+
   test("pair generators keep scans pruned to the columns they use") {
     // q_minhash_pairs materializes its banded table (localCheckpoint),
     // which hides the scan from the outer plan — assert pruning on the
