@@ -1418,14 +1418,24 @@ object TextAnalysis {
     * shape: one corpus agg to the word grain (Heaps-bounded); the
     * vocab is a ≤ 226-entry broadcast literal (a MODEL collect, the
     * IVF-centroid discipline); DP runs at word grain. */
-  def qUnigramLm(s: SparkSession, d: String): DataFrame = {
+  /** Word grain of the unigram family: distinct ≤[[UniMaxLen]]-char
+    * lowercase words with corpus counts (Heaps-bounded, checkpointed —
+    * read by the vocab build AND every DP pass). */
+  private def uniWords(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val words = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
         .as("word"))
       .where(length($"word") <= UniMaxLen)
       .groupBy($"word").agg(count(lit(1)).as("n"))
       .transform(graft.functions.Cp.local)
+  }
+
+  /** Initial unigram vocab: every corpus character + the
+    * [[UniTopPieces]] most frequent 2–4-char substrings, cost
+    * 64 − len(bin(f)). Bounded MODEL collect (≤ 226 entries). */
+  private def uniVocab0(words: DataFrame): Map[String, Long] = {
+    import words.sparkSession.implicits._
     val occ = words.select($"n", explode(expr(
       """flatten(transform(array(1, 2, 3, 4), l ->
         |  filter(transform(sequence(1, length(word)), i ->
@@ -1436,12 +1446,17 @@ object TextAnalysis {
     val multi = occ.where(length($"piece") > 1)
       .orderBy($"f".desc, $"piece".asc).limit(UniTopPieces)
     val singles = occ.where(length($"piece") === 1)
-    // bounded MODEL collect: ≤ UniTopPieces + alphabet entries
-    val vocab: Map[String, Long] = multi.unionAll(singles)
+    multi.unionAll(singles)
       .select($"piece", expr("64 - length(bin(f))").cast("long").as("cost"))
       .as[(String, Long)].collect().toMap
+  }
+
+  /** Viterbi DP under a given cost table: per word the full dp array
+    * (packed `cost*16 + np` per position) and the final (np, cost). */
+  private def uniDp(words: DataFrame, vocab: Map[String, Long]): DataFrame = {
+    import words.sparkSession.implicits._
     val vlit = typedLit(vocab)
-    val seg = words
+    words
       .withColumn("len", length($"word").cast("int"))
       .withColumn("dparr", aggregate(
         sequence(lit(1), lit(UniMaxLen)),
@@ -1456,10 +1471,15 @@ object TextAnalysis {
           }
           concat(acc, array(least(cands: _*)))
         }))
-      .select($"word", $"n", $"len",
-        element_at($"dparr", $"len" + 1).as("packed"))
+      .withColumn("packed", element_at($"dparr", $"len" + 1))
       .withColumn("np", $"packed" % 16)
       .withColumn("cost", expr("packed DIV 16"))
+  }
+
+  def qUnigramLm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = uniWords(s, d)
+    val seg = uniDp(words, uniVocab0(words))
     seg.groupBy($"len".cast("long").as("wlen"))
       .agg(count(lit(1)).as("n_distinct_words"),
         sum($"n").as("corpus_words"),
@@ -1472,8 +1492,87 @@ object TextAnalysis {
       .orderBy($"wlen".asc)
   }
 
+  /** ONE HARD-EM ROUND on the unigram LM (SentencePiece's train loop,
+    * one iteration, fully engine-exact): (E) each word's round-1
+    * Viterbi DP is BACKTRACED deterministically — at every position
+    * take the SHORTEST piece length whose predecessor dp explains the
+    * packed minimum (ties in the DP value can't diverge: the rule
+    * reads only dp values, which are deterministic integers) — giving
+    * a canonical segmentation string; (M) piece counts from that
+    * segmentation re-feed the cost table (cost' = 64 − len(bin(f')),
+    * zero-count pieces pruned — every surviving word is still
+    * segmentable since its own round-1 pieces survive); then a second
+    * Viterbi pass runs under the new costs. The census also rescores
+    * the ROUND-1 segmentation under the NEW costs
+    * (`rescored_r1_cost`): Viterbi optimality guarantees
+    * corpus_cost ≤ rescored_r1_cost per length — the EM
+    * non-increase, asserted in EngineSpec and proven per-row by the
+    * oracle hash. Scale shape: everything runs at the Heaps-bounded
+    * word grain; both vocabs are bounded literals (MODEL collects);
+    * the backtrace is a ≤[[UniMaxLen]]-step in-row fold, no joins. */
+  def qUnigramEm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = uniWords(s, d)
+    val vocab0 = uniVocab0(words)
+    val vlit0 = typedLit(vocab0)
+    val dp1 = uniDp(words, vocab0)
+    // deterministic backtrace: state (pos, seg); smallest l first
+    val seg1 = dp1.withColumn("bt", aggregate(
+      sequence(lit(1), lit(UniMaxLen)),
+      struct($"len".cast("long").as("pos"), lit("").as("seg")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        def okL(l: Int): Column =
+          pos >= l &&
+            element_at($"dparr", (pos - l + 1).cast("int")) +
+              lit(16L) * try_element_at(vlit0,
+                $"word".substr((pos - l + 1).cast("int"), lit(l))) +
+              lit(1L) === element_at($"dparr", (pos + 1).cast("int"))
+        val chosen = when(pos === 0, 0)
+          .when(okL(1), 1).when(okL(2), 2).when(okL(3), 3).otherwise(4)
+        val newPos = pos - chosen
+        val piece = $"word".substr((newPos + 1).cast("int"),
+          chosen.cast("int"))
+        val newSeg = when(chosen === 0, acc.getField("seg"))
+          .otherwise(concat(piece,
+            when(acc.getField("seg") === "", lit(""))
+              .otherwise(lit("|")),
+            acc.getField("seg")))
+        struct(newPos.as("pos"), newSeg.as("seg"))
+      }).getField("seg"))
+      .select($"word", $"n", $"len", $"bt".as("seg"))
+      .transform(graft.functions.Cp.local)
+    // M-step: counts from the canonical segmentation → new cost table
+    // (bounded MODEL collect again: subset of vocab0)
+    val vocab1: Map[String, Long] = seg1
+      .select($"n", explode(split($"seg", "\\|")).as("piece"))
+      .groupBy($"piece").agg(sum($"n").as("f"))
+      .select($"piece", expr("64 - length(bin(f))").cast("long").as("cost"))
+      .as[(String, Long)].collect().toMap
+    val vlit1 = typedLit(vocab1)
+    val dp2 = uniDp(words, vocab1)
+    val rescored = seg1.select($"word",
+      aggregate(split($"seg", "\\|"), lit(0L),
+        (a, p) => a + try_element_at(vlit1, p)).as("r1cost"))
+    // word-grain join sides grow with the corpus (Heaps): merge, not
+    // AQE-broadcast (the q_bigram_lm rule)
+    dp2.join(rescored.hint("merge"), Seq("word"))
+      .groupBy($"len".cast("long").as("wlen"))
+      .agg(count(lit(1)).as("n_distinct_words"),
+        sum($"n").as("corpus_words"),
+        sum($"n" * $"np").as("sum_pieces"),
+        sum($"n" * $"cost").as("corpus_cost"),
+        sum($"n" * $"r1cost").as("rescored_r1_cost"),
+        expr("sum(n * np) * 1000000000 DIV sum(n * len)").as("fertility_e9"),
+        bit_xor(md5Prefix60(concat($"word", lit(">"),
+          $"np".cast("string"), lit("#"), $"cost".cast("string"))))
+          .as("seg_checksum"))
+      .orderBy($"wlen".asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_lm" -> (qUnigramLm _),
+    "q_unigram_em" -> (qUnigramEm _),
     "q_length_buckets" -> (qLengthBuckets _),
     "q_wordpiece" -> (qWordpiece _),
     "q_kanon" -> (qKanon _),
@@ -1672,19 +1771,25 @@ object TextAnalysis {
     * to [[UniMaxLen]] MATERIALIZED rounds over an accumulating
     * position table (each round joins its ≤4 reachable predecessor
     * positions against the vocab and takes the packed-integer MIN). */
-  private lazy val unigramLmSql: String = {
-    val rounds = (1 to UniMaxLen).map { i =>
-      s"""d$i AS MATERIALIZED (
+  /** Viterbi DP rounds under cost table `vocab`, tables prefixed `t`
+    * (so the EM oracle can run a second pass side by side). */
+  private def uniRoundsSql(t: String, vocab: String): String =
+    (1 to UniMaxLen).map { i =>
+      s"""${t}d$i AS MATERIALIZED (
          |  SELECT p.word, p.len, p.n, $i AS pos,
          |    MIN(p.dp + 16 * v.cost + 1) AS dp
-         |  FROM dall${i - 1} p JOIN vocab v
+         |  FROM ${t}dall${i - 1} p JOIN $vocab v
          |    ON v.piece = p.word[p.pos + 1:$i]
          |  WHERE p.pos >= $i - 4 AND p.pos < $i AND $i <= p.len
          |  GROUP BY 1, 2, 3),
-         |dall$i AS MATERIALIZED (
-         |  SELECT * FROM dall${i - 1} UNION ALL SELECT * FROM d$i)"""
+         |${t}dall$i AS MATERIALIZED (
+         |  SELECT * FROM ${t}dall${i - 1} UNION ALL SELECT * FROM ${t}d$i)"""
         .stripMargin
     }.mkString(",\n")
+
+  /** Shared CTE prefix: words, substring occurrences, initial vocab,
+    * and the round-1 DP position table dall0..dall[[UniMaxLen]]. */
+  private lazy val uniBaseCtes: String =
     s"""WITH words AS MATERIALIZED (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
@@ -1704,7 +1809,10 @@ object TextAnalysis {
        |    SELECT piece, f FROM occ WHERE len(piece) = 1)),
        |dall0 AS MATERIALIZED (SELECT word, len(word) AS len, n,
        |  0 AS pos, CAST(0 AS BIGINT) AS dp FROM words),
-       |$rounds
+       |${uniRoundsSql("", "vocab")}""".stripMargin
+
+  private lazy val unigramLmSql: String =
+    s"""$uniBaseCtes
        |SELECT CAST(len AS BIGINT) AS wlen,
        |COUNT(*) AS n_distinct_words,
        |CAST(SUM(n) AS BIGINT) AS corpus_words,
@@ -1716,6 +1824,66 @@ object TextAnalysis {
        |  '#' || (dp // 16)), 1, 15)) AS BIGINT)) AS seg_checksum
        |FROM dall$UniMaxLen WHERE pos = len GROUP BY 1 ORDER BY 1 ASC"""
       .stripMargin
+
+  /** [[qUnigramEm]] oracle: round-1 CTEs + an unrolled deterministic
+    * backtrace (per step, the SMALLEST piece length whose predecessor
+    * dp explains the current packed minimum — ROW_NUMBER over l),
+    * segmentation piece counts → vocab1, a second unrolled DP pass
+    * under vocab1 (e_-prefixed tables), and the round-1 segmentation
+    * rescored under vocab1. */
+  private lazy val unigramEmSql: String = {
+    val btRounds = (1 to UniMaxLen).map { k =>
+      s"""bt$k AS MATERIALIZED (
+         |  SELECT word, len, n, pos, seg FROM bt${k - 1} WHERE pos = 0
+         |  UNION ALL
+         |  SELECT word, len, n, pos - l AS pos,
+         |    piece || CASE WHEN seg = '' THEN '' ELSE '|' END || seg
+         |      AS seg
+         |  FROM (
+         |    SELECT b.word, b.len, b.n, b.pos, b.seg, ll.l,
+         |      b.word[b.pos - ll.l + 1:b.pos] AS piece,
+         |      ROW_NUMBER() OVER (PARTITION BY b.word
+         |        ORDER BY ll.l ASC) AS r
+         |    FROM bt${k - 1} b
+         |    JOIN ls ll ON b.pos - ll.l >= 0 AND b.pos > 0
+         |    JOIN dall$UniMaxLen dprev
+         |      ON dprev.word = b.word AND dprev.pos = b.pos - ll.l
+         |    JOIN dall$UniMaxLen dcur
+         |      ON dcur.word = b.word AND dcur.pos = b.pos
+         |    JOIN vocab v ON v.piece = b.word[b.pos - ll.l + 1:b.pos]
+         |    WHERE dprev.dp + 16 * v.cost + 1 = dcur.dp) q
+         |  WHERE q.r = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$uniBaseCtes,
+       |ls AS (SELECT unnest([1, 2, 3, 4]) AS l),
+       |bt0 AS MATERIALIZED (SELECT word, len(word) AS len, n,
+       |  CAST(len(word) AS BIGINT) AS pos, '' AS seg FROM words),
+       |$btRounds,
+       |cnt1 AS MATERIALIZED (SELECT piece, CAST(SUM(n) AS BIGINT) AS f
+       |  FROM (SELECT n, unnest(string_split(seg, '|')) AS piece
+       |    FROM bt$UniMaxLen) GROUP BY 1),
+       |vocab1 AS MATERIALIZED (
+       |  SELECT piece, 64 - len(bin(f)) AS cost FROM cnt1),
+       |e_dall0 AS MATERIALIZED (SELECT word, len(word) AS len, n,
+       |  0 AS pos, CAST(0 AS BIGINT) AS dp FROM words),
+       |${uniRoundsSql("e_", "vocab1")},
+       |rsc AS MATERIALIZED (SELECT word,
+       |  CAST(SUM(v.cost) AS BIGINT) AS r1cost
+       |  FROM (SELECT word, unnest(string_split(seg, '|')) AS piece
+       |    FROM bt$UniMaxLen) j JOIN vocab1 v USING (piece)
+       |  GROUP BY 1)
+       |SELECT CAST(len AS BIGINT) AS wlen,
+       |COUNT(*) AS n_distinct_words,
+       |CAST(SUM(n) AS BIGINT) AS corpus_words,
+       |CAST(SUM(n * (dp % 16)) AS BIGINT) AS sum_pieces,
+       |CAST(SUM(n * (dp // 16)) AS BIGINT) AS corpus_cost,
+       |CAST(SUM(n * r1cost) AS BIGINT) AS rescored_r1_cost,
+       |CAST(SUM(n * (dp % 16)) AS BIGINT) * 1000000000
+       |  // CAST(SUM(n * len) AS BIGINT) AS fertility_e9,
+       |bit_xor(CAST(('0x' || substr(md5(word || '>' || (dp % 16) ||
+       |  '#' || (dp // 16)), 1, 15)) AS BIGINT)) AS seg_checksum
+       |FROM e_dall$UniMaxLen ed JOIN rsc USING (word)
+       |WHERE ed.pos = ed.len GROUP BY 1 ORDER BY 1 ASC""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -1736,6 +1904,7 @@ object TextAnalysis {
         |  1, 15)) AS BIGINT), ntok * 1000003)) AS place_checksum
         |FROM b GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "q_unigram_lm" -> unigramLmSql,
+    "q_unigram_em" -> unigramEmSql,
     "q_wordpiece" -> wordpieceSql,
     "q_kanon" ->
       s"""WITH cells AS (SELECT lang, source, n_chars // 100 AS len_bucket,

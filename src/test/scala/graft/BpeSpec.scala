@@ -49,6 +49,21 @@ class BpeSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("q_unigram_em: EM objective non-increasing (Viterbi re-seg beats rescored round-1)") {
+    val rows = TextAnalysis.qUnigramEm(spark, sf)
+      .select($"wlen", $"corpus_cost", $"rescored_r1_cost")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // per length: round-2 Viterbi under vocab1 can never cost more
+    // than the round-1 segmentation scored under the same vocab1
+    rows.foreach { case (wlen, c2, r1) =>
+      assert(c2 <= r1, s"EM objective increased at wlen=$wlen: $c2 > $r1")
+    }
+    // and somewhere the re-segmentation must actually differ/win,
+    // otherwise the round is vacuous on this corpus
+    assert(rows.map(_._2).sum <= rows.map(_._3).sum)
+  }
+
   test("pair_count is non-increasing across rounds (BPE argmax monotonicity)") {
     val counts = TextAnalysis.qBpeMerge(spark, sf)
       .orderBy($"round").select($"pair_count").as[Long].collect()
