@@ -103,4 +103,38 @@ object StringSimilarity {
 
   def jaroWinkler(a: Column, b: Column): Column =
     Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Simplified American Soundex, as a FIXED documented kernel built
+    * from engine-portable primitives (translate + digit-run collapse +
+    * zero drop + pad) so the DuckDB oracle can mirror it bit-for-bit
+    * — DuckDB has no soundex(), and RE2 has no backreferences, so the
+    * run collapse is one replace per digit class. Documented deviation
+    * from the 1930 standard: `h`/`w` act like vowels (code 0 —
+    * separators), where the archival rule lets duplicates merge
+    * ACROSS h/w. Every other property holds: first letter preserved,
+    * consonant classes b f p v→1 / c g j k q s x z→2 / d t→3 / l→4 /
+    * m n→5 / r→6, adjacent same-code letters collapse (including with
+    * the first letter), vowels dropped, padded/truncated to 4.
+    * [[soundexSql]] is the character-identical DuckDB rendering. */
+  def soundexCode(w: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val coded = translate(lower(w), "abcdefghijklmnopqrstuvwxyz",
+      "01230120022455012623010202")
+    val collapsed = (1 to 6).foldLeft(coded)((c, dgt) =>
+      regexp_replace(c, s"$dgt{2,}", dgt.toString))
+    val digits = regexp_replace(substring(collapsed, 2, 64), "0", "")
+    concat(upper(substring(w, 1, 1)),
+      substring(concat(digits, lit("000")), 1, 3))
+  }
+
+  /** DuckDB rendering of [[soundexCode]] over column expression
+    * `col` — same translate table, same per-digit collapse order. */
+  def soundexSql(col: String): String = {
+    val coded = s"translate(lower($col)," +
+      s"'abcdefghijklmnopqrstuvwxyz','01230120022455012623010202')"
+    val collapsed = (1 to 6).foldLeft(coded)((c, d) =>
+      s"regexp_replace($c,'$d{2,}','$d','g')")
+    s"upper($col[1:1]) || substr(regexp_replace(substr($collapsed,2)," +
+      s"'0','','g') || '000',1,3)"
+  }
 }

@@ -1071,6 +1071,59 @@ object Dedup {
         $"missed_checksum")
   }
 
+  /** PHONETIC BLOCKING record linkage — the fourth member of the
+    * fuzzy family ([[qFuzzyMatch]] composite key blocking,
+    * [[qFuzzyExact]] deletion neighborhoods, [[qJaroLinkage]]
+    * prefix-weighted): candidates block on the SOUNDEX code of the
+    * head noun ([[graft.functions.StringSimilarity.soundexCode]], a
+    * fixed documented kernel mirrored character-identically in the
+    * oracle), then verify with the usual length-pruned Levenshtein.
+    * Phonetic codes are COARSER than any equality key — the block
+    * survives spelling drift in the key itself and ignores brand —
+    * so this finds pairs STRUCTURALLY invisible to [[qFuzzyMatch]]'s
+    * (noun, brand) composite join: `n_cross_brand` counts verified
+    * pairs whose brands differ (the composite join requires brand
+    * equality — FuzzyExactSpec asserts these are nonempty),
+    * `n_cross_noun` pairs whose nouns differ but collide phonetically
+    * (zero on vocabularies with no phonetically-equal nouns, like the
+    * test corpus — the kernel-level red/rod collision is spec-gated
+    * instead). Scale shape: the quadratic work runs over the
+    * (name, brand) DICTIONARY (vocabulary-bounded), blocks carry the
+    * [[FuzzyBlockCap]] star fallback, and the report is one bounded
+    * agg per code. */
+  def qFuzzyPhonetic(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dict = Tables.part(s, d)
+      .groupBy($"p_name", $"p_brand")
+      .agg(min($"p_partkey").as("rep"), count(lit(1)).as("n_parts"))
+      .withColumn("noun", split($"p_name", " ").getItem(1))
+      .withColumn("len", length($"p_name"))
+      .withColumn("sdx",
+        graft.functions.StringSimilarity.soundexCode($"noun"))
+    val bw = Window.partitionBy($"sdx")
+    val pc = dict
+      .withColumn("bf", count(lit(1)).over(bw))
+      .withColumn("bmin", min($"rep").over(bw))
+    pc.as("a").join(pc.as("b"),
+        $"a.sdx" === $"b.sdx" && $"a.p_name" < $"b.p_name" &&
+          ($"a.bf" <= FuzzyBlockCap || $"a.rep" === $"a.bmin") &&
+          abs($"a.len" - $"b.len") <= FuzzyMaxDist)
+      .withColumn("dist", levenshtein($"a.p_name", $"b.p_name"))
+      .filter($"dist" <= FuzzyMaxDist)
+      .groupBy($"a.sdx".as("sdx"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(($"a.p_brand" =!= $"b.p_brand").cast("long"))
+          .as("n_cross_brand"),
+        sum(($"a.noun" =!= $"b.noun").cast("long")).as("n_cross_noun"),
+        min($"dist").as("min_dist"),
+        sum($"dist").as("sum_dist"),
+        sum($"a.n_parts" * $"b.n_parts").as("n_part_pairs"),
+        bit_xor($"a.rep" * lit(1073741824L) + $"b.rep")
+          .as("pair_checksum"))
+      .orderBy($"sdx".asc)
+  }
+
   /** JARO–WINKLER RECORD LINKAGE — the edit-distance-free third member
     * of the fuzzy family ([[qFuzzyMatch]] blocked Levenshtein,
     * [[qFuzzyExact]] FastSS exact-recall): prefix-weighted similarity
@@ -1112,6 +1165,7 @@ object Dedup {
     "q_degree_dist" -> (qDegreeDist _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_fuzzy_exact" -> (qFuzzyExact _),
+    "q_fuzzy_phonetic" -> (qFuzzyPhonetic _),
     "q_pagerank" -> (qPagerank _),
     "q_dup_depth" -> (qDupDepth _),
     "q_triangles" -> (qTriangles _),
@@ -1368,6 +1422,37 @@ object Dedup {
          |CAST(SUM(dist) AS BIGINT) AS sum_dist,
          |bit_xor(ka * 1073741824 + kb) AS pair_checksum
          |FROM m WHERE dist <= $FuzzyMaxDist GROUP BY block""".stripMargin,
+    "q_fuzzy_phonetic" -> {
+      val sdx = graft.functions.StringSimilarity.soundexSql("noun")
+      s"""WITH dict AS (SELECT p_name, p_brand,
+         |  CAST(MIN(p_partkey) AS BIGINT) AS rep,
+         |  CAST(COUNT(*) AS BIGINT) AS n_parts
+         |  FROM part GROUP BY 1, 2),
+         |d1 AS (SELECT *, string_split(p_name, ' ')[2] AS noun,
+         |  length(p_name) AS len FROM dict),
+         |d2 AS MATERIALIZED (SELECT *, $sdx AS sdx FROM d1),
+         |bl AS (SELECT *, COUNT(*) OVER (PARTITION BY sdx) AS bf,
+         |  MIN(rep) OVER (PARTITION BY sdx) AS bmin FROM d2),
+         |pr AS (SELECT a.sdx, a.p_brand AS ba, b.p_brand AS bb,
+         |  a.noun AS na, b.noun AS nb, a.rep AS ra, b.rep AS rb,
+         |  a.n_parts * b.n_parts AS mult,
+         |  levenshtein(a.p_name, b.p_name) AS dist
+         |  FROM bl a JOIN bl b ON a.sdx = b.sdx
+         |    AND a.p_name < b.p_name
+         |    AND (a.bf <= $FuzzyBlockCap OR a.rep = a.bmin)
+         |    AND abs(a.len - b.len) <= $FuzzyMaxDist)
+         |SELECT sdx, COUNT(*) AS n_pairs,
+         |CAST(SUM(CASE WHEN ba <> bb THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_cross_brand,
+         |CAST(SUM(CASE WHEN na <> nb THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_cross_noun,
+         |CAST(MIN(dist) AS INTEGER) AS min_dist,
+         |CAST(SUM(dist) AS BIGINT) AS sum_dist,
+         |CAST(SUM(mult) AS BIGINT) AS n_part_pairs,
+         |bit_xor(ra * 1073741824 + rb) AS pair_checksum
+         |FROM pr WHERE dist <= $FuzzyMaxDist
+         |GROUP BY 1 ORDER BY 1 ASC""".stripMargin
+    },
     "q_fuzzy_exact" ->
       s"""WITH dict AS (SELECT p_name AS name, MIN(p_partkey) AS rep,
          |  COUNT(*) AS n_parts, string_split(p_name, ' ')[1] AS head,

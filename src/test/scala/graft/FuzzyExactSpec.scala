@@ -39,6 +39,36 @@ class FuzzyExactSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_cross_head") === 1L)
   }
 
+  test("phonetic blocking finds pairs the composite join cannot produce") {
+    import spark.implicits._
+    // structural argument made concrete: every n_cross_brand pair has
+    // different brands, and qFuzzyMatch's join requires brand
+    // equality — so each one is invisible to edit-distance blocking
+    // by construction, at ANY block size
+    val rows = operators.Dedup.qFuzzyPhonetic(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val crossBrand = rows.map(_.getAs[Long]("n_cross_brand")).sum
+    assert(crossBrand > 0,
+      "expected verified cross-brand pairs (missed by composite blocking)")
+  }
+
+  test("soundex kernel: documented classes, collisions, and stability") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = Seq("red", "rod", "robert", "rupert", "cold", "old",
+      "pfister", "rose", "rosy")
+      .toDF("w").select(
+        graft.functions.StringSimilarity.soundexCode(col("w")).as("s"))
+      .as[String].collect()
+    // red/rod collide (phonetic recall across key spellings);
+    // robert/rupert is the classic textbook collision; pfister: the
+    // first letter's code collapses with an equal-coded successor;
+    // rose/rosy collide (vowel-only difference); cold/old differ —
+    // soundex preserves the first LETTER
+    assert(got === Seq("R300", "R300", "R163", "R163", "C430", "O430",
+      "P236", "R200", "R200"))
+  }
+
   test("deletion neighborhood is exhaustive and distance-sound") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
