@@ -1,0 +1,221 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The SQL FRONT DOOR: every custom capability a Scala user reaches
+  * through the library API must be reachable from pure SQL TEXT on a
+  * GraftExtensions session — scalar expressions via injectFunction,
+  * the custom OPERATORS via injectTableFunction (asof_join /
+  * range_join / topk_per_group TVFs) or the TopKRewrite rule. Each
+  * test drives spark.sql(...) only, and asserts bit-equality against
+  * the library path (which the DuckDB oracle gates) or a known-exact
+  * expectation, plus the custom exec in the executed plan where one
+  * is claimed.
+  */
+class SqlFrontDoorSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def executedContains(df: DataFrame, token: String): Boolean = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.contains(token)
+  }
+
+  private lazy val views: Unit = {
+    spark.read.parquet(s"$sf/documents.parquet")
+      .createOrReplaceTempView("sql_docs")
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .createOrReplaceTempView("sql_emb")
+    spark.read.parquet(s"$sf/part.parquet")
+      .createOrReplaceTempView("sql_part")
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .createOrReplaceTempView("sql_lineitem")
+    val ev = operators.Events.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"ts_us")
+    ev.createOrReplaceTempView("sql_ev")
+    ev.filter($"event_type" === "signup")
+      .groupBy($"user_id".as("su"), $"ts_us".as("sts"))
+      .agg(max($"event_id").as("signup_event"))
+      .createOrReplaceTempView("sql_signups")
+  }
+
+  // 1. as-of join from SQL text: the TVF builds AsofJoinNode and the
+  // result matches the oracle-gated union+running-max composition
+  test("sql: asof_join TVF equals the composed as-of join, dedicated exec") {
+    views
+    val tvf = spark.sql(
+      """SELECT event_id, ts_us, sts AS asof_time,
+        |  signup_event AS asof_payload
+        |FROM asof_join('sql_ev', 'sql_signups',
+        |  'sql_ev.user_id', 'sql_signups.su',
+        |  'sql_ev.ts_us', 'sql_signups.sts')""".stripMargin)
+    assert(executedContains(tvf, "AsofJoin"))
+    val composed = operators.AsofJoin.join(
+      spark.table("sql_ev"),
+      spark.table("sql_signups").withColumnRenamed("su", "user_id"),
+      "user_id", "ts_us", "sts", "signup_event")
+      .select($"event_id", $"ts_us", $"asof_time", $"asof_payload")
+    assert(rows(tvf) === rows(composed))
+  }
+
+  // 2–3. range join from SQL text, inner + left_outer, vs the naive
+  // overlap join it must agree with exactly
+  test("sql: range_join TVF inner equals the naive overlap join") {
+    views
+    Seq((1L, 1L, 10L), (2L, 5L, 7L), (3L, 100L, 100L))
+      .toDF("pid", "p_lo", "p_hi").createOrReplaceTempView("sql_pts")
+    Seq((10L, 6L, 20L, "a"), (11L, 90L, 95L, "b"))
+      .toDF("iid", "s", "e", "lbl").createOrReplaceTempView("sql_iv")
+    val tvf = spark.sql(
+      """SELECT pid, iid FROM range_join('sql_pts', 'sql_iv',
+        |  'p_lo', 'p_hi', 's', 'e', 'inner')""".stripMargin)
+    assert(executedContains(tvf, "RangeJoin"))
+    val naive = spark.sql(
+      """SELECT pid, iid FROM sql_pts JOIN sql_iv
+        |ON p_lo <= e AND p_hi >= s""".stripMargin)
+    assert(rows(tvf) === rows(naive))
+  }
+
+  test("sql: range_join TVF left_outer keeps unmatched probes") {
+    views
+    val tvf = spark.sql(
+      """SELECT pid, iid FROM range_join('sql_pts', 'sql_iv',
+        |  'p_lo', 'p_hi', 's', 'e', 'left_outer')""".stripMargin)
+    val naive = spark.sql(
+      """SELECT pid, iid FROM sql_pts LEFT JOIN sql_iv
+        |ON p_lo <= e AND p_hi >= s""".stripMargin)
+    assert(rows(tvf) === rows(naive))
+  }
+
+  // 4. explicit grouped top-k TVF
+  test("sql: topk_per_group TVF equals the window formulation, custom exec") {
+    views
+    val tvf = spark.sql(
+      """SELECT l_returnflag, l_orderkey, l_linenumber
+        |FROM topk_per_group('sql_lineitem', 'l_returnflag',
+        |  'l_orderkey', 'desc', 5)""".stripMargin)
+    assert(executedContains(tvf, "TopKPerGroup"))
+    val window = spark.sql(
+      """SELECT l_returnflag, l_orderkey, l_linenumber FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_orderkey DESC) AS rn FROM sql_lineitem)
+        |WHERE rn <= 5""".stripMargin)
+    // the TVF has no tie-break column, so compare the deterministic
+    // projection of the k extreme keys per group
+    assert(rows(tvf.select($"l_returnflag", $"l_orderkey")) ===
+      rows(window.select($"l_returnflag", $"l_orderkey")))
+  }
+
+  // 5. implicit top-k: plain window SQL rewritten onto the custom exec
+  test("sql: TopKRewrite turns a row_number filter into TopKPerGroup") {
+    views
+    spark.conf.set(graft.plans.TopKRewrite.ConfKey, "true")
+    try {
+      val df = spark.sql(
+        """SELECT l_returnflag, l_orderkey, l_linenumber FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+          |    ORDER BY l_orderkey DESC, l_linenumber ASC) AS rn
+          |  FROM sql_lineitem) WHERE rn <= 3""".stripMargin)
+      assert(executedContains(df, "TopKPerGroup"),
+        "rewrite rule must plan the custom exec from plain SQL")
+    } finally spark.conf.set(graft.plans.TopKRewrite.ConfKey, "false")
+  }
+
+  // 6. brute-force cosine ANN from SQL
+  test("sql: cosine_sim top-k equals the library expression") {
+    views
+    val q = spark.sql(
+      """SELECT b.vec_id,
+        |  cosine_sim(a.embedding, b.embedding) AS cos
+        |FROM sql_emb a JOIN sql_emb b ON a.vec_id = 0 AND b.vec_id > 0
+        |ORDER BY cos DESC, b.vec_id ASC LIMIT 10""".stripMargin)
+    val emb = spark.table("sql_emb")
+    val qv = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val lib = emb.filter($"vec_id" > 0).crossJoin(broadcast(qv))
+      .select($"vec_id", graft.functions.VectorExpressions
+        .cosineFast($"embedding", $"qe").as("cos"))
+      .orderBy($"cos".desc, $"vec_id".asc).limit(10)
+    assert(rows(q) === rows(lib))
+  }
+
+  // 7–8. minhash + shingle pipeline from SQL
+  test("sql: shingle_hash60/minhash_sigs/sig_agree equal the library") {
+    views
+    val sqlSigs = spark.sql(
+      """WITH s AS (SELECT doc_id,
+        |  minhash_sigs(shingle_hash60(split(text, ' '), 3), 16) AS sig
+        |  FROM sql_docs WHERE doc_id < 20)
+        |SELECT a.doc_id, b.doc_id, sig_agree(a.sig, b.sig) AS ag
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id""".stripMargin)
+    val lib = spark.table("sql_docs").filter($"doc_id" < 20)
+      .select($"doc_id", graft.functions.MinHash.minhashSigs(
+        graft.functions.MinHash.shingleHash60(
+          split($"text", " "), 3), 16).as("sig"))
+    val libPairs = lib.as("a").join(lib.as("b"),
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        graft.functions.MinHash.sigAgree($"a.sig", $"b.sig").as("ag"))
+    assert(rows(sqlSigs) === rows(libPairs))
+  }
+
+  // 9. simhash from SQL
+  test("sql: simhash32 equals the library expression") {
+    views
+    val q = spark.sql(
+      """SELECT doc_id, simhash32(split(text, ' ')) AS sh
+        |FROM sql_docs WHERE doc_id < 50""".stripMargin)
+    val lib = spark.table("sql_docs").filter($"doc_id" < 50)
+      .select($"doc_id",
+        graft.functions.MinHash.simhash32(split($"text", " ")).as("sh"))
+    assert(rows(q) === rows(lib))
+  }
+
+  // 10. Jaro–Winkler linkage scoring from SQL
+  test("sql: jaro_winkler_sim equals the codegen expression") {
+    views
+    val q = spark.sql(
+      """SELECT a.p_partkey, b.p_partkey,
+        |  jaro_winkler_sim(a.p_name, b.p_name) AS jw
+        |FROM sql_part a JOIN sql_part b
+        |ON a.p_partkey < 20 AND b.p_partkey = a.p_partkey + 1""".stripMargin)
+    val p = spark.table("sql_part")
+    val lib = p.as("a").join(p.as("b"),
+        $"a.p_partkey" < 20 && $"b.p_partkey" === $"a.p_partkey" + 1)
+      .select($"a.p_partkey", $"b.p_partkey",
+        graft.functions.StringSimilarity
+          .jaroWinkler($"a.p_name", $"b.p_name").as("jw"))
+    assert(rows(q) === rows(lib))
+  }
+
+  // 11. Hilbert space-filling index + decode from SQL
+  test("sql: hilbert_d/hilbert_xy round-trip equals the kernel") {
+    val q = spark.sql(
+      """SELECT id, hilbert_d(x, y) AS h, hilbert_xy(hilbert_d(x, y)) AS xy
+        |FROM VALUES (1, 3L, 5L), (2, 65535L, 0L), (3, 12345L, 54321L)
+        |  AS t(id, x, y)""".stripMargin).collect()
+    q.foreach { r =>
+      val (x, y) = (r.getLong(2) / 65536L, r.getLong(2) % 65536L)
+      assert(graft.functions.HilbertCurve.xy2d(x, y) === r.getLong(1))
+    }
+  }
+
+  // 12. an oracle-gated relational query, reproduced from SQL text only
+  test("sql: q1 pricing summary from text equals the library query") {
+    views
+    val q = spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS count_order
+        |FROM sql_lineitem WHERE l_shipdate <= DATE '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    val lib = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+      .select($"l_returnflag", $"l_linestatus",
+        $"sum_qty".cast("double").as("sum_qty"), $"count_order")
+    assert(rows(q) === rows(lib))
+  }
+}
