@@ -35,7 +35,9 @@ object DumpPlans {
     "q_qq", "q_isotonic", "q_image_resize",
     "q_kmv_setops", "q_calibration", "q_dp_counts", "q_normalize_dedup",
     "q_ngram_novelty", "q_minhash_recall", "q_reachability",
-    "q_worst_slice", "q_threshold_sweep", "q_col_stats")
+    "q_worst_slice", "q_threshold_sweep", "q_col_stats",
+    "q_substring_spans", "q_longest_dup_span", "q_span_coverage",
+    "q_unigram_em", "q_fuzzy_phonetic")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("plans")
