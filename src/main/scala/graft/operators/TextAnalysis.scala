@@ -358,6 +358,50 @@ object TextAnalysis {
       .limit(SpanReportK)
   }
 
+  /** SPAN TRIM — the ACTIONABLE end of the span family: rewrite every
+    * document with its ≥12-token shared spans REMOVED (the
+    * "deduplicate training text verbatim" pass real curation
+    * pipelines run after exactly the [[pairSpans]] index). Intervals
+    * from both sides of every maximal span aggregate per doc (bounded
+    * list), and one narrow map drops covered token positions — a
+    * lambda filter with index against the per-doc interval list, no
+    * join at token grain on the Spark side. The census carries a
+    * bit_xor over the md5 of every TRIMMED TEXT, so the oracle match
+    * proves each document's rewritten string byte-for-byte, not just
+    * counts. Fully-covered docs trim to the empty string (counted,
+    * checksummed). Scale shape: pair pipeline + one merge join at doc
+    * grain + a narrow per-row rewrite; the oracle mirrors the rewrite
+    * with a token-position anti-join + ordered string_agg. */
+  def qSpanTrim(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sp = pairSpans(s, d)
+    val iv = sp.select($"doc_a".as("doc_id"), $"start_a".as("st"),
+        ($"start_a" + $"len" - 1).as("en"))
+      .unionAll(sp.select($"doc_b".as("doc_id"), $"start_b".as("st"),
+        ($"start_b" + $"len" - 1).as("en")))
+      .distinct()
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"st", $"en")).as("ivs"))
+    val toks = tokens($"text")
+    Tables.documents(s, d)
+      .join(iv.hint("merge"), Seq("doc_id"), "left")
+      .withColumn("kept", filter(toks, (t, i) =>
+        !exists(coalesce($"ivs",
+            array().cast("array<struct<st:long,en:long>>")),
+          v => v.getField("st") <= i + 1 && i + 1 <= v.getField("en"))))
+      .select($"source", $"ivs".isNotNull.as("was_trimmed"),
+        size(toks).cast("long").as("nb"),
+        size($"kept").cast("long").as("na"),
+        md5Prefix60(concat_ws(" ", $"kept")).as("h"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"was_trimmed".cast("long")).as("n_docs_trimmed"),
+        sum($"nb").as("tokens_before"),
+        sum($"na").as("tokens_after"),
+        bit_xor($"h").as("trim_checksum"))
+      .orderBy($"source".asc)
+  }
+
   private val QmMod = 1001L // hashed-feature weight modulus (odd, ~±500)
 
   /** HASHED LINEAR QUALITY SCORER — the fasttext-classifier query
@@ -1601,6 +1645,7 @@ object TextAnalysis {
     "q_substring_spans" -> (qSubstringSpans _),
     "q_longest_dup_span" -> (qLongestDupSpan _),
     "q_span_coverage" -> (qSpanCoverage _),
+    "q_span_trim" -> (qSpanTrim _),
     "q_quality_model" -> (qQualityModel _),
     "q_calibration" -> (qCalibration _),
     "q_dp_counts" -> (qDpCounts _),
@@ -2191,6 +2236,37 @@ object TextAnalysis {
          |covered * 1000000000 // ntok AS ratio_e9
          |FROM nt JOIN pd USING (doc_id)
          |ORDER BY ratio_e9 DESC, doc_id ASC LIMIT $SpanReportK""".stripMargin,
+    "q_span_trim" ->
+      s"""$pairSpansSql,
+         |iv AS (SELECT DISTINCT doc_id, st, en FROM (
+         |  SELECT doc_a AS doc_id, start_a AS st,
+         |    start_a + len - 1 AS en FROM sp
+         |  UNION ALL
+         |  SELECT doc_b, start_b, start_b + len - 1 FROM sp)),
+         |cov AS (SELECT DISTINCT doc_id,
+         |  unnest(generate_series(st, en)) AS pos FROM iv),
+         |tp AS (SELECT doc_id,
+         |  unnest(generate_series(1, len(t))) AS pos,
+         |  unnest(t) AS tok FROM tok),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tp t
+         |  ANTI JOIN cov USING (doc_id, pos)),
+         |tr AS (SELECT doc_id, COUNT(*) AS na,
+         |  string_agg(tok, ' ' ORDER BY pos) AS txt
+         |  FROM kept GROUP BY 1),
+         |pd AS (SELECT d.doc_id, d.source,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nb,
+         |  CAST(COALESCE(tr.na, 0) AS BIGINT) AS na,
+         |  COALESCE(tr.txt, '') AS txt,
+         |  CASE WHEN d.doc_id IN (SELECT doc_id FROM iv)
+         |    THEN 1 ELSE 0 END AS trimmed
+         |  FROM documents d LEFT JOIN tr ON d.doc_id = tr.doc_id)
+         |SELECT source, COUNT(*) AS n_docs,
+         |CAST(SUM(trimmed) AS BIGINT) AS n_docs_trimmed,
+         |CAST(SUM(nb) AS BIGINT) AS tokens_before,
+         |CAST(SUM(na) AS BIGINT) AS tokens_after,
+         |bit_xor(CAST(('0x' || substr(md5(txt), 1, 15)) AS BIGINT))
+         |  AS trim_checksum
+         |FROM pd GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "q_dup_span_coverage" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
          |sp AS (SELECT doc_id, unnest(${sqlGrams(SpanK)}) AS span FROM tok),
