@@ -69,6 +69,38 @@ class FuzzyExactSpec extends AnyFunSuite {
       "P236", "R200", "R200"))
   }
 
+  test("soundex column matches an independent Scala reference on random words") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // independent implementation of the SAME documented kernel
+    // (imperative walk, not translate/regex chains)
+    def ref(w: String): String = {
+      val code = "01230120022455012623010202"
+      val coded = w.toLowerCase.flatMap { c =>
+        if (c >= 'a' && c <= 'z') Some(code(c - 'a')) else None
+      }
+      // collapse adjacent equal digits 1-6 (zeros separate; their own
+      // runs collapse too, but they're dropped next anyway)
+      val collapsed = coded.foldLeft("") { (acc, c) =>
+        if (acc.nonEmpty && acc.last == c && c != '0') acc else acc + c
+      }
+      val digits = collapsed.drop(1).filter(_ != '0')
+      w.take(1).toUpperCase + (digits + "000").take(3)
+    }
+    val rnd = new scala.util.Random(42)
+    val words = (1 to 300).map { _ =>
+      (1 to (1 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(26)).toChar)
+        .mkString
+    }.distinct
+    val got = words.toDF("w")
+      .select(col("w"), graft.functions.StringSimilarity
+        .soundexCode(col("w")).as("s"))
+      .as[(String, String)].collect().toMap
+    words.foreach { w =>
+      assert(got(w) === ref(w), s"soundex mismatch for '$w'")
+    }
+  }
+
   test("deletion neighborhood is exhaustive and distance-sound") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
