@@ -407,6 +407,54 @@ object Similarity {
     ivfSearch(s, emb, centroids)
   }
 
+  /** Near-dup cosine threshold for [[qSemDedup]]. Tuned to the
+    * synthetic corpus's cosine range (random vectors top out ~0.49
+    * within cells); a production run on real embeddings sets ~0.95 —
+    * the operator shape is identical at any τ. */
+  private val SemTau = 0.45
+
+  /** SEMDEDUP — embedding-level SEMANTIC deduplication (the
+    * cluster-then-prune pass LLM curation runs after exact/minhash
+    * text dedup, on meaning rather than surface form): every vector
+    * is coarse-quantized to its nearest pinned centroid (the
+    * [[qAnnIvf]] literal-mirror discipline), and WITHIN each cell a
+    * vector is dropped iff a LOWER-id vector in the same cell has
+    * cosine > [[SemTau]] — the deterministic keep-earliest rule, one
+    * pass, no transitive closure (mirrors SemDeDup's per-cluster
+    * ε-ball pruning; chains prune conservatively, by design). Scale
+    * shape: the quadratic work is the per-cell self-join, bounded by
+    * cell size ≈ N/Cells (at 100 TB, Cells grows as √N like any IVF
+    * deployment and each cell is one task's work); the census is one
+    * bounded agg with kept/dropped bit_xor placement proofs. */
+  def qSemDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val centroids: Array[Array[Float]] = emb.filter($"vec_id" < Cells)
+      .orderBy($"vec_id").select($"embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val corpus = emb.select($"vec_id", $"embedding",
+      nearestCentroid($"embedding", centroids).as("cell"))
+      .transform(graft.functions.Cp.local)
+    // corpus-grown both sides: merge join on the cell key
+    val dropped = corpus.as("a")
+      .join(corpus.as("b").hint("merge"),
+        $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id" &&
+          cosineFast($"a.embedding", $"b.embedding") > SemTau)
+      .select($"b.cell".as("cell"), $"b.vec_id".as("vec_id"))
+      .distinct()
+    corpus.select($"cell", $"vec_id")
+      .join(dropped.withColumn("dropped", lit(1L)).hint("merge"),
+        Seq("cell", "vec_id"), "left")
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(coalesce($"dropped", lit(0L))).as("n_dropped"),
+        coalesce(bit_xor(when($"dropped" === 1L,
+          expr("vec_id * 1000003"))), lit(0L)).as("dropped_checksum"),
+        coalesce(bit_xor(when($"dropped".isNull, $"vec_id")), lit(0L))
+          .as("kept_checksum"))
+      .orderBy($"cell".asc)
+  }
+
   /** IVF with k-means-TRAINED centroids — the production configuration
     * ([[qAnnIvf]] pins centroids to the first corpus vectors only so
     * the DuckDB oracle can mirror them literally). Training is
@@ -544,6 +592,7 @@ object Similarity {
     "q_centroid_shift" -> (qCentroidShift _),
     "q_knn_brute" -> (qKnnBrute _),
     "q_embed_neardup" -> (qEmbedNearDup _),
+    "q_semdedup" -> (qSemDedup _),
     "q_neardup_lsh" -> (qNearDupLsh _),
     "q_mutual_nn" -> (qMutualNn _),
     "q_ann_lsh" -> (qAnnLsh _),
@@ -680,6 +729,32 @@ object Similarity {
         |ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) > 0.4""".stripMargin,
+    "q_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |cent AS (SELECT CAST(vec_id + 1 AS INT) AS cell, v AS cv
+         |  FROM e WHERE vec_id < $Cells),
+         |corpus AS MATERIALIZED (SELECT vec_id, v, cell FROM (
+         |  SELECT e.vec_id, e.v, c.cell,
+         |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |    ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+         |      c.cell ASC) AS rn
+         |  FROM e CROSS JOIN cent c) t WHERE rn = 1),
+         |dr AS (SELECT DISTINCT b.cell, b.vec_id
+         |  FROM corpus a JOIN corpus b
+         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.v, b.v) > $SemTau),
+         |fl AS (SELECT c.cell, c.vec_id,
+         |  CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS dropped
+         |  FROM corpus c LEFT JOIN dr d
+         |  ON c.cell = d.cell AND c.vec_id = d.vec_id)
+         |SELECT cell, COUNT(*) AS n_vecs,
+         |CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+         |COALESCE(bit_xor(CASE WHEN dropped = 1
+         |  THEN vec_id * 1000003 END), 0) AS dropped_checksum,
+         |COALESCE(bit_xor(CASE WHEN dropped = 0 THEN vec_id END), 0)
+         |  AS kept_checksum
+         |FROM fl GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "q_neardup_lsh" -> neardupLshSql,
     "q_mutual_nn" ->
       s"""WITH nd AS MATERIALIZED ($neardupLshSql),
