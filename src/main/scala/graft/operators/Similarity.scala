@@ -422,14 +422,22 @@ object Similarity {
     * cosine > [[SemTau]] — the deterministic keep-earliest rule, one
     * pass, no transitive closure (mirrors SemDeDup's per-cluster
     * ε-ball pruning; chains prune conservatively, by design). Scale
-    * shape: the quadratic work is the per-cell self-join, bounded by
-    * cell size ≈ N/Cells (at 100 TB, Cells grows as √N like any IVF
-    * deployment and each cell is one task's work); the census is one
+    * shape: the cell count is SCALE-PARAMETERIZED at
+    * max(16, ⌈√N⌉) — the standard IVF sizing, mirrored exactly in the
+    * oracle via the same count (⌈√·⌉ of an exact integer is
+    * engine-identical: IEEE sqrt is correctly rounded) — so cell size
+    * stays ≈ √N and the per-cell self-join stays ~N total pairs
+    * instead of going quadratic at a pinned cell count (a fixed 16
+    * cells would make each cell N/16 and the join N²/256 — the scale
+    * bug this parameterization removes). The √N-bounded centroid
+    * collect is the model-collect discipline; the census is one
     * bounded agg with kept/dropped bit_xor placement proofs. */
   def qSemDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val centroids: Array[Array[Float]] = emb.filter($"vec_id" < Cells)
+    val semCells = math.max(Cells,
+      math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    val centroids: Array[Array[Float]] = emb.filter($"vec_id" < semCells)
       .orderBy($"vec_id").select($"embedding").collect()
       .map(_.getSeq[Float](0).toArray)
     val corpus = emb.select($"vec_id", $"embedding",
@@ -733,7 +741,9 @@ object Similarity {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings),
          |cent AS (SELECT CAST(vec_id + 1 AS INT) AS cell, v AS cv
-         |  FROM e WHERE vec_id < $Cells),
+         |  FROM e WHERE vec_id <
+         |    (SELECT GREATEST($Cells, CAST(ceil(sqrt(COUNT(*)))
+         |      AS BIGINT)) FROM e)),
          |corpus AS MATERIALIZED (SELECT vec_id, v, cell FROM (
          |  SELECT e.vec_id, e.v, c.cell,
          |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
