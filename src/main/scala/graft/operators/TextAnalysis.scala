@@ -223,6 +223,7 @@ object TextAnalysis {
   }
 
   private val SpanDfCap = 64     // anchor-hash df cap for the pair join
+  private val SpanOccCap = 256   // total-position cap (within-doc repeats)
   private val MinSpanAnchors = 5 // chained anchors ⇒ spans ≥ 12 tokens
   private val SpanReportK = 20   // bounded report size for span queries
 
@@ -238,10 +239,13 @@ object TextAnalysis {
     * shorter than [[MinSpanAnchors]] are dropped (spans < 12 tokens
     * are n-gram noise, not memorization signal). Scale contract: the
     * anchor posting table is built ONCE (checkpoint — df agg + both
-    * join sides read it), anchors with df > [[SpanDfCap]] are dropped
-    * BEFORE the self-join (boilerplate 8-grams shared by f docs would
-    * make f² join buckets — the [[Dedup.jaccardPairsOf]] DfCap rule at
-    * span grain), so every join bucket is ≤ DfCap². The diagonal
+    * join sides read it), anchors with df > [[SpanDfCap]] docs or
+    * more than [[SpanOccCap]] total positions are dropped BEFORE the
+    * self-join (boilerplate 8-grams shared by f docs make f² join
+    * buckets — the [[Dedup.jaccardPairsOf]] DfCap rule at span grain;
+    * the occ cap additionally bounds within-doc repetition, where one
+    * doc repeating an anchor p times contributes p² to its pair
+    * buckets at any df), so every join bucket is ≤ OccCap². The diagonal
     * windows partition by (pair, diag) — bounded by the shorter doc,
     * never corpus-sized. Both self-join sides are corpus-grown →
     * merge hints (the q_bigram_lm AQE lesson). */
@@ -256,9 +260,13 @@ object TextAnalysis {
       .select($"doc_id", ($"pos" + 1).cast("long").as("pos"),
         md5Prefix60($"col").as("h"))
       .transform(graft.functions.Cp.local)
+    // df bounds DOCS per anchor; occ bounds total POSITIONS — a doc
+    // repeating one 8-gram p times contributes p rows at df=2, so the
+    // join bucket is occ², not df² ("a a a …" pathology). Both caps
+    // mirrored in the oracle, so the gate runs with them ACTIVE.
     val dup = anchors.groupBy($"h")
-      .agg(countDistinct($"doc_id").as("df"))
-      .filter($"df" > 1 && $"df" <= SpanDfCap)
+      .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("occ"))
+      .filter($"df" > 1 && $"df" <= SpanDfCap && $"occ" <= SpanOccCap)
       .select($"h")
     // dup index + both join sides are span-grain (corpus-grown):
     // never broadcastable, merge-join on the uniform hash
@@ -1679,7 +1687,8 @@ object TextAnalysis {
        |ah AS MATERIALIZED (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
        |  CAST(('0x'||substr(md5(span),1,15)) AS BIGINT) AS h FROM an),
        |dup AS (SELECT h FROM ah GROUP BY h
-       |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND $SpanDfCap),
+       |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND $SpanDfCap
+       |    AND COUNT(*) <= $SpanOccCap),
        |pr AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  a.pos AS pa, b.pos AS pb
        |  FROM ah a JOIN ah b ON a.h = b.h AND a.doc_id < b.doc_id
