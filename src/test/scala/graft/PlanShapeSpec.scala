@@ -146,6 +146,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("span family: corpus-grown sides merge-join, report stays bounded") {
+    val p = executed("q_substring_spans")
+    assert(p.contains("SortMergeJoin"),
+      "the anchor self-join must be a merge join (corpus-grown sides)")
+    assert(!p.contains("BroadcastHashJoin"),
+      "no span-grain side may broadcast (the q_bigram_lm AQE lesson)")
+    val pt = executed("q_longest_dup_span")
+    assert(pt.contains("TakeOrderedAndProject"),
+      "the longest-span report must be top-k bounded before the text join")
+  }
+
   // The bounded-spine window invariant: an UNPARTITIONED WindowExec
   // funnels its whole input through ONE task — fine over a bounded
   // spine (value histogram, calendar, top-k pool, vocabulary), fatal
