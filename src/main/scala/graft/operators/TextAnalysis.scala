@@ -366,6 +366,51 @@ object TextAnalysis {
       .limit(SpanReportK)
   }
 
+  private val AdmitMod = 10  // doc_id % 10 == 3 → the incoming batch
+  private val AdmitRem = 3   // (the q_incremental_dedup convention)
+  private val AdmitMaxCovE9 = 500000000L // admit below 50% span overlap
+
+  /** SPAN-GRAIN ADMISSION CONTROL — q_incremental_dedup upgraded from
+    * whole-document fingerprints to PARTIAL duplication: an incoming
+    * document is admitted iff fewer than 50% of its 8-token windows
+    * already exist verbatim in the standing corpus (catches the
+    * paste-half-an-existing-doc case a fingerprint probe misses
+    * entirely). Batch = the deterministic doc_id % [[AdmitMod]] ==
+    * [[AdmitRem]] slice. Scale shape: the corpus side reduces to a
+    * DISTINCT anchor-hash set probed with one LEFT SEMI merge join
+    * (corpus-grown — never broadcast); coverage is the integer
+    * n·10⁹ div d idiom; the census is per-source with a bit_xor over
+    * ADMITTED doc ids, so the oracle proves each admit decision. */
+  def qSpanAdmit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val spans = transform(
+      sequence(lit(1), greatest(size(toks) - (SpanK - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(SpanK))))
+    val anchors = Tables.documents(s, d)
+      .select($"doc_id", $"source", explode(spans).as("span"))
+      .select($"doc_id", $"source", md5Prefix60($"span").as("h"))
+      .transform(graft.functions.Cp.local)
+    val isBatch = pmod($"doc_id", lit(AdmitMod)) === AdmitRem
+    val corpus = anchors.filter(!isBatch).select($"h").distinct()
+    val batch = anchors.filter(isBatch)
+    val hits = batch.join(corpus.hint("merge"), Seq("h"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
+    val cov = batch.groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_spans"))
+      .join(hits.hint("merge"), Seq("doc_id"), "left")
+      .withColumn("cov_e9",
+        expr("coalesce(n_hit, 0L) * 1000000000 div n_spans"))
+      .withColumn("admit", $"cov_e9" < AdmitMaxCovE9)
+    cov.groupBy($"source")
+      .agg(count(lit(1)).as("n_batch"),
+        sum($"admit".cast("long")).as("n_admitted"),
+        sum($"cov_e9").as("sum_cov_e9"),
+        coalesce(bit_xor(when($"admit", expr("doc_id * 1000003"))),
+          lit(0L)).as("admit_checksum"))
+      .orderBy($"source".asc)
+  }
+
   /** SPAN TRIM — the ACTIONABLE end of the span family: rewrite every
     * document with its ≥12-token shared spans REMOVED (the
     * "deduplicate training text verbatim" pass real curation
@@ -1654,6 +1699,7 @@ object TextAnalysis {
     "q_longest_dup_span" -> (qLongestDupSpan _),
     "q_span_coverage" -> (qSpanCoverage _),
     "q_span_trim" -> (qSpanTrim _),
+    "q_span_admit" -> (qSpanAdmit _),
     "q_quality_model" -> (qQualityModel _),
     "q_calibration" -> (qCalibration _),
     "q_dp_counts" -> (qDpCounts _),
@@ -2245,6 +2291,35 @@ object TextAnalysis {
          |covered * 1000000000 // ntok AS ratio_e9
          |FROM nt JOIN pd USING (doc_id)
          |ORDER BY ratio_e9 DESC, doc_id ASC LIMIT $SpanReportK""".stripMargin,
+    "q_span_admit" ->
+      s"""WITH tok AS (SELECT doc_id, source, string_split(text,' ') AS t
+         |  FROM documents),
+         |an AS MATERIALIZED (SELECT doc_id, source,
+         |  CAST(('0x'||substr(md5(span),1,15)) AS BIGINT) AS h FROM (
+         |  SELECT doc_id, source, unnest(${sqlGrams(SpanK)}) AS span
+         |  FROM tok)),
+         |corpus AS (SELECT DISTINCT h FROM an
+         |  WHERE doc_id % $AdmitMod <> $AdmitRem),
+         |batch AS (SELECT * FROM an
+         |  WHERE doc_id % $AdmitMod = $AdmitRem),
+         |hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |  FROM batch WHERE h IN (SELECT h FROM corpus) GROUP BY 1),
+         |cov AS (SELECT b.doc_id, b.source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |  COALESCE(MAX(hits.n_hit), 0) AS n_hit
+         |  FROM batch b LEFT JOIN hits ON b.doc_id = hits.doc_id
+         |  GROUP BY 1, 2),
+         |fl AS (SELECT doc_id, source,
+         |  n_hit * 1000000000 // n_spans AS cov_e9,
+         |  n_hit * 1000000000 // n_spans < $AdmitMaxCovE9 AS admit
+         |  FROM cov)
+         |SELECT source, COUNT(*) AS n_batch,
+         |CAST(SUM(CASE WHEN admit THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_admitted,
+         |CAST(SUM(cov_e9) AS BIGINT) AS sum_cov_e9,
+         |COALESCE(bit_xor(CASE WHEN admit
+         |  THEN doc_id * 1000003 END), 0) AS admit_checksum
+         |FROM fl GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "q_span_trim" ->
       s"""$pairSpansSql,
          |iv AS (SELECT DISTINCT doc_id, st, en FROM (
