@@ -63,6 +63,8 @@ case class TokenEv(ts: Timestamp, term: String)
 /** A timestamped raw-text document (streaming corpus element). */
 case class DocEv(ts: Timestamp, text: String)
 
+case class AdmitDoc(doc_id: Long, ts: Timestamp, text: String)
+
 /** Per-window KMV sketch state/output (k smallest distinct hashes). */
 case class KmvState(hashes: Seq[Long])
 case class KmvOut(windowStartUs: Long, nReg: Int, kth: Long,
@@ -657,6 +659,39 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("pair"),
         col("cnt"))
+
+  /** STREAMING SPAN-ADMISSION — [[graft.operators.TextAnalysis]]'s
+    * q_span_admit decision applied at INGEST time: each arriving
+    * document's 8-token anchor hashes probe the standing corpus
+    * anchor set (a stream-static LEFT join against the DISTINCT
+    * corpus hash table — caller must pre-distinct it, or hit counts
+    * inflate), per-(doc, ts) coverage aggregates under the watermark
+    * (doc state expires once the watermark passes its event time),
+    * and the emitted row carries the integer coverage ratio + the
+    * admit decision at `maxCovE9`. Same arithmetic as the batch
+    * query, so batch/stream parity is assertable row-for-row. */
+  def spanAdmit(docs: DataFrame, corpusAnchors: DataFrame,
+                maxCovE9: Long = 500000000L,
+                watermark: String = "30 minutes"): DataFrame = {
+    import graft.functions.TextFunctions.md5Prefix60
+    val spans = expr(
+      """transform(
+        |  sequence(1, greatest(size(split(text, ' ')) - 7, 1)),
+        |  i -> concat_ws(' ', slice(split(text, ' '), i, 8)))"""
+        .stripMargin)
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), explode(spans).as("span"))
+      .select(col("doc_id"), col("ts"), md5Prefix60(col("span")).as("h"))
+      .join(corpusAnchors.select(col("h"), lit(1L).as("in_c")),
+        Seq("h"), "left")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("in_c"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("ts"), col("n_spans"), col("n_hit"),
+        expr("n_hit * 1000000000 div n_spans").as("cov_e9"))
+      .withColumn("admit", col("cov_e9") < maxCovE9)
+  }
 
   /** Windowed value HISTOGRAM over fixed integer buckets — the
     * bounded-state streaming quantile primitive. State is one count
