@@ -37,7 +37,8 @@ object DumpPlans {
     "q_ngram_novelty", "q_minhash_recall", "q_reachability",
     "q_worst_slice", "q_threshold_sweep", "q_col_stats",
     "q_substring_spans", "q_longest_dup_span", "q_span_coverage",
-    "q_unigram_em", "q_fuzzy_phonetic")
+    "q_unigram_em", "q_fuzzy_phonetic", "q_span_trim", "q_span_admit",
+    "q_semdedup", "q_curate_funnel")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("plans")
