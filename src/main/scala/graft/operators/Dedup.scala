@@ -367,6 +367,38 @@ object Dedup {
     Option(sharedPairs.get((s, d)))
       .getOrElse(jaccardPairsOf(Tables.documents(s, d)))
 
+  /** SUBSET-CONTAINMENT DETECTION — the asymmetric dup relation a
+    * symmetric Jaccard threshold misses: doc A is a verbatim subset of
+    * a LONGER doc B (truncated copy, quoted-in-full, prefix crawl).
+    * Containment C(A→B) = |S(A)∩S(B)| / |S(A)| over distinct
+    * [[JaccardN]]-gram shingles; a proper subset pair has C = 1 while
+    * J = n_small/n_big can sit well under a 0.8 dedup threshold (at
+    * the gate SFs pairs reach J ≈ 0.75 — kept by a Jaccard rule,
+    * caught here). Full containment is tested INTEGER-EXACTLY as
+    * inter = min(na, nb) — no division at the filter boundary. Rides
+    * [[jaccardPairs]] (shared posting/pair pipeline: df-capped join
+    * keys, sizes over ALL shingles — so a containment riding only on
+    * ubiquitous shingles is out of scope by the same documented cap
+    * as the Jaccard family, and [[withSharedPairs]] serves this query
+    * from the same build). Scale shape: one derivation + filter over
+    * the pair table; output grows only with the planted-dup count. */
+  def qContainment(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    jaccardPairs(s, d)
+      .filter($"inter" === least($"na", $"nb"))
+      .select(
+        when($"na" < $"nb" || ($"na" === $"nb" && $"doc_a" < $"doc_b"),
+          $"doc_a").otherwise($"doc_b").as("doc_small"),
+        when($"na" < $"nb" || ($"na" === $"nb" && $"doc_a" < $"doc_b"),
+          $"doc_b").otherwise($"doc_a").as("doc_big"),
+        least($"na", $"nb").as("n_small"),
+        greatest($"na", $"nb").as("n_big"),
+        expr("inter * 1000000000 DIV greatest(na, nb)").as("cont_big_e9"),
+        expr("inter * 1000000000 DIV (na + nb - inter)").as("jac_e9"),
+        ($"na" =!= $"nb").cast("long").as("proper"))
+      .orderBy($"doc_small".asc, $"doc_big".asc)
+  }
+
   /** PREFIX-FILTERING set-similarity join (AllPairs/PPJoin family) —
     * the LOSSLESS alternative to [[jaccardPairsOf]]'s df-capped
     * posting join: instead of dropping ubiquitous shingles (bounded
@@ -595,6 +627,63 @@ object Dedup {
     connectedComponents(edges)
       .groupBy($"label")
       .agg(count(lit(1)).as("n_docs"), max($"id").as("max_doc"))
+  }
+
+  /** SPLIT-LEAKAGE AUDIT + CLUSTER-AWARE REPAIR — the train/test
+    * integrity verb: a hash split (md5 80/10/10, the [[Sampling
+    * .qSplitAssign]] rule) assigns near-DUPLICATE documents to
+    * DIFFERENT splits, so "held-out" eval rows have verbatim twins in
+    * train (eval leakage). Stage `before`: census of near-dup edges
+    * (jaccard > 1/2 on the shared pair pipeline) by their endpoints'
+    * split pair — every (train, test) row is a leak. Repair: each doc
+    * adopts the split keyed by its dup-CLUSTER REPRESENTATIVE's hash
+    * (component-min doc_id from [[connectedComponents]]; singletons
+    * are their own label, so their split is UNCHANGED — no join
+    * needed, the new split is md5(label) directly). Stage `after`
+    * re-censuses the same edges under the repaired split: all mass on
+    * the diagonal, zero cross-split pairs BY CONSTRUCTION and proven
+    * in the gated output. Stage `moved` counts reassigned docs per
+    * (old, new) split with a doc-grain xor proof. Scale shape: the
+    * pair pipeline + O(log n) CC rounds (both existing substrates),
+    * two merge-hinted edge↔split joins, bounded 3×3 censuses. */
+  def qSplitLeakage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.md5Prefix60
+    def splitOf(id: Column): Column = {
+      val b = pmod(md5Prefix60(id.cast("string")), lit(100L))
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    }
+    val edges = jaccardPairs(s, d)
+      .filter(lit(3) * $"inter" > $"na" + $"nb")
+      .select($"doc_a", $"doc_b")
+      .transform(graft.functions.Cp.local) // reused: CC + both censuses
+    val lab = connectedComponents(edges).withColumnRenamed("id", "doc_id")
+    val assigned = Tables.documents(s, d).select($"doc_id")
+      .join(lab.hint("merge"), Seq("doc_id"), "left")
+      .withColumn("label", coalesce($"label", $"doc_id"))
+      .select($"doc_id", splitOf($"doc_id").as("s_old"),
+        splitOf($"label").as("s_new"))
+      .transform(graft.functions.Cp.local) // reused: both censuses + moved
+    def census(stage: String, c: String) = edges
+      .join(assigned.select($"doc_id".as("doc_a"), col(c).as("sa"))
+        .hint("merge"), Seq("doc_a"))
+      .join(assigned.select($"doc_id".as("doc_b"), col(c).as("sb"))
+        .hint("merge"), Seq("doc_b"))
+      .groupBy(least($"sa", $"sb").as("split_a"),
+        greatest($"sa", $"sb").as("split_b"))
+      .agg(count(lit(1)).as("n"),
+        bit_xor(($"doc_a" * 1000003L).bitwiseXOR($"doc_b")).as("xor_proof"))
+      .withColumn("stage", lit(stage))
+    val moved = assigned.filter($"s_old" =!= $"s_new")
+      .groupBy($"s_old".as("split_a"), $"s_new".as("split_b"))
+      .agg(count(lit(1)).as("n"),
+        bit_xor($"doc_id" * 1000003L).as("xor_proof"))
+      .withColumn("stage", lit("moved"))
+    census("before", "s_old")
+      .unionByName(census("after", "s_new"))
+      .unionByName(moved)
+      .select($"stage", $"split_a", $"split_b", $"n", $"xor_proof")
+      .orderBy($"stage".asc, $"split_a".asc, $"split_b".asc)
   }
 
   private val PrIters = 3
@@ -1222,6 +1311,8 @@ object Dedup {
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_lsh_bucket_stats" -> (qLshBucketStats _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_containment" -> (qContainment _),
+    "q_split_leakage" -> (qSplitLeakage _),
     "q_prefix_join" -> (qPrefixJoin _)
   )
 
@@ -1694,6 +1785,71 @@ object Dedup {
          |ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
          |FROM pr JOIN sz sa ON sa.doc_id = doc_a
          |JOIN sz sb ON sb.doc_id = doc_b""".stripMargin,
+    "q_split_leakage" ->
+      s"""$ccLabelsCtes,
+         |spl AS (SELECT d.doc_id,
+         |  COALESCE(l.label, d.doc_id) AS label,
+         |  CASE WHEN CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),
+         |      1,15)) AS BIGINT) % 100 < 80 THEN 'train'
+         |    WHEN CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),
+         |      1,15)) AS BIGINT) % 100 < 90 THEN 'val'
+         |    ELSE 'test' END AS s_old,
+         |  CASE WHEN CAST(('0x'||substr(md5(CAST(COALESCE(l.label,
+         |      d.doc_id) AS VARCHAR)),1,15)) AS BIGINT) % 100 < 80
+         |      THEN 'train'
+         |    WHEN CAST(('0x'||substr(md5(CAST(COALESCE(l.label,
+         |      d.doc_id) AS VARCHAR)),1,15)) AS BIGINT) % 100 < 90
+         |      THEN 'val'
+         |    ELSE 'test' END AS s_new
+         |  FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+         |bef AS (SELECT 'before' AS stage,
+         |  LEAST(a.s_old, b.s_old) AS split_a,
+         |  GREATEST(a.s_old, b.s_old) AS split_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  bit_xor(xor(e.doc_a * 1000003, e.doc_b)) AS xor_proof
+         |  FROM pj e JOIN spl a ON a.doc_id = e.doc_a
+         |  JOIN spl b ON b.doc_id = e.doc_b GROUP BY 2, 3),
+         |aft AS (SELECT 'after' AS stage,
+         |  LEAST(a.s_new, b.s_new) AS split_a,
+         |  GREATEST(a.s_new, b.s_new) AS split_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  bit_xor(xor(e.doc_a * 1000003, e.doc_b)) AS xor_proof
+         |  FROM pj e JOIN spl a ON a.doc_id = e.doc_a
+         |  JOIN spl b ON b.doc_id = e.doc_b GROUP BY 2, 3),
+         |mov AS (SELECT 'moved' AS stage, s_old AS split_a,
+         |  s_new AS split_b, CAST(COUNT(*) AS BIGINT) AS n,
+         |  bit_xor(doc_id * 1000003) AS xor_proof
+         |  FROM spl WHERE s_old <> s_new GROUP BY 2, 3)
+         |SELECT stage, split_a, split_b, n, xor_proof FROM
+         |(SELECT * FROM bef UNION ALL SELECT * FROM aft
+         | UNION ALL SELECT * FROM mov) u
+         |ORDER BY stage ASC, split_a ASC, split_b ASC""".stripMargin,
+    "q_containment" ->
+      s"""WITH $tokCte,
+         |sh AS (SELECT doc_id, unnest(${shingleExpr(JaccardN)}) AS s FROM tok),
+         |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
+         |rare AS (SELECT s FROM ds GROUP BY s HAVING COUNT(*) <= $DfCap),
+         |dsr AS (SELECT ds.doc_id, ds.s FROM ds JOIN rare USING (s)),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM dsr a JOIN dsr b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |c AS (SELECT doc_a, doc_b, inter,
+         |  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb
+         |  FROM pr JOIN sz sa ON sa.doc_id = doc_a
+         |  JOIN sz sb ON sb.doc_id = doc_b
+         |  WHERE inter = LEAST(sa.n, sb.n))
+         |SELECT
+         |CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
+         |  THEN doc_a ELSE doc_b END AS doc_small,
+         |CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
+         |  THEN doc_b ELSE doc_a END AS doc_big,
+         |LEAST(na, nb) AS n_small, GREATEST(na, nb) AS n_big,
+         |inter * 1000000000 // GREATEST(na, nb) AS cont_big_e9,
+         |inter * 1000000000 // (na + nb - inter) AS jac_e9,
+         |CAST(CASE WHEN na <> nb THEN 1 ELSE 0 END AS BIGINT) AS proper
+         |FROM c ORDER BY doc_small ASC, doc_big ASC""".stripMargin,
     // NOTE: deliberately UNCAPPED (no `rare` CTE) — the oracle is the
     // exact naive pair set, so the hash match proves the prefix
     // filter's candidate generation is lossless.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -238,7 +238,119 @@ object Sampling {
       .orderBy($"rank".asc)
   }
 
+  /** Feature-hash buckets for [[qDsir]]. */
+  private val DsirBuckets = 256L
+  /** Fixed-point scale for the per-bucket likelihood ratio (2²⁰). */
+  private val DsirScale = 1L << 20
+  /** Coarse histogram step for the exact top-budget threshold. */
+  private val DsirStep = 16384L
+  /** Shift that keeps the bucketed score non-negative (trunc ≡ floor). */
+  private val DsirShift = 1L << 30
+  private val DsirTargetLang = "en"
+
+  /** DSIR-SHAPE IMPORTANCE RESAMPLING (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much its hashed-unigram profile looks like a
+    * TARGET distribution (here: the `en` slice) relative to the raw
+    * corpus, then keep the top budget = N/10. The per-bucket importance
+    * weight is the CENTERED rational surrogate of the log-likelihood
+    * ratio — (c_tgt+1)·2²⁰ div (c_raw+1) minus the corpus-wide ratio
+    * t_tgt·2²⁰ div t_raw — exact BIGINT in both engines (log itself is
+    * libm-dependent; for ratios near 1 the centered ratio is
+    * order-equivalent to its log, which is all selection needs). Doc
+    * score = Σ over token instances of the token's bucket weight.
+    *
+    * The budget selection is the 100 TB part: no global row_number over
+    * N docs. Scores histogram into coarse 2¹⁴-wide buckets (shifted
+    * +2³⁰ so trunc-division ≡ floor in both engines); a cumulative
+    * count over the BUCKET histogram (bounded spine: score range /
+    * 2¹⁴ rows) finds the boundary bucket; buckets strictly above it
+    * are taken whole and only the boundary bucket ranks its own rows
+    * (a PARTITIONED window) by (score desc, doc_id) for the remaining
+    * seats — an exact global top-k with one bounded global window and
+    * one partitioned window. Budget knob mirrored via a scalar
+    * subquery (COUNT(*)//10), the q_semdedup idiom. Output: per-lang
+    * selection census with a bit_xor placement proof over the exact
+    * selected set. */
+  /** Hashed-unigram feature bucket of a token — shared by [[qDsir]]
+    * and the streaming scorer so both paths bucket identically. */
+  def dsirBucket(term: Column): Column =
+    pmod(graft.functions.TextFunctions.md5Prefix60(term),
+      lit(DsirBuckets))
+
+  /** The [[qDsir]] importance-weight table: (b, wt) for every hashed
+    * feature bucket, wt = centered rational log-likelihood-ratio
+    * surrogate of target (`lang = targetLang`) vs raw counts. ≤
+    * [[DsirBuckets]] rows by construction — the broadcastable model a
+    * streaming scorer probes ([[graft.streaming.StreamingOps
+    * .dsirScore]]). */
+  def dsirWeights(docs: DataFrame,
+                  targetLang: String = DsirTargetLang): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.functions.TextFunctions.tokens
+    val bs = docs
+      .select($"lang", explode(tokens($"text")).as("term"))
+      .filter($"term" =!= "")
+      .select($"lang", dsirBucket($"term").as("b"))
+      .groupBy($"b").agg(
+        count(lit(1)).as("c_raw"),
+        sum(when($"lang" === targetLang, 1L).otherwise(0L)).as("c_tgt"))
+    val tot = bs.agg(sum($"c_raw").as("t_raw"),
+      greatest(sum($"c_tgt"), lit(1L)).as("t_tgt"))
+    bs.crossJoin(broadcast(tot))
+      .select($"b", expr(
+        s"(c_tgt + 1) * $DsirScale DIV (c_raw + 1) - " +
+          s"t_tgt * $DsirScale DIV t_raw").as("wt"))
+  }
+
+  def qDsir(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.{md5Prefix60, tokens}
+    val docs = Tables.documents(s, d)
+    val budget = docs.count() / 10
+    val tk = docs
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("term"))
+      .filter($"term" =!= "")
+      .select($"doc_id", $"lang", dsirBucket($"term").as("b"))
+    // ≤256 rows by construction — always broadcast-safe
+    val wts = dsirWeights(docs)
+    val ds = tk.join(broadcast(wts), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(max($"lang").as("lang"), sum($"wt").as("score"))
+      .withColumn("bkt", expr(s"(score + $DsirShift) DIV $DsirStep"))
+      .transform(graft.functions.Cp.local) // reused by histogram + both selects
+    val bh = ds.groupBy($"bkt").agg(count(lit(1)).as("cnt"))
+    val wDesc = Window.orderBy($"bkt".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bc = bh.withColumn("above", coalesce(sum($"cnt").over(wDesc), lit(0L)))
+    val full = ds
+      .join(broadcast(bc.filter($"above" + $"cnt" <= budget)), Seq("bkt"))
+      .select($"doc_id", $"lang", $"score")
+    val wb = Window.partitionBy($"bkt").orderBy($"score".desc, $"doc_id".asc)
+    val boundary = ds
+      .join(broadcast(bc.filter($"above" < budget &&
+        $"above" + $"cnt" > budget)), Seq("bkt"))
+      .withColumn("rnk", row_number().over(wb))
+      .filter($"rnk" <= lit(budget) - $"above")
+      .select($"doc_id", $"lang", $"score")
+    val selc = full.unionByName(boundary)
+      .groupBy($"lang").agg(
+        count(lit(1)).as("n_sel"),
+        sum($"score").as("sum_sel_score"),
+        bit_xor(md5Prefix60($"doc_id".cast("string"))
+          .bitwiseXOR($"score" * 1000003L)).as("sel_xor"))
+    ds.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .join(selc, Seq("lang"), "left")
+      .select($"lang", $"n_docs",
+        coalesce($"n_sel", lit(0L)).as("n_sel"),
+        expr("COALESCE(n_sel, 0) * 1000000000 DIV n_docs").as("sel_e9"),
+        coalesce($"sum_sel_score", lit(0L)).as("sum_sel_score"),
+        coalesce($"sel_xor", lit(0L)).as("sel_xor"))
+      .orderBy($"lang".asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir" -> (qDsir _),
     "q_budget_mix" -> (qBudgetMix _),
     "q_allocation" -> (qAllocation _),
     "q_curriculum" -> (qCurriculum _),
@@ -249,6 +361,63 @@ object Sampling {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dsir" ->
+      s"""WITH tok AS (SELECT doc_id, lang,
+         |  unnest(string_split(text,' ')) AS term FROM documents),
+         |tk AS (SELECT doc_id, lang,
+         |  CAST(('0x'||substr(md5(term),1,15)) AS BIGINT) % $DsirBuckets
+         |    AS b
+         |  FROM tok WHERE term <> ''),
+         |bs AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_raw,
+         |  CAST(SUM(CASE WHEN lang='$DsirTargetLang' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS c_tgt
+         |  FROM tk GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS t_raw,
+         |  CAST(GREATEST(SUM(c_tgt),1) AS BIGINT) AS t_tgt FROM bs),
+         |w AS (SELECT b,
+         |  (c_tgt+1) * $DsirScale // (c_raw+1)
+         |    - t_tgt * $DsirScale // t_raw AS wt
+         |  FROM bs, tot),
+         |ds AS (SELECT tk.doc_id, max(tk.lang) AS lang,
+         |  CAST(SUM(w.wt) AS BIGINT) AS score
+         |  FROM tk JOIN w USING (b) GROUP BY tk.doc_id),
+         |bud AS (SELECT CAST(COUNT(*) // 10 AS BIGINT) AS k
+         |  FROM documents),
+         |db AS (SELECT doc_id, lang, score,
+         |  (score + $DsirShift) // $DsirStep AS bkt FROM ds),
+         |bh AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM db GROUP BY 1),
+         |bc AS (SELECT bkt, cnt,
+         |  CAST(COALESCE(SUM(cnt) OVER (ORDER BY bkt DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0)
+         |    AS BIGINT) AS above
+         |  FROM bh),
+         |sel AS (
+         |  SELECT d.doc_id, d.lang, d.score
+         |  FROM db d JOIN bc ON d.bkt = bc.bkt, bud
+         |  WHERE bc.above + bc.cnt <= bud.k
+         |  UNION ALL
+         |  SELECT doc_id, lang, score FROM (
+         |    SELECT d.doc_id, d.lang, d.score,
+         |      ROW_NUMBER() OVER (PARTITION BY d.bkt
+         |        ORDER BY d.score DESC, d.doc_id ASC) AS rnk,
+         |      bc.above, bud.k AS k
+         |    FROM db d JOIN bc ON d.bkt = bc.bkt, bud
+         |    WHERE bc.above < bud.k AND bc.above + bc.cnt > bud.k) t
+         |  WHERE rnk <= k - above),
+         |alldocs AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM ds GROUP BY 1),
+         |selc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sel,
+         |  CAST(SUM(score) AS BIGINT) AS sum_sel_score,
+         |  bit_xor(xor(CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),
+         |    1,15)) AS BIGINT), score * 1000003)) AS sel_xor
+         |  FROM sel GROUP BY 1)
+         |SELECT a.lang, a.n_docs, COALESCE(s.n_sel,0) AS n_sel,
+         |  COALESCE(s.n_sel,0) * 1000000000 // a.n_docs AS sel_e9,
+         |  COALESCE(s.sum_sel_score,0) AS sum_sel_score,
+         |  COALESCE(s.sel_xor,0) AS sel_xor
+         |FROM alldocs a LEFT JOIN selc s USING (lang)
+         |ORDER BY lang ASC""".stripMargin,
     "q_budget_mix" ->
       """WITH cells AS (SELECT source,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks,

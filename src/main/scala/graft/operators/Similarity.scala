@@ -594,7 +594,81 @@ object Similarity {
       .limit(RrfTopK)
   }
 
+  private val MmrQueries = 8 // bounded query set for the MMR rerank
+  private val MmrPool = 8    // relevance pool per query
+  private val MmrK = 3       // diversified picks per query
+
+  /** MMR DIVERSIFIED RERANK (Carbonell & Goldstein 1998, maximal
+    * marginal relevance) — the retrieval-diversity verb RAG pipelines
+    * run after ANN: from each query's top-[[MmrPool]] relevance pool,
+    * greedily pick [[MmrK]] results maximizing λ·rel − (1−λ)·max
+    * similarity-to-already-picked, with λ = 2/3 cleared of fractions
+    * as the all-BIGINT score 2·rel6 − maxsim6. Cosines become exact
+    * integers via the proven 6-dp recipe (round → DECIMAL(10,6) →
+    * ·10⁶), so every greedy decision is integer arithmetic with a
+    * vec_id tie-break — bit-reproducible on any engine or
+    * partitioning. The greedy loop is unrolled: round 1 is argmax
+    * rel6; each later round joins the remaining pool against the
+    * picked set's pairwise sims (computed once, pool×pool per query)
+    * and takes the window max — all windows PARTITIONED by query_id.
+    * The oracle replays the identical rounds as chained CTEs. Output
+    * flags `in_rel_top3` so the diversity effect (picks ∉ plain
+    * relevance top-k) is visible in the gated result. Scale shape:
+    * one broadcast of the bounded query set, one corpus scan for the
+    * pools (TakeOrdered-equivalent via partitioned window), then
+    * everything is pool-sized (queries × pool²). */
+  def qMmr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def e6(c: Column): Column =
+      (round(c, 6).cast("decimal(10,6)") * lit(1000000)).cast("long")
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter($"vec_id" < MmrQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val wRel = Window.partitionBy($"query_id")
+      .orderBy($"rel6".desc, $"vec_id".asc)
+    val pool = broadcast(q)
+      .join(emb, $"vec_id" >= MmrQueries) // queries never in their own pool
+      .select($"query_id", $"vec_id", $"embedding",
+        e6(cosineFast($"qv", $"embedding")).as("rel6"))
+      .withColumn("rel_rank", row_number().over(wRel).cast("long"))
+      .filter($"rel_rank" <= MmrPool)
+      .transform(graft.functions.Cp.local) // pool reused by sims + rounds
+    val sims = pool.as("a")
+      .join(pool.select($"query_id", $"vec_id", $"embedding").as("b"),
+        $"a.query_id" === $"b.query_id" && $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.query_id".as("sq"), $"a.vec_id".as("va"),
+        $"b.vec_id".as("vb"),
+        e6(cosineFast($"a.embedding", $"b.embedding")).as("sim6"))
+      .transform(graft.functions.Cp.local) // reused by every greedy round
+    val slim = pool.select($"query_id", $"vec_id", $"rel6", $"rel_rank")
+    val first = slim.filter($"rel_rank" === 1) // wRel order = pick order
+      .select($"query_id", $"vec_id", $"rel6", $"rel_rank",
+        ($"rel6" * 2).as("mmr6"), lit(1L).as("pick_rank"))
+    val picks = (2 to MmrK).foldLeft(first) { (acc, r) =>
+      val picked = acc.select($"query_id".as("pq"), $"vec_id".as("pv"))
+      val pen = sims
+        .join(picked, $"sq" === $"pq" && $"vb" === $"pv")
+        .groupBy($"sq", $"va").agg(max($"sim6").as("pen6"))
+        .select($"sq".as("cq"), $"va".as("cv"), $"pen6")
+      val rem = slim.join(picked,
+        $"query_id" === $"pq" && $"vec_id" === $"pv", "left_anti")
+      val wM = Window.partitionBy($"query_id")
+        .orderBy($"mmr6".desc, $"vec_id".asc)
+      acc.unionByName(rem
+        .join(pen, $"query_id" === $"cq" && $"vec_id" === $"cv")
+        .withColumn("mmr6", $"rel6" * 2 - $"pen6")
+        .withColumn("rk", row_number().over(wM))
+        .filter($"rk" === 1)
+        .select($"query_id", $"vec_id", $"rel6", $"rel_rank",
+          $"mmr6", lit(r.toLong).as("pick_rank")))
+    }
+    picks.select($"query_id", $"pick_rank", $"vec_id", $"rel6", $"mmr6",
+      ($"rel_rank" <= MmrK).cast("long").as("in_rel_top3"))
+      .orderBy($"query_id".asc, $"pick_rank".asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mmr" -> (qMmr _),
     "q_rrf" -> (qRrf _),
     "q_embedding_stats" -> (qEmbeddingStats _),
     "q_centroid_shift" -> (qCentroidShift _),
@@ -609,6 +683,77 @@ object Similarity {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_trained" -> (qAnnIvfTrained _)
   )
+
+  /** Oracle for [[qMmr]]: identical greedy rounds as chained
+    * MATERIALIZED CTEs (the unrolled-rounds rule — plain CTEs would
+    * re-inline the pool build per round). */
+  private lazy val mmrSql: String = {
+    def c6(a: String, b: String) =
+      s"CAST(CAST(ROUND(list_cosine_similarity($a, $b), 6) " +
+        s"AS DECIMAL(10,6)) * 1000000 AS BIGINT)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |pool AS MATERIALIZED (
+       |  SELECT query_id, vec_id, rel6, CAST(rel_rank AS BIGINT)
+       |    AS rel_rank FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |      ${c6("q.v", "c.v")} AS rel6,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${c6("q.v", "c.v")} DESC, c.vec_id ASC)
+       |        AS rel_rank
+       |    FROM e q JOIN e c ON c.vec_id >= $MmrQueries
+       |    WHERE q.vec_id < $MmrQueries) t
+       |  WHERE rel_rank <= $MmrPool),
+       |sims AS MATERIALIZED (
+       |  SELECT a.query_id AS sq, a.vec_id AS va, b.vec_id AS vb,
+       |    ${c6("ea.v", "eb.v")} AS sim6
+       |  FROM pool a JOIN pool b
+       |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id),
+       |p1 AS MATERIALIZED (SELECT query_id, vec_id, rel6, rel_rank,
+       |    rel6 * 2 AS mmr6, CAST(1 AS BIGINT) AS pick_rank
+       |  FROM pool WHERE rel_rank = 1),
+       |pen2 AS (SELECT s.sq AS query_id, s.va AS vec_id,
+       |    MAX(s.sim6) AS pen6
+       |  FROM sims s JOIN p1 ON s.sq = p1.query_id AND s.vb = p1.vec_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM p1 x
+       |    WHERE x.query_id = s.sq AND x.vec_id = s.va)
+       |  GROUP BY 1, 2),
+       |p2 AS MATERIALIZED (SELECT query_id, vec_id, rel6, rel_rank,
+       |    mmr6, CAST(2 AS BIGINT) AS pick_rank FROM (
+       |  SELECT c.query_id, c.vec_id, c.rel6, c.rel_rank,
+       |    c.rel6 * 2 - p.pen6 AS mmr6,
+       |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |      ORDER BY c.rel6 * 2 - p.pen6 DESC, c.vec_id ASC) AS rk
+       |  FROM pool c JOIN pen2 p
+       |    ON c.query_id = p.query_id AND c.vec_id = p.vec_id) t
+       |  WHERE rk = 1),
+       |pk2 AS MATERIALIZED (SELECT query_id, vec_id FROM p1
+       |  UNION ALL SELECT query_id, vec_id FROM p2),
+       |pen3 AS (SELECT s.sq AS query_id, s.va AS vec_id,
+       |    MAX(s.sim6) AS pen6
+       |  FROM sims s JOIN pk2 ON s.sq = pk2.query_id
+       |    AND s.vb = pk2.vec_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM pk2 x
+       |    WHERE x.query_id = s.sq AND x.vec_id = s.va)
+       |  GROUP BY 1, 2),
+       |p3 AS MATERIALIZED (SELECT query_id, vec_id, rel6, rel_rank,
+       |    mmr6, CAST(3 AS BIGINT) AS pick_rank FROM (
+       |  SELECT c.query_id, c.vec_id, c.rel6, c.rel_rank,
+       |    c.rel6 * 2 - p.pen6 AS mmr6,
+       |    ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |      ORDER BY c.rel6 * 2 - p.pen6 DESC, c.vec_id ASC) AS rk
+       |  FROM pool c JOIN pen3 p
+       |    ON c.query_id = p.query_id AND c.vec_id = p.vec_id) t
+       |  WHERE rk = 1)
+       |SELECT query_id, pick_rank, vec_id, rel6, mmr6,
+       |  CAST(CASE WHEN rel_rank <= $MmrK THEN 1 ELSE 0 END AS BIGINT)
+       |    AS in_rel_top3
+       |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+       |  UNION ALL SELECT * FROM p3) u
+       |ORDER BY query_id ASC, pick_rank ASC""".stripMargin
+  }
 
   private lazy val knnBruteSql =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -719,6 +864,7 @@ object Similarity {
          |FROM e GROUP BY label""".stripMargin
     },
     "q_knn_brute" -> knnBruteSql,
+    "q_mmr" -> mmrSql,
     "q_ann_recall" ->
       s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($knnBruteSql) kb),
          |lshq AS (SELECT query_id, neighbor_id FROM ($annLshSql) al)

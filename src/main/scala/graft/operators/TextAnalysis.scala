@@ -561,6 +561,66 @@ object TextAnalysis {
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(n))))
 
+  /** ROUGE-N OVERLAP SCORING (Lin 2004) — the n-gram eval metric every
+    * summarization/eval harness computes, run at corpus scale over
+    * (candidate, reference) pairs: here the deterministic adjacent-id
+    * pairing (cand = even doc_id, ref = odd doc_id of the same
+    * doc_id div 2 pair — the stand-in for a real eval table keyed by
+    * example id). Per pair and n ∈ {1,2}: CLIPPED multiset overlap
+    * Σ_g min(count_cand(g), count_ref(g)) — the clipping is what makes
+    * it ROUGE rather than raw intersection — then integer-exact
+    * precision/recall/F1 as ov·10⁹ div totals. Census per (n, cand
+    * lang): micro scores from summed numerators/denominators, macro
+    * avg-F1, and a bit_xor placement proof over every pair's exact
+    * F1 — so the hash match proves each PAIR's score, not just the
+    * census. Scale shape per n: one explode → (pair, side, gram) agg
+    * (map-combinable), one merge join on (pair, gram) — both sides
+    * corpus-grown, never broadcast — and a bounded census agg; no
+    * windows, no all-pairs. */
+  def qRouge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"doc_id", $"lang", tokens($"text").as("t"))
+    val perN = Seq(1, 2).map { n =>
+      val c = base
+        .select(expr("doc_id DIV 2").as("pair"),
+          pmod($"doc_id", lit(2L)).as("side"), $"lang",
+          explode(wordGrams($"t", n)).as("g"))
+        .groupBy($"pair", $"side", $"lang", $"g")
+        .agg(count(lit(1)).as("c"))
+      val cand = c.filter($"side" === 0)
+        .select($"pair", $"lang", $"g", $"c".as("cc"))
+      val ref = c.filter($"side" === 1)
+        .select($"pair", $"g", $"c".as("cr"))
+      val tots = c.groupBy($"pair").agg(
+        sum(when($"side" === 0, $"c").otherwise(0L)).as("tc"),
+        sum(when($"side" === 1, $"c").otherwise(0L)).as("tr"),
+        max(when($"side" === 0, $"lang")).as("lang"))
+        .filter($"tc" > 0 && $"tr" > 0)
+      val ov = cand.join(ref.hint("merge"), Seq("pair", "g"))
+        .groupBy($"pair").agg(sum(least($"cc", $"cr")).as("ov"))
+      tots.join(ov.hint("merge"), Seq("pair"), "left")
+        .select($"pair", $"lang", $"tc", $"tr",
+          coalesce($"ov", lit(0L)).as("ov"))
+        .withColumn("f1_e9", expr("2 * ov * 1000000000 DIV (tc + tr)"))
+        .withColumn("gram_n", lit(n.toLong))
+    }
+    perN.reduce(_ unionByName _)
+      .groupBy($"gram_n", $"lang")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum($"ov").as("ov"), sum($"tc").as("tc"), sum($"tr").as("tr"),
+        expr("SUM(f1_e9) DIV COUNT(1)").as("macro_f1_e9"),
+        bit_xor(md5Prefix60($"pair".cast("string"))
+          .bitwiseXOR($"f1_e9" * 1000003L)).as("f1_xor"))
+      .select($"gram_n", $"lang", $"n_pairs", $"ov", $"tc", $"tr",
+        expr("ov * 1000000000 DIV tc").as("micro_p_e9"),
+        expr("ov * 1000000000 DIV tr").as("micro_r_e9"),
+        expr("2 * ov * 1000000000 DIV (tc + tr)").as("micro_f1_e9"),
+        $"macro_f1_e9", $"f1_xor")
+      .orderBy($"gram_n".asc, $"lang".asc)
+  }
+
   private val BenchMod = 97 // doc_id % 97 == 0 → the stand-in eval set
   private val DecontamN = 5 // decontamination overlap width (words)
 
@@ -1703,6 +1763,7 @@ object TextAnalysis {
     "q_quality_model" -> (qQualityModel _),
     "q_calibration" -> (qCalibration _),
     "q_dp_counts" -> (qDpCounts _),
+    "q_rouge" -> (qRouge _),
     "q_normalize_dedup" -> (qNormalizeDedup _),
     "q_ngram_novelty" -> (qNgramNovelty _),
     "q_worst_slice" -> (qWorstSlice _),
@@ -1714,6 +1775,42 @@ object TextAnalysis {
 
   private def sqlMarkers(ms: Seq[String]): String =
     ms.map(m => s"'$m'").mkString(", ")
+
+  /** Per-n ROUGE census block for the [[qRouge]] oracle. */
+  private def rougeSqlFor(n: Int): String =
+    s"""SELECT CAST($n AS BIGINT) AS gram_n, lang, n_pairs, ov, tc, tr,
+       |  ov * 1000000000 // tc AS micro_p_e9,
+       |  ov * 1000000000 // tr AS micro_r_e9,
+       |  2 * ov * 1000000000 // (tc + tr) AS micro_f1_e9,
+       |  macro_f1_e9, f1_xor FROM (
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(ov) AS BIGINT) AS ov, CAST(SUM(tc) AS BIGINT) AS tc,
+       |  CAST(SUM(tr) AS BIGINT) AS tr,
+       |  CAST(SUM(f1_e9) AS BIGINT) // COUNT(*) AS macro_f1_e9,
+       |  bit_xor(xor(CAST(('0x'||substr(md5(CAST(pair AS VARCHAR)),1,15))
+       |    AS BIGINT), f1_e9 * 1000003)) AS f1_xor
+       |FROM (
+       |  WITH tok AS (SELECT doc_id, lang, string_split(text,' ') AS t
+       |    FROM documents),
+       |  gr AS (SELECT doc_id // 2 AS pair, doc_id % 2 AS side, lang,
+       |    unnest(${sqlGrams(n)}) AS g FROM tok),
+       |  c AS (SELECT pair, side, lang, g, CAST(COUNT(*) AS BIGINT) AS cnt
+       |    FROM gr GROUP BY 1,2,3,4),
+       |  tots AS (SELECT pair,
+       |    CAST(SUM(CASE WHEN side=0 THEN cnt ELSE 0 END) AS BIGINT) AS tc,
+       |    CAST(SUM(CASE WHEN side=1 THEN cnt ELSE 0 END) AS BIGINT) AS tr,
+       |    MAX(CASE WHEN side=0 THEN lang END) AS lang
+       |    FROM c GROUP BY 1
+       |    HAVING SUM(CASE WHEN side=0 THEN cnt ELSE 0 END) > 0
+       |       AND SUM(CASE WHEN side=1 THEN cnt ELSE 0 END) > 0),
+       |  ovl AS (SELECT a.pair, CAST(SUM(LEAST(a.cnt, b.cnt)) AS BIGINT)
+       |      AS ov
+       |    FROM c a JOIN c b ON a.pair = b.pair AND a.g = b.g
+       |      AND a.side = 0 AND b.side = 1 GROUP BY 1)
+       |  SELECT t.pair, t.lang, t.tc, t.tr, COALESCE(o.ov, 0) AS ov,
+       |    2 * COALESCE(o.ov, 0) * 1000000000 // (t.tc + t.tr) AS f1_e9
+       |  FROM tots t LEFT JOIN ovl o USING (pair)) perpair
+       |GROUP BY lang) census""".stripMargin
 
   private def sqlGrams(n: Int): String =
     s"list_transform(generate_series(1, greatest(len(t)-${n - 1}, 1)), " +
@@ -1987,6 +2084,11 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_rouge" ->
+      s"""${rougeSqlFor(1)}
+         |UNION ALL
+         |${rougeSqlFor(2)}
+         |ORDER BY gram_n ASC, lang ASC""".stripMargin,
     "q_length_buckets" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok

@@ -313,6 +313,52 @@ object ManifestTable {
     else merge(s, path, df, key)
   }
 
+  /** OPTIMIZE — small-file compaction AS A SNAPSHOT (the versioned
+    * twin of [[Sources.compact]], which rewrites a plain directory in
+    * place): every data file of the current snapshot smaller than
+    * `targetBytes` is read back and rewritten as
+    * ceil(Σsmall / targetBytes) packed files; manifest v+1 =
+    * (files already at size) + (packed replacements). DATA IS
+    * IDENTICAL — only layout changes — and older snapshots still
+    * reference the original files, so time travel and [[readChanges]]
+    * semantics survive compaction ([[vacuum]] reclaims the originals
+    * once history is dropped). Files already ≥ targetBytes are never
+    * rewritten, so repeated compaction converges to a no-op (returns
+    * false without committing when there is nothing to pack). Sizing
+    * is driver-side metadata work (one file status per manifest
+    * entry); the rewrite reads only the small files, never the
+    * table. The streaming-ingest pattern: a foreachBatch [[upsert]]
+    * sink accretes one small file per batch, and a periodic compact
+    * keeps the snapshot's file count O(data/targetBytes) instead of
+    * O(batches) — at 100 TB the difference between a scan planning
+    * thousands of splits and millions. */
+  def compact(s: SparkSession, path: String,
+              targetBytes: Long = 128L << 20): Boolean = {
+    val root = new Path(path)
+    val fs = fsOf(s, root)
+    val v = version(fs, root)
+    require(v > 0L, s"$path has no snapshot to compact")
+    val relFiles = manifestLines(fs, root, v).getOrElse(
+      throw new IllegalArgumentException(s"$path has no complete snapshot v$v"))
+    val sized = relFiles.map(f =>
+      (f, fs.getFileStatus(new Path(root, f)).getLen))
+    val small = sized.filter(_._2 < targetBytes).map(_._1)
+    if (small.size <= 1) return false // nothing to pack
+    val totalSmall = sized.filter(_._2 < targetBytes).map(_._2).sum
+    val nOut = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes)
+    val packed = s.read.option("mergeSchema", "true")
+      .parquet(small.map(f => new Path(root, f).toString): _*)
+      .coalesce(nOut.toInt)
+    val staged = writeDataFiles(s, root, packed)
+    val smallSet = small.toSet
+    try commit(fs, root, v + 1L, relFiles.filterNot(smallSet) ++ staged)
+    catch { case e: ConcurrentCommitException =>
+      staged.foreach(f => fs.delete(new Path(root, f), false))
+      throw e
+    }
+    true
+  }
+
   /** Maintenance: drop all snapshots but the latest, remove torn
     * manifests, and delete every data file no retained snapshot
     * references. Must not run concurrently with an in-flight commit

@@ -693,6 +693,38 @@ object StreamingOps {
       .withColumn("admit", col("cov_e9") < maxCovE9)
   }
 
+  /** STREAMING DSIR SCORER — importance-score arriving documents
+    * against the STANDING [[graft.operators.Sampling.dsirWeights]]
+    * table (the model built in batch from the reference corpus —
+    * ≤256 rows by construction, broadcast to every task). Each doc's
+    * hashed-unigram buckets ([[graft.operators.Sampling.dsirBucket]],
+    * the SAME bucketing as the batch query) probe the weight table;
+    * per-(doc, ts) aggregation under the watermark sums the weights
+    * with the identical integer arithmetic as q_dsir's scoring stage,
+    * so batch/stream parity is assertable row-for-row (run the same
+    * function on a batch frame — withWatermark is a no-op there).
+    * Emits (doc_id, ts, n_tokens, score, keep) with keep = score ≥
+    * minScore: the ingest-time "does this look like the target
+    * distribution" gate, the streaming half of the DSIR selection
+    * whose exact top-budget batch form is q_dsir. State: one group
+    * per open (doc, ts), expired by the watermark. */
+  def dsirScore(docs: DataFrame, weights: DataFrame,
+                minScore: Long = 0L,
+                watermark: String = "30 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("term"))
+      .filter(col("term") =!= "")
+      .select(col("doc_id"), col("ts"),
+        graft.operators.Sampling.dsirBucket(col("term")).as("b"))
+      .join(broadcast(weights), Seq("b"), "left")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("wt"), lit(0L))).as("score"))
+      .withColumn("keep", col("score") >= minScore)
+
   /** Windowed value HISTOGRAM over fixed integer buckets — the
     * bounded-state streaming quantile primitive. State is one count
     * per (window × bucket): O(active windows × value-range/width),

@@ -262,6 +262,39 @@ class ManifestSpec extends AnyFunSuite {
     assert(contentOf(replica) === before)
   }
 
+  test("compact packs small files into a new snapshot; data and history intact") {
+    import spark.implicits._
+    val dir = tmp()
+    // accrete many tiny files, the streaming-sink pattern
+    ManifestTable.create(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    (2L to 8L).foreach { i =>
+      ManifestTable.upsert(spark, Seq((i, s"v$i")).toDF("id", "v"), dir, "id")
+    }
+    val (fs, root) = fsRoot(dir)
+    val vBefore = ManifestTable.version(fs, root)
+    val before = ManifestTable.read(spark, dir)
+      .as[(Long, String)].collect().toSet
+    val filesBefore = dataFiles(new java.io.File(dir)).size
+    assert(ManifestTable.compact(spark, dir)) // tiny files → packs
+    // data identical, snapshot advanced, far fewer files planned
+    assert(ManifestTable.version(fs, root) === vBefore + 1)
+    assert(ManifestTable.read(spark, dir)
+      .as[(Long, String)].collect().toSet === before)
+    val planned = ManifestTable.read(spark, dir).inputFiles.length
+    assert(planned < filesBefore && planned >= 1)
+    // time travel: the pre-compact snapshot still reads identically
+    assert(ManifestTable.readVersion(spark, dir, vBefore)
+      .as[(Long, String)].collect().toSet === before)
+    // convergence: everything already packed → no-op, no new version
+    assert(!ManifestTable.compact(spark, dir))
+    assert(ManifestTable.version(fs, root) === vBefore + 1)
+    // vacuum reclaims the replaced originals
+    ManifestTable.vacuum(spark, dir)
+    assert(ManifestTable.read(spark, dir)
+      .as[(Long, String)].collect().toSet === before)
+    assert(dataFiles(new java.io.File(dir)).size === planned)
+  }
+
   test("readWhere prunes files by footer key range and still filters rows") {
     import spark.implicits._
     val dir = tmp()

@@ -170,6 +170,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_budget_mix" -> "one row per source (bounded label domain)",
     "q_chisq" -> "contingency cells = langs x sources",
     "q_cumulative_uniques" -> "daily calendar spine",
+    "q_dsir" -> "score-bucket histogram (range/2^14 rows, bounded)",
     "q_ks_drift" -> "value-histogram grain (bounded value domain)",
     "q_mann_whitney" -> "value-histogram grain (bounded value domain)",
     "q_open_interval" -> "daily calendar spine",

@@ -1136,6 +1136,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming DSIR scorer matches the batch scoring row-for-row") {
+    import spark.implicits._
+    import graft.streaming.AdmitDoc
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang", $"text").filter($"doc_id" < 80)
+    // model from the standing corpus (held-out docs excluded)
+    val weights = graft.operators.Sampling
+      .dsirWeights(docs.filter(pmod($"doc_id", lit(10)) =!= 3))
+    val incoming = docs.filter(pmod($"doc_id", lit(10)) === 3)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    assert(incoming.nonEmpty)
+    val asDocs = incoming.zipWithIndex
+      .map { case ((id, t), i) => AdmitDoc(id, ts(i + 1), t) }
+    // batch expectation: SAME function, non-streaming frame
+    val want = graft.streaming.StreamingOps
+      .dsirScore(asDocs.toDF(), weights)
+      .select($"doc_id", $"n_tokens", $"score", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+
+    val in = MemoryStream[AdmitDoc](spark)
+    val q = graft.streaming.StreamingOps.dsirScore(in.toDF(), weights)
+      .writeStream.format("memory").queryName("dsirscore")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(asDocs: _*)
+      q.processAllAvailable()
+      // push the watermark past every doc so Append emits them
+      in.addData(AdmitDoc(-1L, ts(24 * 60), "sentinel doc text"))
+      q.processAllAvailable()
+      val got = spark.table("dsirscore").filter($"doc_id" >= 0)
+        .select($"doc_id", $"n_tokens", $"score", $"keep")
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+      assert(got === want)
+      // scores must discriminate: not all docs on one side would make
+      // the parity check vacuous as a scoring test
+      assert(got.map(_._3).size > 1)
+    } finally q.stop()
+  }
+
   test("streaming span admission matches the batch decision row-for-row") {
     import spark.implicits._
     import graft.streaming.AdmitDoc
