@@ -133,6 +133,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           k = intArg(args(4), "k"),
           child = rel(tbl))
       }))
+    // The dedup PAIR PIPELINE as one TVF call — the curation verb
+    // whose Scala form is Dedup.jaccardPairs: shingle → df-cap →
+    // self-join → (doc_a, doc_b, na, nb, inter). The builder expands
+    // to PARSED SQL text over the registered shingle_hash60 function
+    // (bit-identical hashing to the library path, proven by
+    // SqlFrontDoorSpec), so the analyzer resolves the view name and
+    // the optimizer sees ordinary operators. Unlike the library path
+    // there is no checkpoint materialization — a SQL caller reusing
+    // the pairs several times should CACHE the result; semantics are
+    // identical. Table arg must be a bare view/table identifier (it
+    // is spliced into SQL text — enforced, no expression injection).
+    ext.injectTableFunction((
+      FunctionIdentifier("dedup_pairs"),
+      info("dedup_pairs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "dedup_pairs(table, shingleN, dfCap) — table is a string " +
+            "literal naming a view with (doc_id, text)")
+        val tbl = strArg(args(0), "table")
+        require(tbl.matches("[A-Za-z_][A-Za-z0-9_.]*"),
+          s"dedup_pairs table must be a plain identifier, got $tbl")
+        val n = intArg(args(1), "shingleN")
+        val cap = intArg(args(2), "dfCap")
+        // CTEs don't survive late introduction into an already-running
+        // analysis (CTESubstitution has passed), so the pipeline is
+        // inlined as derived tables; the optimizer dedups the shared
+        // posting subtree via exchange reuse.
+        val ds =
+          s"""SELECT doc_id, size(shs) AS n, explode(shs) AS s FROM
+             |  (SELECT doc_id, array_distinct(
+             |     shingle_hash60(split(text, ' '), $n)) AS shs
+             |   FROM $tbl)""".stripMargin
+        val dsr =
+          s"""SELECT ds.doc_id, ds.n, ds.s FROM ($ds) ds
+             |LEFT SEMI JOIN (SELECT s FROM ($ds) GROUP BY s
+             |  HAVING count(*) <= $cap) rare ON ds.s = rare.s"""
+            .stripMargin
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(
+          s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  a.n AS na, b.n AS nb, count(*) AS inter
+             |FROM ($dsr) a JOIN ($dsr) b
+             |  ON a.s = b.s AND a.doc_id < b.doc_id
+             |GROUP BY a.doc_id, b.doc_id, a.n, b.n""".stripMargin)
+      }))
   }
 
   private def strArg(e: Expression, what: String): String = e match {

@@ -629,6 +629,47 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), max($"id").as("max_doc"))
   }
 
+  /** CONTRASTIVE TRIPLET MINING — training-data prep for embedding
+    * models (the E5/SimCSE-style (anchor, positive, hard-negative)
+    * corpus): for every document with at least one near-dup edge, the
+    * POSITIVE is its highest-Jaccard duplicate neighbor and the HARD
+    * NEGATIVE its highest-Jaccard NON-duplicate candidate — a doc that
+    * shares rare shingles (lexically close, so the contrast is
+    * informative) yet fails the 3·inter > na+nb dup test. Everything
+    * derives from ONE symmetrized pass over the shared df-capped pair
+    * table ([[jaccardPairs]], [[withSharedPairs]]-served): no second
+    * scan, no all-pairs. An anchor with no hard negative still emits
+    * its (anchor, positive) pair with a NULL negative — the trainer's
+    * in-batch-negative fallback — so small corpora aren't silently
+    * dropped. Integer e9 Jaccards with
+    * (jac desc, neighbor asc) tie-breaks make every pick
+    * deterministic; margin_e9 = j_pos − j_neg is the contrastive gap
+    * the trainer sees. Scale shape: pair-table derivation + two
+    * partitioned rank windows + one anchor-grain join. */
+  def qTriplets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pr = jaccardPairs(s, d)
+      .withColumn("jac_e9", expr("inter * 1000000000 DIV (na + nb - inter)"))
+      .withColumn("is_dup", lit(3) * $"inter" > $"na" + $"nb")
+    val sym = pr.select($"doc_a".as("anchor"), $"doc_b".as("nbr"),
+        $"jac_e9", $"is_dup")
+      .unionByName(pr.select($"doc_b".as("anchor"), $"doc_a".as("nbr"),
+        $"jac_e9", $"is_dup"))
+      .transform(graft.functions.Cp.local) // reused by both rank passes
+    val w = Window.partitionBy($"anchor")
+      .orderBy($"jac_e9".desc, $"nbr".asc)
+    def top(dup: Boolean) = sym.filter($"is_dup" === dup)
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+    top(dup = true)
+      .select($"anchor", $"nbr".as("positive"), $"jac_e9".as("j_pos_e9"))
+      .join(top(dup = false)
+        .select($"anchor", $"nbr".as("negative"), $"jac_e9".as("j_neg_e9")),
+        Seq("anchor"), "left")
+      .select($"anchor", $"positive", $"negative", $"j_pos_e9",
+        $"j_neg_e9", ($"j_pos_e9" - $"j_neg_e9").as("margin_e9"))
+      .orderBy($"anchor".asc)
+  }
+
   /** SPLIT-LEAKAGE AUDIT + CLUSTER-AWARE REPAIR — the train/test
     * integrity verb: a hash split (md5 80/10/10, the [[Sampling
     * .qSplitAssign]] rule) assigns near-DUPLICATE documents to
@@ -1313,6 +1354,7 @@ object Dedup {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_containment" -> (qContainment _),
     "q_split_leakage" -> (qSplitLeakage _),
+    "q_triplets" -> (qTriplets _),
     "q_prefix_join" -> (qPrefixJoin _)
   )
 
@@ -1785,6 +1827,38 @@ object Dedup {
          |ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
          |FROM pr JOIN sz sa ON sa.doc_id = doc_a
          |JOIN sz sb ON sb.doc_id = doc_b""".stripMargin,
+    "q_triplets" ->
+      s"""WITH $tokCte,
+         |sh AS (SELECT doc_id, unnest(${shingleExpr(JaccardN)}) AS s FROM tok),
+         |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
+         |rare AS (SELECT s FROM ds GROUP BY s HAVING COUNT(*) <= $DfCap),
+         |dsr AS (SELECT ds.doc_id, ds.s FROM ds JOIN rare USING (s)),
+         |pr0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM dsr a JOIN dsr b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pr AS (SELECT doc_a, doc_b,
+         |  inter * 1000000000 // (sa.n + sb.n - inter) AS jac_e9,
+         |  3 * inter > sa.n + sb.n AS is_dup
+         |  FROM pr0 JOIN sz sa ON sa.doc_id = doc_a
+         |  JOIN sz sb ON sb.doc_id = doc_b),
+         |sym AS (SELECT doc_a AS anchor, doc_b AS nbr, jac_e9, is_dup
+         |  FROM pr
+         |  UNION ALL SELECT doc_b, doc_a, jac_e9, is_dup FROM pr),
+         |tp AS (SELECT anchor, nbr AS positive, jac_e9 AS j_pos_e9 FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
+         |    ORDER BY jac_e9 DESC, nbr ASC) AS rk FROM sym WHERE is_dup) t
+         |  WHERE rk = 1),
+         |tn AS (SELECT anchor, nbr AS negative, jac_e9 AS j_neg_e9 FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
+         |    ORDER BY jac_e9 DESC, nbr ASC) AS rk FROM sym
+         |   WHERE NOT is_dup) t
+         |  WHERE rk = 1)
+         |SELECT tp.anchor, positive, negative, j_pos_e9, j_neg_e9,
+         |  j_pos_e9 - j_neg_e9 AS margin_e9
+         |FROM tp LEFT JOIN tn ON tp.anchor = tn.anchor
+         |ORDER BY tp.anchor ASC""".stripMargin,
     "q_split_leakage" ->
       s"""$ccLabelsCtes,
          |spl AS (SELECT d.doc_id,

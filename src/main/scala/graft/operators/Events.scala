@@ -436,6 +436,44 @@ object Events {
     * prediction features. Scale shape: one shuffle on user_id for the
     * lead window, then a types²-sized aggregation — the matrix is
     * domain-bounded, never data-sized. */
+  /** TOP USER JOURNEYS — the full-path census product analytics runs
+    * beside per-step funnels: sessionize (the q_sessionize 30-min gap
+    * rule), render each session as its exact ordered event-type path
+    * string, and report the 20 most common paths. Session paths are
+    * made order-DETERMINISTIC with the collect_list(struct(ts, id,
+    * x)) → array_sort → transform idiom (bare collect_list order is
+    * partition-dependent); the oracle's string_agg(… ORDER BY ts, id)
+    * is its exact mirror. path_len is exact via MAX (constant per
+    * path — the string determines its event count). Scale shape: the
+    * sessionize windows partition by user, the path agg shuffles on
+    * (user, session), and the census is one map-combinable agg with a
+    * TakeOrdered top-k — no global sort, no data-sized window. */
+  def qPathCensus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id")
+      .orderBy($"ts_us".asc, $"event_id".asc)
+    val gapUs = 30L * 60 * 1000000
+    val paths = events(s, d)
+      .withColumn("prev_us", lag($"ts_us", 1).over(byUser))
+      .withColumn("is_new",
+        when($"prev_us".isNull || $"ts_us" - $"prev_us" > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"is_new")
+        .over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct($"ts_us", $"event_id",
+            $"event_type"))),
+          x => x.getField("event_type")), ">").as("path"),
+        count(lit(1)).as("len"))
+    paths.groupBy($"path")
+      .agg(count(lit(1)).as("n_sessions"), max($"len").as("path_len"))
+      .orderBy($"n_sessions".desc, $"path".asc)
+      .limit(20)
+  }
+
   def qEventTransition(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
@@ -1535,6 +1573,7 @@ object Events {
     "q_session_window" -> (qSessionWindow _),
     "q_tumbling_hourly" -> (qTumblingHourly _),
     "q_sessionize" -> (qSessionize _),
+    "q_path_census" -> (qPathCensus _),
     "q_funnel" -> (qFunnel _),
     "q_event_stats" -> (qEventStats _),
     "q_json_extract" -> (qJsonExtract _),
@@ -2337,6 +2376,26 @@ object Events {
         |SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
         |COUNT(*) AS n_events
         |FROM m GROUP BY user_id""".stripMargin,
+    "q_path_census" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |  LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us
+        |  FROM events),
+        |m AS (SELECT *, CASE WHEN prev_us IS NULL
+        |    OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM g),
+        |se AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_id FROM m),
+        |p AS (SELECT user_id, session_id,
+        |  string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path,
+        |  CAST(COUNT(*) AS BIGINT) AS len FROM se GROUP BY 1, 2)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |CAST(MAX(len) AS BIGINT) AS path_len
+        |FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
     "q_funnel" ->
       """WITH s AS (
         |  SELECT user_id, MIN(ts) AS first_signup FROM events

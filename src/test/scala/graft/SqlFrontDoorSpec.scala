@@ -63,6 +63,25 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(rows(tvf) === rows(composed))
   }
 
+  // dedup pair pipeline from SQL text: the TVF expands to parsed SQL
+  // over the registered shingle_hash60 and must match the library's
+  // jaccardPairs (the oracle-gated substrate of the whole dup family)
+  // bit-for-bit, including the df-cap
+  test("sql: dedup_pairs TVF equals the library pair pipeline") {
+    views
+    val tvf = spark.sql(
+      "SELECT doc_a, doc_b, na, nb, inter FROM dedup_pairs('sql_docs', 5, 256)")
+    val lib = operators.Dedup.jaccardPairs(spark, sf)
+      .select($"doc_a", $"doc_b", $"na", $"nb", $"inter")
+    assert(rows(tvf) === rows(lib))
+    assert(rows(tvf).nonEmpty)
+    // the cap is live: an uncapped call yields at least as many pairs
+    val uncapped = spark.sql(
+      "SELECT count(*) FROM dedup_pairs('sql_docs', 5, 1000000)")
+      .collect()(0).getLong(0)
+    assert(uncapped >= rows(tvf).size)
+  }
+
   // 2–3. range join from SQL text, inner + left_outer, vs the naive
   // overlap join it must agree with exactly
   test("sql: range_join TVF inner equals the naive overlap join") {

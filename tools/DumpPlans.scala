@@ -38,7 +38,9 @@ object DumpPlans {
     "q_worst_slice", "q_threshold_sweep", "q_col_stats",
     "q_substring_spans", "q_longest_dup_span", "q_span_coverage",
     "q_unigram_em", "q_fuzzy_phonetic", "q_span_trim", "q_span_admit",
-    "q_semdedup", "q_curate_funnel")
+    "q_semdedup", "q_curate_funnel",
+    "q_dsir", "q_containment", "q_rouge", "q_mmr", "q_split_leakage",
+    "q_triplets", "q_path_census")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("plans")
