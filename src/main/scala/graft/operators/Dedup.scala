@@ -629,6 +629,64 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), max($"id").as("max_doc"))
   }
 
+  private val WinnowK = 4 // winnowing k-gram width (tokens)
+  private val WinnowW = 4 // winnowing window (consecutive hashes)
+
+  /** ROBUST WINNOWING FINGERPRINTS (Schleimer, Wilkerson & Aiken 2003
+    * — the MOSS algorithm): from every window of [[WinnowW]]
+    * consecutive k-gram hashes select the minimum (RIGHTMOST position
+    * on ties), dedup — the selected (pos, hash) set is the document's
+    * fingerprint. Winnowing's guarantee (any shared substring of
+    * length ≥ w+k−1 shares a fingerprint) and its expected density
+    * 2/(w+1) are what make it the standard local fingerprinting
+    * scheme, vs the fixed-stride chunker ([[qChunkDedup]]) which has
+    * no positional-shift robustness. The rightmost-tie argmin is ONE
+    * aggregate in both engines: min over the lexicographic struct
+    * (h, −pos) — no nested windows, no self-join. Window membership
+    * is an explode of each hash into the ≤ w window-ends it can win
+    * (bounded ×w row inflation, map-side), grouped per (doc, end) —
+    * a shuffle keyed like any fact agg. Output: per-source census
+    * (grams, windows, selected, e9 density ≈ 2/(w+1) visible in the
+    * gated result) with a per-fingerprint xor placement proof. */
+  def qWinnow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val an = Tables.documents(s, d)
+      .select($"doc_id", $"source", tokens($"text").as("t"))
+      .select($"doc_id", $"source",
+        greatest(size($"t") - (WinnowK - 1), lit(1)).cast("long")
+          .as("npos"),
+        posexplode(TextAnalysis.wordGrams($"t", WinnowK))
+          .as(Seq("p0", "g")))
+      .select($"doc_id", $"source", $"npos",
+        ($"p0" + 1).cast("long").as("pos"), md5Prefix60($"g").as("h"))
+      .transform(graft.functions.Cp.local) // reused: windows + doc census
+    val sel = an
+      .select($"doc_id", $"source", $"pos", $"h",
+        explode(sequence($"pos",
+          least($"pos" + lit(WinnowW - 1).cast("long"), $"npos"))).as("e"))
+      .filter($"e" >= WinnowW) // only full windows fingerprint
+      .groupBy($"doc_id", $"source", $"e")
+      .agg(min(struct($"h".as("h"), (-$"pos").as("np"))).as("m"))
+    val fp = sel
+      .select($"doc_id", (-$"m.np").as("selpos"), $"m.h".as("selh"))
+      .distinct()
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("nsel"),
+        bit_xor(($"doc_id" * 1000003L)
+          .bitwiseXOR($"selpos" * 131L).bitwiseXOR($"selh")).as("x"))
+    an.groupBy($"doc_id", $"source").agg(max($"npos").as("npos"))
+      .join(fp, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(sum($"npos").as("n_grams"),
+        sum(greatest($"npos" - (WinnowW - 1), lit(0L))).as("n_windows"),
+        sum(coalesce($"nsel", lit(0L))).as("n_selected"),
+        bit_xor(coalesce($"x", lit(0L))).as("fp_xor"))
+      .select($"source", $"n_grams", $"n_windows", $"n_selected",
+        expr("n_selected * 1000000000 DIV n_windows").as("density_e9"),
+        $"fp_xor")
+      .orderBy($"source".asc)
+  }
+
   /** CONTRASTIVE TRIPLET MINING — training-data prep for embedding
     * models (the E5/SimCSE-style (anchor, positive, hard-negative)
     * corpus): for every document with at least one near-dup edge, the
@@ -1355,6 +1413,7 @@ object Dedup {
     "q_containment" -> (qContainment _),
     "q_split_leakage" -> (qSplitLeakage _),
     "q_triplets" -> (qTriplets _),
+    "q_winnow" -> (qWinnow _),
     "q_prefix_join" -> (qPrefixJoin _)
   )
 
@@ -1827,6 +1886,40 @@ object Dedup {
          |ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
          |FROM pr JOIN sz sa ON sa.doc_id = doc_a
          |JOIN sz sb ON sb.doc_id = doc_b""".stripMargin,
+    "q_winnow" ->
+      s"""WITH tok AS (SELECT doc_id, source, string_split(text,' ') AS t
+         |  FROM documents),
+         |gr AS (SELECT doc_id, source,
+         |  CAST(greatest(len(t)-${WinnowK - 1}, 1) AS BIGINT) AS npos,
+         |  unnest(generate_series(1, greatest(len(t)-${WinnowK - 1}, 1)))
+         |    AS pos,
+         |  unnest(${shingleExpr(WinnowK)}) AS g
+         |  FROM tok),
+         |an AS (SELECT doc_id, source, npos, CAST(pos AS BIGINT) AS pos,
+         |  CAST(('0x'||substr(md5(g),1,15)) AS BIGINT) AS h FROM gr),
+         |wins AS (SELECT doc_id, source, pos, h,
+         |  unnest(generate_series(pos, least(pos + ${WinnowW - 1}, npos)))
+         |    AS e
+         |  FROM an),
+         |sel AS (SELECT doc_id, source, e, min(row(h, -pos)) AS m
+         |  FROM wins WHERE e >= $WinnowW GROUP BY 1, 2, 3),
+         |fpr AS (SELECT DISTINCT doc_id, -(m[2]) AS selpos, m[1] AS selh
+         |  FROM sel),
+         |fp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsel,
+         |  bit_xor(xor(xor(doc_id * 1000003, selpos * 131), selh)) AS x
+         |  FROM fpr GROUP BY 1),
+         |dc AS (SELECT doc_id, source, max(npos) AS npos FROM an
+         |  GROUP BY 1, 2)
+         |SELECT source, CAST(SUM(dc.npos) AS BIGINT) AS n_grams,
+         |  CAST(SUM(GREATEST(dc.npos - ${WinnowW - 1}, 0)) AS BIGINT)
+         |    AS n_windows,
+         |  CAST(SUM(COALESCE(fp.nsel, 0)) AS BIGINT) AS n_selected,
+         |  CAST(SUM(COALESCE(fp.nsel, 0)) AS BIGINT) * 1000000000 //
+         |    CAST(SUM(GREATEST(dc.npos - ${WinnowW - 1}, 0)) AS BIGINT)
+         |    AS density_e9,
+         |  bit_xor(COALESCE(fp.x, 0)) AS fp_xor
+         |FROM dc LEFT JOIN fp USING (doc_id)
+         |GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "q_triplets" ->
       s"""WITH $tokCte,
          |sh AS (SELECT doc_id, unnest(${shingleExpr(JaccardN)}) AS s FROM tok),

@@ -556,7 +556,7 @@ object TextAnalysis {
   }
 
   /** Word n-gram strings of width n (clipped at the end, min one). */
-  private def wordGrams(toks: Column, n: Int): Column =
+  private[operators] def wordGrams(toks: Column, n: Int): Column =
     transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(n))))
