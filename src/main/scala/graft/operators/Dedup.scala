@@ -629,6 +629,55 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), max($"id").as("max_doc"))
   }
 
+  /** Exact-truth slice bound for [[qSimhashRecall]] — the N² Hamming
+    * ground truth only ever runs on this fixed slice (qEmbedNearDup
+    * rule). */
+  private val SimRecallSlice = 512L
+
+  /** SIMHASH BANDING RECALL — the in-engine recall/precision audit of
+    * the prefix-bucket candidate generator ([[qSimhashPairs]]),
+    * completing the pattern q_minhash_recall set for the OTHER LSH
+    * family: ground truth = ALL pairs at Hamming ≤ [[SimHammingMax]]
+    * on the bounded doc_id < [[SimRecallSlice]] slice (exact N² only
+    * on the slice), candidates = the production bucket pairs (built
+    * with the FULL corpus's ladder width and caps, then restricted to
+    * the slice — so the measurement reflects production banding, not
+    * a slice-tuned variant). Missed pairs are xor-checksummed so the
+    * gate pins exactly WHICH pairs the prefix bucketing loses, not
+    * just how many. */
+  def qSimhashRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = simhashOf(Tables.documents(s, d))._1
+      .filter($"doc_id" < SimRecallSlice)
+      .select($"doc_id", $"simhash")
+      .transform(graft.functions.Cp.local) // slice reused by both sides
+    val truth = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).cast("long")
+          .as("hamming"))
+      .filter($"hamming" <= SimHammingMax)
+      .select($"doc_a", $"doc_b")
+      .transform(graft.functions.Cp.local)
+    val cand = qSimhashPairs(s, d)
+      .filter($"doc_a" < SimRecallSlice && $"doc_b" < SimRecallSlice)
+      .select($"doc_a", $"doc_b")
+      .transform(graft.functions.Cp.local)
+    val hit = truth.join(cand, Seq("doc_a", "doc_b"))
+    val missed = truth.join(cand, Seq("doc_a", "doc_b"), "left_anti")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .crossJoin(missed.agg(coalesce(
+        bit_xor(expr("doc_a * 1000003 ^ doc_b")), lit(0L))
+        .as("missed_checksum")))
+      .select($"n_truth", $"n_cand", $"n_hit",
+        expr("CASE WHEN n_truth = 0 THEN 1000000000" +
+          " ELSE n_hit * 1000000000 DIV n_truth END").as("recall_e9"),
+        expr("CASE WHEN n_cand = 0 THEN 1000000000" +
+          " ELSE n_hit * 1000000000 DIV n_cand END").as("precision_e9"),
+        $"missed_checksum")
+  }
+
   private val WinnowK = 4 // winnowing k-gram width (tokens)
   private val WinnowW = 4 // winnowing window (consecutive hashes)
 
@@ -1414,6 +1463,7 @@ object Dedup {
     "q_split_leakage" -> (qSplitLeakage _),
     "q_triplets" -> (qTriplets _),
     "q_winnow" -> (qWinnow _),
+    "q_simhash_recall" -> (qSimhashRecall _),
     "q_prefix_join" -> (qPrefixJoin _)
   )
 
@@ -1886,6 +1936,42 @@ object Dedup {
          |ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
          |FROM pr JOIN sz sa ON sa.doc_id = doc_a
          |JOIN sz sb ON sb.doc_id = doc_b""".stripMargin,
+    "q_simhash_recall" ->
+      s"""WITH sh AS ($simhashSql),
+         |sl AS (SELECT doc_id, simhash FROM sh
+         |  WHERE doc_id < $SimRecallSlice),
+         |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sl a JOIN sl b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHammingMax),
+         |st AS (SELECT doc_id, simhash, bucket,
+         |  COUNT(*) OVER (PARTITION BY bucket) AS f,
+         |  MIN(doc_id) OVER (PARTITION BY bucket) AS bmin FROM sh),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM st a JOIN st b ON a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id
+         |    AND (a.f <= ${LshParams.BucketCap} OR a.doc_id = a.bmin)
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHammingMax
+         |    AND a.doc_id < $SimRecallSlice
+         |    AND b.doc_id < $SimRecallSlice),
+         |hit AS (SELECT t.doc_a, t.doc_b FROM truth t
+         |  JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+         |mis AS (SELECT t.doc_a, t.doc_b FROM truth t
+         |  LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+         |  WHERE c.doc_a IS NULL)
+         |SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+         |  (SELECT CASE WHEN (SELECT COUNT(*) FROM truth) = 0
+         |    THEN 1000000000
+         |    ELSE (SELECT COUNT(*) FROM hit) * 1000000000 //
+         |      (SELECT COUNT(*) FROM truth) END) AS recall_e9,
+         |  (SELECT CASE WHEN (SELECT COUNT(*) FROM cand) = 0
+         |    THEN 1000000000
+         |    ELSE (SELECT COUNT(*) FROM hit) * 1000000000 //
+         |      (SELECT COUNT(*) FROM cand) END) AS precision_e9,
+         |  (SELECT COALESCE(bit_xor(xor(doc_a * 1000003, doc_b)), 0)
+         |    FROM mis) AS missed_checksum""".stripMargin,
     "q_winnow" ->
       s"""WITH tok AS (SELECT doc_id, source, string_split(text,' ') AS t
          |  FROM documents),

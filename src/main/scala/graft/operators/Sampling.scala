@@ -322,7 +322,10 @@ object Sampling {
     val bh = ds.groupBy($"bkt").agg(count(lit(1)).as("cnt"))
     val wDesc = Window.orderBy($"bkt".desc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // bucket-histogram cumulative: tiny frame, but both selection
+    // branches consume it — materialize so the ds agg runs ONCE
     val bc = bh.withColumn("above", coalesce(sum($"cnt").over(wDesc), lit(0L)))
+      .transform(graft.functions.Cp.local)
     val full = ds
       .join(broadcast(bc.filter($"above" + $"cnt" <= budget)), Seq("bkt"))
       .select($"doc_id", $"lang", $"score")
