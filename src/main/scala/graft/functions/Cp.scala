@@ -17,8 +17,43 @@ import org.apache.spark.storage.StorageLevel
   * holds per executor.
   */
 object Cp {
-  def local[T](ds: Dataset[T]): Dataset[T] =
+
+  /** Checkpoint-transparency registry for the plan-invariant tests.
+    *
+    * Eager checkpoints TRUNCATE lineage: anything materialized via
+    * [[local]] disappears from the final sparkPlan, so invariants
+    * scanned there (global-window funnels, merge-join/no-broadcast
+    * assertions) cannot see inside a materialized subtree — and the
+    * engine materializes its most scale-sensitive subtrees (pair
+    * pipelines, posting tables, histogram spines) exactly there.
+    * While recording is on, [[local]] captures each input's physical
+    * plan BEFORE truncation; PlanShapeSpec asserts invariants over
+    * the union of the final plan and every recorded subtree, so a
+    * data-sized global window hidden under a checkpoint fails the
+    * test instead of slipping through (the round-10 q_dsir lesson). */
+  private val recorded =
+    new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.execution.SparkPlan]()
+  @volatile private var recording = false
+
+  def startRecording(): Unit = synchronized {
+    recorded.clear(); recording = true
+  }
+
+  def stopRecording(): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    synchronized {
+      recording = false
+      val out = recorded.toList
+      recorded.clear()
+      out
+    }
+
+  def local[T](ds: Dataset[T]): Dataset[T] = {
+    if (recording) synchronized {
+      if (recording) recorded += ds.queryExecution.sparkPlan
+    }
     ds.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+  }
 
   /** Iterative-round checkpoint hygiene: drop a DEAD generation's
     * localCheckpoint blocks by RDD id. Eager localCheckpoints truncate

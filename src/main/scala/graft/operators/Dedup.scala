@@ -302,7 +302,8 @@ object Dedup {
     * posting list is built once, then joined against itself. The
     * df-capped table is checkpointed too, saving the second df-agg +
     * semi-join pass the self-join would otherwise duplicate. */
-  private[graft] def jaccardPairsOf(docs: DataFrame): DataFrame = {
+  private[graft] def jaccardPairsOf(docs: DataFrame,
+                                    cappedSizes: Boolean = false): DataFrame = {
     import docs.sparkSession.implicits._
     val ds = docs
       .select($"doc_id",
@@ -317,11 +318,31 @@ object Dedup {
     // rare is shingle-grain (corpus-grown): never an AQE broadcast
     val dsr = ds.join(rare.hint("merge"), Seq("s"), "left_semi")
       .transform(graft.functions.Cp.local)
-    dsr.as("a")
+    val base = dsr.as("a")
       .join(dsr.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         $"a.n".as("na"), $"b.n".as("nb"))
       .agg(count(lit(1)).as("inter"))
+    if (!cappedSizes) base
+    else {
+      // Per-doc size WITHIN the df-capped universe (doc-grain, map-side
+      // combined off the checkpointed posting): the denominator that
+      // makes the containment test EXACT inside the capped universe —
+      // inter counts only rare shingles, so comparing it against the
+      // ALL-shingle size na can never reach equality once the small doc
+      // holds a single ubiquitous shingle (round-11 ADVICE fix). Joined
+      // onto the PAIR table (pairs ≪ postings), never back onto dsr —
+      // and OPT-IN: only the containment consumer (and the shared
+      // build, where it is a one-time cost serving every consumer)
+      // pays the two pair-grain joins; measured +0.2–0.5 s per
+      // pair-family query at sf0.1 when unconditional.
+      val szr = dsr.groupBy($"doc_id").agg(count(lit(1)).as("nr"))
+      base
+        .join(szr.select($"doc_id".as("doc_a"), $"nr".as("na_r"))
+          .hint("merge"), Seq("doc_a"))
+        .join(szr.select($"doc_id".as("doc_b"), $"nr".as("nb_r"))
+          .hint("merge"), Seq("doc_b"))
+    }
   }
 
   /** Active shared pair builds, keyed by (session, data dir). Written
@@ -351,7 +372,9 @@ object Dedup {
     val key = (s, d)
     val sc = s.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val pairs = jaccardPairsOf(Tables.documents(s, d))
+    // cappedSizes on: the shared table serves EVERY consumer incl.
+    // containment, and the szr joins are a one-time build cost here
+    val pairs = jaccardPairsOf(Tables.documents(s, d), cappedSizes = true)
       .transform(graft.functions.Cp.local)
     val gen = sc.getPersistentRDDs.keySet -- before
     require(sharedPairs.putIfAbsent(key, pairs) == null,
@@ -363,9 +386,10 @@ object Dedup {
     }
   }
 
-  private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def jaccardPairs(s: SparkSession, d: String,
+                                  cappedSizes: Boolean = false): DataFrame =
     Option(sharedPairs.get((s, d)))
-      .getOrElse(jaccardPairsOf(Tables.documents(s, d)))
+      .getOrElse(jaccardPairsOf(Tables.documents(s, d), cappedSizes))
 
   /** SUBSET-CONTAINMENT DETECTION — the asymmetric dup relation a
     * symmetric Jaccard threshold misses: doc A is a verbatim subset of
@@ -375,27 +399,35 @@ object Dedup {
     * J = n_small/n_big can sit well under a 0.8 dedup threshold (at
     * the gate SFs pairs reach J ≈ 0.75 — kept by a Jaccard rule,
     * caught here). Full containment is tested INTEGER-EXACTLY as
-    * inter = min(na, nb) — no division at the filter boundary. Rides
-    * [[jaccardPairs]] (shared posting/pair pipeline: df-capped join
-    * keys, sizes over ALL shingles — so a containment riding only on
-    * ubiquitous shingles is out of scope by the same documented cap
-    * as the Jaccard family, and [[withSharedPairs]] serves this query
-    * from the same build). Scale shape: one derivation + filter over
-    * the pair table; output grows only with the planted-dup count. */
+    * inter = min(na_r, nb_r) — no division at the filter boundary —
+    * where na_r/nb_r are the per-doc sizes WITHIN the df-capped
+    * shingle universe ([[jaccardPairsOf]]'s szr): both the numerator
+    * and the denominator live in the same universe, so the test is
+    * EXACT there. (Round 11 fix: comparing inter against the
+    * ALL-shingle size na could never fire once the small doc held a
+    * single df > [[DfCap]] shingle — an exact truncated copy sharing
+    * one "in the middle of the" was silently missed. A containment
+    * riding ONLY on df > cap shingles remains out of scope — those
+    * carry no discriminative signal by the same documented cap as the
+    * whole Jaccard family.) Reported sizes/ratios are capped-universe
+    * quantities. Scale shape: one derivation + filter over the shared
+    * pair table; output grows only with the planted-dup count. */
   def qContainment(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    jaccardPairs(s, d)
-      .filter($"inter" === least($"na", $"nb"))
+    jaccardPairs(s, d, cappedSizes = true)
+      .filter($"inter" === least($"na_r", $"nb_r"))
       .select(
-        when($"na" < $"nb" || ($"na" === $"nb" && $"doc_a" < $"doc_b"),
+        when($"na_r" < $"nb_r" ||
+          ($"na_r" === $"nb_r" && $"doc_a" < $"doc_b"),
           $"doc_a").otherwise($"doc_b").as("doc_small"),
-        when($"na" < $"nb" || ($"na" === $"nb" && $"doc_a" < $"doc_b"),
+        when($"na_r" < $"nb_r" ||
+          ($"na_r" === $"nb_r" && $"doc_a" < $"doc_b"),
           $"doc_b").otherwise($"doc_a").as("doc_big"),
-        least($"na", $"nb").as("n_small"),
-        greatest($"na", $"nb").as("n_big"),
-        expr("inter * 1000000000 DIV greatest(na, nb)").as("cont_big_e9"),
-        expr("inter * 1000000000 DIV (na + nb - inter)").as("jac_e9"),
-        ($"na" =!= $"nb").cast("long").as("proper"))
+        least($"na_r", $"nb_r").as("n_small"),
+        greatest($"na_r", $"nb_r").as("n_big"),
+        expr("inter * 1000000000 DIV greatest(na_r, nb_r)").as("cont_big_e9"),
+        expr("inter * 1000000000 DIV (na_r + nb_r - inter)").as("jac_e9"),
+        ($"na_r" =!= $"nb_r").cast("long").as("proper"))
       .orderBy($"doc_small".asc, $"doc_big".asc)
   }
 
@@ -681,11 +713,16 @@ object Dedup {
   private val WinnowK = 4 // winnowing k-gram width (tokens)
   private val WinnowW = 4 // winnowing window (consecutive hashes)
 
-  /** ROBUST WINNOWING FINGERPRINTS (Schleimer, Wilkerson & Aiken 2003
-    * — the MOSS algorithm): from every window of [[WinnowW]]
-    * consecutive k-gram hashes select the minimum (RIGHTMOST position
-    * on ties), dedup — the selected (pos, hash) set is the document's
-    * fingerprint. Winnowing's guarantee (any shared substring of
+  /** WINNOWING FINGERPRINTS (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS algorithm, STANDARD winnowing §4): from every window of
+    * [[WinnowW]] consecutive k-gram hashes select the minimum
+    * (RIGHTMOST position on ties, independently per window), dedup —
+    * the selected (pos, hash) set is the document's fingerprint. (The
+    * paper's §5.2 "robust" variant instead breaks ties by preferring
+    * the hash selected in the PREVIOUS window — a sequential rule;
+    * with 60-bit hashes ties are ~n·w/2⁶⁰ rare, so the variants are
+    * observationally identical here and the parallel-friendly
+    * standard rule is the one implemented.) Winnowing's guarantee (any shared substring of
     * length ≥ w+k−1 shares a fingerprint) and its expected density
     * 2/(w+1) are what make it the standard local fingerprinting
     * scheme, vs the fixed-stride chunker ([[qChunkDedup]]) which has
@@ -2081,17 +2118,17 @@ object Dedup {
       s"""WITH $tokCte,
          |sh AS (SELECT doc_id, unnest(${shingleExpr(JaccardN)}) AS s FROM tok),
          |ds AS (SELECT DISTINCT doc_id, s FROM sh),
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
          |rare AS (SELECT s FROM ds GROUP BY s HAVING COUNT(*) <= $DfCap),
          |dsr AS (SELECT ds.doc_id, ds.s FROM ds JOIN rare USING (s)),
+         |szr AS (SELECT doc_id, COUNT(*) AS n FROM dsr GROUP BY 1),
          |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    CAST(COUNT(*) AS BIGINT) AS inter
          |  FROM dsr a JOIN dsr b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |c AS (SELECT doc_a, doc_b, inter,
          |  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb
-         |  FROM pr JOIN sz sa ON sa.doc_id = doc_a
-         |  JOIN sz sb ON sb.doc_id = doc_b
+         |  FROM pr JOIN szr sa ON sa.doc_id = doc_a
+         |  JOIN szr sb ON sb.doc_id = doc_b
          |  WHERE inter = LEAST(sa.n, sb.n))
          |SELECT
          |CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)

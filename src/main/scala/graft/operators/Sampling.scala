@@ -244,8 +244,16 @@ object Sampling {
   private val DsirScale = 1L << 20
   /** Coarse histogram step for the exact top-budget threshold. */
   private val DsirStep = 16384L
-  /** Shift that keeps the bucketed score non-negative (trunc ≡ floor). */
-  private val DsirShift = 1L << 30
+  /** Shift that keeps the bucketed score non-negative (trunc ≡ floor).
+    * 2⁶² — NOT 2³⁰: per-token weights reach ≈ −t_tgt·2²⁰/t_raw, so a
+    * doc with thousands of tokens concentrated in zero-target buckets
+    * can score below −2³⁰, where Spark DIV (trunc) and DuckDB //
+    * (floor) disagree and the bucket shifts (the q_hilbert INT32
+    * class). |score| ≤ n_tokens·2²⁰ stays ≪ 2⁶² for any real corpus
+    * (2⁴² tokens/doc), and 2⁶² + 2⁶¹ < 2⁶³ leaves addition overflow-
+    * free; the histogram SPINE is sized by score RANGE / step, not by
+    * the shift, so the bounded-spine argument is unchanged. */
+  private val DsirShift = 1L << 62
   private val DsirTargetLang = "en"
 
   /** DSIR-SHAPE IMPORTANCE RESAMPLING (Xie et al. 2023, "Data Selection

@@ -343,9 +343,15 @@ object ManifestTable {
     val sized = relFiles.map(f =>
       (f, fs.getFileStatus(new Path(root, f)).getLen))
     val small = sized.filter(_._2 < targetBytes).map(_._1)
-    if (small.size <= 1) return false // nothing to pack
     val totalSmall = sized.filter(_._2 < targetBytes).map(_._2).sum
     val nOut = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes)
+    // Convergence guard: when totalSmall > targetBytes the pack emits
+    // nOut ≥ 2 files each BELOW targetBytes (1.5× target → two 0.75×
+    // files), so a `small.size <= 1` check alone would re-pack the
+    // same data on every periodic compact forever — unbounded version
+    // churn in the exact streaming-ingest loop this targets. Packing
+    // only pays when it REDUCES the file count.
+    if (small.size <= nOut) return false // packing would not shrink layout
     val packed = s.read.option("mergeSchema", "true")
       .parquet(small.map(f => new Path(root, f).toString): _*)
       .coalesce(nOut.toInt)

@@ -295,6 +295,44 @@ class ManifestSpec extends AnyFunSuite {
     assert(dataFiles(new java.io.File(dir)).size === planned)
   }
 
+  test("compact converges when the pack emits MULTIPLE below-target files") {
+    import spark.implicits._
+    // totalSmall > targetBytes → the pack emits nOut ≥ 2 files each
+    // BELOW targetBytes; before round 11's guard every periodic
+    // compact re-packed the same data forever (unbounded version
+    // churn in the streaming-ingest maintenance loop)
+    val dir = tmp()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def blob(i: Long): String = // ~4 KB unique, incompressible-ish
+      (0 until 128).map { j =>
+        md.digest(s"$i-$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }.mkString
+    ManifestTable.create(spark, Seq((1L, blob(1))).toDF("id", "v"), dir)
+    (2L to 6L).foreach { i =>
+      ManifestTable.upsert(spark, Seq((i, blob(i))).toDF("id", "v"), dir, "id")
+    }
+    val (fs, root) = fsRoot(dir)
+    val before = ManifestTable.read(spark, dir)
+      .as[(Long, String)].collect().toSet
+    val target = 10L << 10 // 10 KiB: total ≈ 25 KB → nOut ≥ 2
+    assert(ManifestTable.compact(spark, dir, target))
+    // convergence within a bounded number of rounds, then a hard stop
+    var rounds = 0
+    while (ManifestTable.compact(spark, dir, target) && rounds < 5) rounds += 1
+    assert(rounds < 5, "compact must converge, not churn versions forever")
+    val vStable = ManifestTable.version(fs, root)
+    assert(!ManifestTable.compact(spark, dir, target))
+    assert(ManifestTable.version(fs, root) === vStable, "no-op must not commit")
+    // the interesting case: convergence with ≥ 2 files still below
+    // target (the old `small.size <= 1` check would spin here)
+    val sizes = ManifestTable.read(spark, dir).inputFiles
+      .map(f => new java.io.File(new java.net.URI(f).getPath).length)
+    assert(sizes.count(_ < target) >= 2,
+      s"test setup should leave ≥2 below-target files, got ${sizes.toList}")
+    assert(ManifestTable.read(spark, dir)
+      .as[(Long, String)].collect().toSet === before)
+  }
+
   test("readWhere prunes files by footer key range and still filters rows") {
     import spark.implicits._
     val dir = tmp()

@@ -168,6 +168,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_allocation" -> "one row per lang (bounded label domain)",
     "q_benford" -> "9 leading-digit rows",
     "q_budget_mix" -> "one row per source (bounded label domain)",
+    "q_calibration" -> ("clamped score-bin spine (2·CalClamp/CalBinW rows; " +
+      "hidden under Cp.local until round 11's transparency fix)"),
     "q_chisq" -> "contingency cells = langs x sources",
     "q_cumulative_uniques" -> "daily calendar spine",
     "q_dsir" -> "score-bucket histogram (range/2^14 rows, bounded)",
@@ -187,10 +189,26 @@ class PlanShapeSpec extends AnyFunSuite {
         w.windowExpression.map(_.sql).mkString("; ").take(80)
     }
 
-  test("global windows appear ONLY over documented bounded spines") {
+  /** All physical plans a query builds: the final plan PLUS every
+    * subtree materialized through Cp.local while constructing it.
+    * Eager checkpoints truncate lineage, so without the recorded
+    * subtrees a data-sized global window (or a broadcast of a
+    * corpus-grown side) hidden under a checkpoint would be invisible
+    * to every invariant below — the round-10 q_dsir lesson. */
+  private def allPlans(
+      build: => DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    graft.functions.Cp.startRecording()
+    try {
+      val df = build
+      df.queryExecution.sparkPlan +: graft.functions.Cp.stopRecording()
+    } finally graft.functions.Cp.stopRecording() // no-op if already stopped
+  }
+
+  test("global windows appear ONLY over documented bounded spines " +
+       "(checkpoint-transparent)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val gw = globalWindows(fn(spark, sf).queryExecution.sparkPlan)
+        val gw = allPlans(fn(spark, sf)).flatMap(globalWindows)
         if (gw.nonEmpty && !globalWindowWhitelist.contains(name))
           Some(s"$name: ${gw.mkString(" || ")}")
         else None
@@ -199,9 +217,10 @@ class PlanShapeSpec extends AnyFunSuite {
       s"undocumented unpartitioned WindowExec (one-task funnel at " +
         s"100 TB) in:\n${offenders.mkString("\n")}")
     // the whitelist must not go stale: every entry still plans one
+    // (final plan OR a checkpointed subtree)
     for ((name, why) <- globalWindowWhitelist)
-      assert(globalWindows(
-        SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan)
+      assert(allPlans(SparkEntry.queries(name)(spark, sf))
+        .flatMap(globalWindows)
         .nonEmpty, s"$name no longer plans a global window ($why) — " +
         "remove it from the whitelist")
   }
@@ -213,6 +232,36 @@ class PlanShapeSpec extends AnyFunSuite {
       .withColumn("rn", row_number().over(
         Window.orderBy(col("l_orderkey"), col("l_linenumber"))))
     assert(globalWindows(bad.queryExecution.sparkPlan).nonEmpty)
+  }
+
+  test("the detector sees through Cp.local: a checkpointed offender fails") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // window BEFORE the checkpoint: the final plan is a bare scan of
+    // the materialized RDD, so the pre-fix detector passed this
+    val plans = allPlans {
+      graft.functions.Cp.local(
+        Tables.lineitem(spark, sf).limit(100)
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("l_orderkey"), col("l_linenumber")))))
+        .select(col("rn"))
+    }
+    assert(globalWindows(plans.head).isEmpty,
+      "the final plan must NOT show the window (it was checkpointed away)")
+    assert(plans.flatMap(globalWindows).nonEmpty,
+      "the recorded checkpoint subtree must expose the global window")
+  }
+
+  test("span family: no corpus-grown broadcast inside checkpointed subtrees") {
+    // the merge-join assertion on the final plan (above) is blind to
+    // anything Cp.local materialized; scan the recorded subtrees too
+    val plans = allPlans(SparkEntry.queries("q_substring_spans")(spark, sf))
+    assert(plans.tail.nonEmpty,
+      "q_substring_spans is expected to checkpoint its pair pipeline")
+    plans.tail.foreach { p =>
+      assert(!p.toString.contains("BroadcastHashJoin"),
+        s"corpus-grown span side broadcast inside a checkpointed subtree:\n$p")
+    }
   }
 
   test("pair generators keep scans pruned to the columns they use") {
