@@ -72,6 +72,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hilbert_xy"),
       (args: Seq[Expression]) =>
         graft.functions.HilbertCurve.HilbertDecode(args(0))))
+    // The engine's standard oracle-reproducible hash
+    // (TextFunctions.md5Prefix60) as a SQL function, so pure-SQL
+    // pipelines (and the TVF expansions below) hash bit-identically
+    // to the library paths: CAST(conv(substring(md5(x),1,15),16,10)
+    // AS BIGINT). Built by parse-and-splice — the parsed template is
+    // the same function composition the Column API emits.
+    ext.injectFunction((
+      FunctionIdentifier("md5_prefix60"),
+      info("md5_prefix60"),
+      (args: Seq[Expression]) => spliceExpr(
+        "CAST(conv(substring(md5(_g_arg0), 1, 15), 16, 10) AS BIGINT)",
+        args(0))))
     // ---- SQL FRONT DOOR for the custom OPERATORS (table functions).
     // The DataFrame APIs (AsofJoin.join, RangeJoin.join, TopK.of)
     // resolve attributes eagerly from analyzed inputs; the TVF route

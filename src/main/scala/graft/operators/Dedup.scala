@@ -29,7 +29,7 @@ object Dedup {
   private val K = 16          // minhash signature length
   private val Bands = 4       // LSH bands (K/Bands rows per band)
   private val ShingleN = 3    // minhash shingle width (words)
-  private val JaccardN = 5    // jaccard shingle width (words)
+  private[graft] val JaccardN = 5    // jaccard shingle width (words)
 
   def qExactDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -2020,12 +2020,10 @@ object Dedup {
          |  FROM tok),
          |an AS (SELECT doc_id, source, npos, CAST(pos AS BIGINT) AS pos,
          |  CAST(('0x'||substr(md5(g),1,15)) AS BIGINT) AS h FROM gr),
-         |wins AS (SELECT doc_id, source, pos, h,
-         |  unnest(generate_series(pos, least(pos + ${WinnowW - 1}, npos)))
-         |    AS e
-         |  FROM an),
-         |sel AS (SELECT doc_id, source, e, min(row(h, -pos)) AS m
-         |  FROM wins WHERE e >= $WinnowW GROUP BY 1, 2, 3),
+         |sel AS (SELECT doc_id, source, pos AS e,
+         |  min(row(h, -pos)) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS m
+         |  FROM an QUALIFY pos >= $WinnowW),
          |fpr AS (SELECT DISTINCT doc_id, -(m[2]) AS selpos, m[1] AS selh
          |  FROM sel),
          |fp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsel,

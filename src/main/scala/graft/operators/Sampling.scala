@@ -239,11 +239,11 @@ object Sampling {
   }
 
   /** Feature-hash buckets for [[qDsir]]. */
-  private val DsirBuckets = 256L
+  private[graft] val DsirBuckets = 256L
   /** Fixed-point scale for the per-bucket likelihood ratio (2²⁰). */
-  private val DsirScale = 1L << 20
+  private[graft] val DsirScale = 1L << 20
   /** Coarse histogram step for the exact top-budget threshold. */
-  private val DsirStep = 16384L
+  private[graft] val DsirStep = 16384L
   /** Shift that keeps the bucketed score non-negative (trunc ≡ floor).
     * 2⁶² — NOT 2³⁰: per-token weights reach ≈ −t_tgt·2²⁰/t_raw, so a
     * doc with thousands of tokens concentrated in zero-target buckets
@@ -253,8 +253,8 @@ object Sampling {
     * (2⁴² tokens/doc), and 2⁶² + 2⁶¹ < 2⁶³ leaves addition overflow-
     * free; the histogram SPINE is sized by score RANGE / step, not by
     * the shift, so the bounded-spine argument is unchanged. */
-  private val DsirShift = 1L << 62
-  private val DsirTargetLang = "en"
+  private[graft] val DsirShift = 1L << 62
+  private[graft] val DsirTargetLang = "en"
 
   /** DSIR-SHAPE IMPORTANCE RESAMPLING (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every
@@ -311,22 +311,35 @@ object Sampling {
           s"t_tgt * $DsirScale DIV t_raw").as("wt"))
   }
 
-  def qDsir(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    import graft.functions.TextFunctions.{md5Prefix60, tokens}
-    val docs = Tables.documents(s, d)
-    val budget = docs.count() / 10
+  /** Per-doc DSIR scores over `docs` (doc_id, lang, text) with the
+    * coarse histogram bucket attached — the [[qDsir]] scoring stage
+    * refactored for composition ([[Curate.qCurateFull]] scores its
+    * curated survivor set). Checkpointed: the histogram and both
+    * selection branches of [[dsirSelectFrom]] consume it. */
+  private[operators] def dsirScored(docs: DataFrame,
+      targetLang: String = DsirTargetLang): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.functions.TextFunctions.tokens
     val tk = docs
       .select($"doc_id", $"lang", explode(tokens($"text")).as("term"))
       .filter($"term" =!= "")
       .select($"doc_id", $"lang", dsirBucket($"term").as("b"))
     // ≤256 rows by construction — always broadcast-safe
-    val wts = dsirWeights(docs)
-    val ds = tk.join(broadcast(wts), Seq("b"))
+    tk.join(broadcast(dsirWeights(docs, targetLang)), Seq("b"))
       .groupBy($"doc_id")
       .agg(max($"lang").as("lang"), sum($"wt").as("score"))
       .withColumn("bkt", expr(s"(score + $DsirShift) DIV $DsirStep"))
-      .transform(graft.functions.Cp.local) // reused by histogram + both selects
+      .transform(graft.functions.Cp.local)
+  }
+
+  /** Exact global top-`budget` of a [[dsirScored]] frame with NO
+    * data-sized global window: cumulative over the bounded
+    * score-bucket histogram finds the boundary bucket; buckets above
+    * it are taken whole, only the boundary bucket ranks its own rows
+    * (partitioned window, (score desc, doc_id) tie-break). */
+  private[operators] def dsirSelectFrom(ds: DataFrame,
+      budget: Long): DataFrame = {
+    import ds.sparkSession.implicits._
     val bh = ds.groupBy($"bkt").agg(count(lit(1)).as("cnt"))
     val wDesc = Window.orderBy($"bkt".desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -344,7 +357,16 @@ object Sampling {
       .withColumn("rnk", row_number().over(wb))
       .filter($"rnk" <= lit(budget) - $"above")
       .select($"doc_id", $"lang", $"score")
-    val selc = full.unionByName(boundary)
+    full.unionByName(boundary)
+  }
+
+  def qDsir(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.md5Prefix60
+    val docs = Tables.documents(s, d)
+    val budget = docs.count() / 10
+    val ds = dsirScored(docs)
+    val selc = dsirSelectFrom(ds, budget)
       .groupBy($"lang").agg(
         count(lit(1)).as("n_sel"),
         sum($"score").as("sum_sel_score"),

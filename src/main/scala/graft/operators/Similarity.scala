@@ -356,7 +356,7 @@ object Similarity {
        |FROM fs""".stripMargin
   }
 
-  private val Cells = 16    // IVF coarse-quantizer cells
+  private[graft] val Cells = 16    // IVF coarse-quantizer cells
   private val NProbe = 2    // cells probed per query
 
   /** IVF-style ANN: the corpus is coarse-quantized to the nearest of
@@ -411,7 +411,7 @@ object Similarity {
     * synthetic corpus's cosine range (random vectors top out ~0.49
     * within cells); a production run on real embeddings sets ~0.95 —
     * the operator shape is identical at any τ. */
-  private val SemTau = 0.45
+  private[graft] val SemTau = 0.45
 
   /** SEMDEDUP — embedding-level SEMANTIC deduplication (the
     * cluster-then-prune pass LLM curation runs after exact/minhash

@@ -143,7 +143,7 @@ object TextAnalysis {
     * overlap check (look up a benchmark's n-grams in the corpus table).
     * One explode + one count per gram (map-side partial agg) + a
     * bounded global top-k with a unique tie-break. */
-  private val SpanK = 8     // duplicate-span width (tokens)
+  private[graft] val SpanK = 8     // duplicate-span width (tokens)
   private val SpanTopK = 50 // reported duplicated spans
 
   /** EXACT SUBSTRING-SPAN DEDUP — the train-set memorization primitive
@@ -222,9 +222,9 @@ object TextAnalysis {
       .limit(CoverTopK)
   }
 
-  private val SpanDfCap = 64     // anchor-hash df cap for the pair join
-  private val SpanOccCap = 256   // total-position cap (within-doc repeats)
-  private val MinSpanAnchors = 5 // chained anchors ⇒ spans ≥ 12 tokens
+  private[graft] val SpanDfCap = 64     // anchor-hash df cap for the pair join
+  private[graft] val SpanOccCap = 256   // total-position cap (within-doc repeats)
+  private[graft] val MinSpanAnchors = 5 // chained anchors ⇒ spans ≥ 12 tokens
   private val SpanReportK = 20   // bounded report size for span queries
 
   /** VARIABLE-LENGTH shared spans — the suffix-array-dedup verb at its
@@ -249,13 +249,19 @@ object TextAnalysis {
     * windows partition by (pair, diag) — bounded by the shorter doc,
     * never corpus-sized. Both self-join sides are corpus-grown →
     * merge hints (the q_bigram_lm AQE lesson). */
-  private def pairSpans(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  private def pairSpans(s: SparkSession, d: String): DataFrame =
+    pairSpansOf(Tables.documents(s, d))
+
+  /** [[pairSpans]] over an arbitrary (doc_id, text) frame — the
+    * composition entry point ([[Curate.qCurateFull]] runs it over the
+    * length-gated survivor slice, not the raw table). */
+  private[operators] def pairSpansOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val toks = tokens($"text")
     val spans = transform(
       sequence(lit(1), greatest(size(toks) - (SpanK - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(SpanK))))
-    val anchors = Tables.documents(s, d)
+    val anchors = docs
       .select($"doc_id", posexplode(spans))
       .select($"doc_id", ($"pos" + 1).cast("long").as("pos"),
         md5Prefix60($"col").as("h"))
@@ -427,23 +433,9 @@ object TextAnalysis {
     * with a token-position anti-join + ordered string_agg. */
   def qSpanTrim(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sp = pairSpans(s, d)
-    val iv = sp.select($"doc_a".as("doc_id"), $"start_a".as("st"),
-        ($"start_a" + $"len" - 1).as("en"))
-      .unionAll(sp.select($"doc_b".as("doc_id"), $"start_b".as("st"),
-        ($"start_b" + $"len" - 1).as("en")))
-      .distinct()
-      .groupBy($"doc_id")
-      .agg(collect_list(struct($"st", $"en")).as("ivs"))
-    val toks = tokens($"text")
-    Tables.documents(s, d)
-      .join(iv.hint("merge"), Seq("doc_id"), "left")
-      .withColumn("kept", filter(toks, (t, i) =>
-        !exists(coalesce($"ivs",
-            array().cast("array<struct<st:long,en:long>>")),
-          v => v.getField("st") <= i + 1 && i + 1 <= v.getField("en"))))
-      .select($"source", $"ivs".isNotNull.as("was_trimmed"),
-        size(toks).cast("long").as("nb"),
+    trimmedDocsOf(Tables.documents(s, d))
+      .select($"source", $"was_trimmed",
+        $"ntok_before".as("nb"),
         size($"kept").cast("long").as("na"),
         md5Prefix60(concat_ws(" ", $"kept")).as("h"))
       .groupBy($"source")
@@ -453,6 +445,35 @@ object TextAnalysis {
         sum($"na").as("tokens_after"),
         bit_xor($"h").as("trim_checksum"))
       .orderBy($"source".asc)
+  }
+
+  /** The [[qSpanTrim]] rewrite as a reusable stage: every doc of
+    * `docs` with its ≥12-token shared spans (computed WITHIN `docs` by
+    * [[pairSpansOf]]) removed. Returns the input columns plus
+    * `kept` (the surviving token array — the trimmed text is
+    * `concat_ws(" ", kept)`, token-rebuilt on BOTH engines so the
+    * oracle mirrors byte-for-byte), `was_trimmed`, and `ntok_before`.
+    * Scale shape: the pair-span pipeline + ONE doc-grain merge join +
+    * a narrow per-row lambda filter — no token-grain join. */
+  private[operators] def trimmedDocsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sp = pairSpansOf(docs)
+    val iv = sp.select($"doc_a".as("doc_id"), $"start_a".as("st"),
+        ($"start_a" + $"len" - 1).as("en"))
+      .unionAll(sp.select($"doc_b".as("doc_id"), $"start_b".as("st"),
+        ($"start_b" + $"len" - 1).as("en")))
+      .distinct()
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"st", $"en")).as("ivs"))
+    val toks = tokens($"text")
+    docs.join(iv.hint("merge"), Seq("doc_id"), "left")
+      .withColumn("kept", filter(toks, (t, i) =>
+        !exists(coalesce($"ivs",
+            array().cast("array<struct<st:long,en:long>>")),
+          v => v.getField("st") <= i + 1 && i + 1 <= v.getField("en"))))
+      .withColumn("was_trimmed", $"ivs".isNotNull)
+      .withColumn("ntok_before", size(toks).cast("long"))
+      .drop("ivs")
   }
 
   private val QmMod = 1001L // hashed-feature weight modulus (odd, ~±500)

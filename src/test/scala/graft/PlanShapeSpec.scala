@@ -172,6 +172,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "hidden under Cp.local until round 11's transparency fix)"),
     "q_chisq" -> "contingency cells = langs x sources",
     "q_cumulative_uniques" -> "daily calendar spine",
+    "q_curate_full" -> ("DSIR score-bucket histogram (bounded, the " +
+      "q_dsir spine) inside the stage-5 selection"),
     "q_dsir" -> "score-bucket histogram (range/2^14 rows, bounded)",
     "q_ks_drift" -> "value-histogram grain (bounded value domain)",
     "q_mann_whitney" -> "value-histogram grain (bounded value domain)",
