@@ -191,6 +191,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
   }
 
+  /** Parse a SQL expression template and splice `arg` where the
+    * placeholder attribute `_g_arg0` appears — the parsed tree is the
+    * same function composition the Column API emits, so SQL callers
+    * hash bit-identically to the library path.
+    */
+  private def spliceExpr(template: String, arg: Expression): Expression =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(template)
+      .transformUp { case UnresolvedAttribute(Seq("_g_arg0")) => arg }
+
   private def strArg(e: Expression, what: String): String = e match {
     case Literal(s: UTF8String, StringType) => s.toString
     case other => throw new IllegalArgumentException(

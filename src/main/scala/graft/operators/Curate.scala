@@ -186,14 +186,10 @@ object Curate {
     "q_curate_full" -> (qCurateFull _)
   )
 
-  /** DuckDB n-gram list over token list `t` (the shingleExpr idiom). */
-  private def sqlGrams(n: Int): String =
-    s"list_transform(generate_series(1, greatest(len(t)-${n - 1}, 1)), " +
-      s"i -> array_to_string(t[i:i+${n - 1}], ' '))"
-
-  /** md5 60-bit prefix of a VARCHAR expression (md5Prefix60 mirror). */
-  private def sqlH60(e: String): String =
-    s"CAST(('0x'||substr(md5($e),1,15)) AS BIGINT)"
+  // Oracle helpers shared with the dedup family (Dedup.scala) so the
+  // n-gram and md5-prefix idioms can't drift between oracle builders.
+  private def sqlGrams(n: Int): String = Dedup.shingleExpr(n)
+  private def sqlH60(e: String): String = Dedup.sqlH60(e)
 
   private def sqlCensus(stage: Int, nm: String, cte: String): String =
     s"""SELECT CAST($stage AS BIGINT) AS stage, '$nm' AS stage_name,

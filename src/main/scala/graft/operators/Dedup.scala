@@ -1506,9 +1506,15 @@ object Dedup {
 
   private val tokCte =
     "tok AS (SELECT doc_id, string_split(text,' ') AS t FROM documents)"
-  private def shingleExpr(n: Int) =
+  /** DuckDB n-gram list over token list `t` — shared with the other
+    * oracle builders (Curate) so the idiom can't drift. */
+  private[graft] def shingleExpr(n: Int) =
     s"list_transform(generate_series(1, greatest(len(t)-${n - 1}, 1)), " +
       s"i -> array_to_string(t[i:i+${n - 1}], ' '))"
+
+  /** md5 60-bit prefix of a VARCHAR expression (md5Prefix60 mirror). */
+  private[graft] def sqlH60(e: String): String =
+    s"CAST(('0x'||substr(md5($e),1,15)) AS BIGINT)"
 
   /** CTE prelude mirroring [[minhashCandidates]]: yields CTEs up to
     * `cand(doc_a, doc_b, agree_k)` — shared by the q_minhash_pairs and

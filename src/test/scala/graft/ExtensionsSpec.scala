@@ -47,6 +47,21 @@ class ExtensionsSpec extends AnyFunSuite {
           "jaro_winkler_sim('', '') AS b").head()
       assert(jw.getDouble(0) === 0.9611111111111111)
       assert(jw.getDouble(1) === 0.0)
+      // md5_prefix60 must be bit-identical to the Column-API hash the
+      // whole determinism story is built on (TextFunctions.md5Prefix60).
+      val h60 = s2.sql(
+        """SELECT count(*) AS n FROM docs
+          |WHERE md5_prefix60(text) !=
+          |  CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"""
+          .stripMargin).head()
+      assert(h60.getLong(0) === 0L)
+      val h60col = s2.read.parquet(s"$sf/documents.parquet")
+        .select(graft.functions.TextFunctions.md5Prefix60(col("text")).as("h"))
+        .agg(expr("bit_xor(h)").as("chk")).head().getLong(0)
+      val h60sql = s2.sql(
+        "SELECT bit_xor(md5_prefix60(text)) AS chk FROM docs")
+        .head().getLong(0)
+      assert(h60col === h60sql)
       val hd = s2.sql(
         "SELECT hilbert_d(0L, 0L) AS a, hilbert_d(65535L, 0L) AS b, " +
           "hilbert_xy(hilbert_d(12345L, 54321L)) AS c").head()
