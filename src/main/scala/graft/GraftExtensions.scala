@@ -189,6 +189,229 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
              |  ON a.s = b.s AND a.doc_id < b.doc_id
              |GROUP BY a.doc_id, b.doc_id, a.n, b.n""".stripMargin)
       }))
+    // SPAN TRIM as a TVF — the most differentiated curation verb from
+    // pure SQL: every doc of the named view (doc_id, text) rewritten
+    // with its ≥12-token verbatim shared spans removed. Expands to the
+    // [[graft.operators.TextAnalysis.trimmedDocsOf]] pipeline over the
+    // registered md5_prefix60 (bit-identical hashing → identical
+    // anchors, spans, and rewritten text; SqlFrontDoorSpec proves
+    // byte-equality against the library path). Same df/occ caps and
+    // merge hints; unlike the library path there is NO checkpoint, so
+    // the anchor subtree appears several times in the plan — exchange
+    // reuse consolidates the scans, and a SQL caller chaining further
+    // stages should CACHE the result.
+    ext.injectTableFunction((
+      FunctionIdentifier("span_trim"),
+      info("span_trim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "span_trim(table) — table is a string literal naming a view " +
+            "with (doc_id, text)")
+        val tbl = ident(strArg(args(0), "span_trim table"))
+        parsePlan(spanTrimSql(tbl))
+      }))
+    // SEMDEDUP as a TVF: the per-cell census of
+    // [[graft.operators.Similarity.qSemDedup]] over any (vec_id,
+    // embedding) view, with a caller-chosen cosine threshold. The
+    // nearest-centroid assignment is relational here — argmax over a
+    // broadcast √N-bounded centroid set via min(struct(-cos, cid)),
+    // bit-identical to the library's fused NearestCentroid expression
+    // because cosine_sim shares its exact accumulation order and the
+    // struct-min tie-break mirrors its first-max-wins scan.
+    ext.injectTableFunction((
+      FunctionIdentifier("semdedup"),
+      info("semdedup"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "semdedup(table, tau) — table names a view with (vec_id, " +
+            "embedding); tau is the cosine threshold as a string literal")
+        val tbl = ident(strArg(args(0), "semdedup table"))
+        val tau = strArg(args(1), "semdedup tau")
+        require(tau.matches("""[0-9]+(\.[0-9]+)?([eE]-?[0-9]+)?"""),
+          s"semdedup tau must be a plain decimal, got $tau")
+        parsePlan(semdedupSql(tbl, tau))
+      }))
+    // DSIR SELECTION as a TVF: the top-(n DIV budgetDiv) documents of
+    // the named (doc_id, lang, text) view by hashed-unigram importance
+    // toward targetLang — [[graft.operators.Sampling.dsirScored]] +
+    // [[graft.operators.Sampling.dsirSelectFrom]] from SQL text,
+    // including the bounded-histogram exact top-k (no data-sized
+    // global window). Integer-exact weights via md5_prefix60 + DIV.
+    ext.injectTableFunction((
+      FunctionIdentifier("dsir_select"),
+      info("dsir_select"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "dsir_select(table, targetLang, budgetDiv) — table names a " +
+            "view with (doc_id, lang, text)")
+        val tbl = ident(strArg(args(0), "dsir_select table"))
+        val lang = strArg(args(1), "dsir_select targetLang")
+        require(lang.matches("[A-Za-z_-]+"),
+          s"dsir_select targetLang must be a plain language tag, got $lang")
+        val div = intArg(args(2), "budgetDiv")
+        require(div >= 1, s"budgetDiv must be >= 1, got $div")
+        parsePlan(dsirSelectSql(tbl, lang, div))
+      }))
+  }
+
+  private def parsePlan(sql: String) =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(sql)
+
+  /** Table args are spliced into SQL text — identifiers only, no
+    * expression injection (the dedup_pairs rule). */
+  private def ident(tbl: String): String = {
+    require(tbl.matches("[A-Za-z_][A-Za-z0-9_.]*"),
+      s"table must be a plain identifier, got $tbl")
+    tbl
+  }
+
+  /** The [[graft.operators.TextAnalysis.trimmedDocsOf]] pipeline as
+    * inlined-derived-table SQL (CTEs don't survive late introduction —
+    * the dedup_pairs rule). Output: (doc_id, text, was_trimmed,
+    * ntok_before, ntok_after). */
+  private def spanTrimSql(tbl: String): String = {
+    import graft.operators.TextAnalysis.{MinSpanAnchors, SpanDfCap, SpanK, SpanOccCap}
+    val toks = "split(text, ' ')"
+    val spans =
+      s"transform(sequence(1, greatest(size($toks) - ${SpanK - 1}, 1)), " +
+        s"i -> concat_ws(' ', slice($toks, i, $SpanK)))"
+    val anchors =
+      s"""SELECT doc_id, CAST(pos + 1 AS BIGINT) AS pos, md5_prefix60(g) AS h
+         |FROM (SELECT doc_id, posexplode($spans) AS (pos, g) FROM $tbl)"""
+        .stripMargin
+    // df bounds docs per anchor, occ bounds total positions (the occ²
+    // join-bucket rule); > 1 keeps only genuinely shared anchors
+    val dup =
+      s"""SELECT h FROM ($anchors) GROUP BY h
+         |HAVING count(DISTINCT doc_id) > 1
+         |  AND count(DISTINCT doc_id) <= $SpanDfCap
+         |  AND count(*) <= $SpanOccCap""".stripMargin
+    val ha =
+      s"""SELECT /*+ MERGE(d) */ a.doc_id, a.pos, a.h
+         |FROM ($anchors) a LEFT SEMI JOIN ($dup) d ON a.h = d.h"""
+        .stripMargin
+    val pr =
+      s"""SELECT /*+ MERGE(b) */ a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.pos AS pa, b.pos AS pb
+         |FROM ($ha) a JOIN ($ha) b
+         |  ON a.h = b.h AND a.doc_id < b.doc_id""".stripMargin
+    // gaps-and-islands on each pair diagonal: consecutive anchors chain
+    val sp =
+      s"""SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+         |  count(*) + ${SpanK - 1} AS len
+         |FROM (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+         |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+         |      ORDER BY pa ASC) AS grp FROM ($pr))
+         |GROUP BY doc_a, doc_b, diag, grp
+         |HAVING count(*) >= $MinSpanAnchors""".stripMargin
+    val iv =
+      s"""SELECT doc_id, collect_list(struct(st, en)) AS ivs
+         |FROM (SELECT DISTINCT doc_id, st, en FROM (
+         |  SELECT doc_a AS doc_id, start_a AS st,
+         |    start_a + len - 1 AS en FROM ($sp)
+         |  UNION ALL
+         |  SELECT doc_b, start_b, start_b + len - 1 FROM ($sp)))
+         |GROUP BY doc_id""".stripMargin
+    s"""SELECT doc_id, concat_ws(' ', kept) AS text, was_trimmed,
+       |  ntok_before, CAST(size(kept) AS BIGINT) AS ntok_after
+       |FROM (SELECT /*+ MERGE(iv) */ t.doc_id,
+       |    CASE WHEN iv.ivs IS NULL THEN split(t.text, ' ')
+       |      ELSE filter(split(t.text, ' '), (tok, i) ->
+       |        NOT exists(iv.ivs, v -> v.st <= i + 1 AND i + 1 <= v.en))
+       |    END AS kept,
+       |    iv.ivs IS NOT NULL AS was_trimmed,
+       |    CAST(size(split(t.text, ' ')) AS BIGINT) AS ntok_before
+       |  FROM $tbl t LEFT JOIN ($iv) iv ON t.doc_id = iv.doc_id)"""
+      .stripMargin
+  }
+
+  /** The [[graft.operators.Similarity.qSemDedup]] census as
+    * inlined-derived-table SQL. Cells scale-parameterized at
+    * max(16, ⌈√N⌉) via a scalar subquery (engine-identical: IEEE sqrt
+    * of an exact integer is correctly rounded). */
+  private def semdedupSql(tbl: String, tau: String): String = {
+    val cells =
+      s"""(SELECT greatest(${graft.operators.Similarity.Cells}L,
+         |  CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM $tbl)""".stripMargin
+    val cents =
+      s"SELECT vec_id AS cid, embedding AS cv FROM $tbl WHERE vec_id < $cells"
+    // argmax cosine, ties → lowest cid: min(struct(-cos, cid)) — double
+    // negation is exact, struct compare is lexicographic. Partial-agg
+    // friendly (no N·√N window shuffle); the centroid side is
+    // √N-bounded → broadcast (the bounded-model discipline).
+    val assign =
+      s"""SELECT /*+ BROADCAST(c) */ e.vec_id, e.embedding,
+         |  min(struct(-cosine_sim(e.embedding, c.cv) AS nc, c.cid AS ci)).ci
+         |    + 1 AS cell
+         |FROM $tbl e CROSS JOIN ($cents) c
+         |GROUP BY e.vec_id, e.embedding""".stripMargin
+    val dropped =
+      s"""SELECT /*+ MERGE(b) */ DISTINCT b.cell AS cell, b.vec_id AS vec_id
+         |FROM ($assign) a JOIN ($assign) b
+         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  AND cosine_sim(a.embedding, b.embedding) > CAST('$tau' AS DOUBLE)"""
+        .stripMargin
+    s"""SELECT /*+ MERGE(d) */ a.cell AS cell, count(*) AS n_vecs,
+       |  sum(CASE WHEN d.vec_id IS NOT NULL THEN 1L ELSE 0L END)
+       |    AS n_dropped,
+       |  coalesce(bit_xor(CASE WHEN d.vec_id IS NOT NULL
+       |    THEN a.vec_id * 1000003 END), 0L) AS dropped_checksum,
+       |  coalesce(bit_xor(CASE WHEN d.vec_id IS NULL THEN a.vec_id END), 0L)
+       |    AS kept_checksum
+       |FROM ($assign) a LEFT JOIN ($dropped) d
+       |  ON a.cell = d.cell AND a.vec_id = d.vec_id
+       |GROUP BY a.cell ORDER BY a.cell ASC""".stripMargin
+  }
+
+  /** [[graft.operators.Sampling.dsirScored]] +
+    * [[graft.operators.Sampling.dsirSelectFrom]] as inlined SQL:
+    * integer-exact hashed-unigram importance scores, then the exact
+    * top-(count DIV budgetDiv) via the bounded score-bucket histogram
+    * (whole buckets above the boundary, a partitioned window INSIDE
+    * the one boundary bucket — never a data-sized global window).
+    * Output: the selected (doc_id, lang, score). */
+  private def dsirSelectSql(tbl: String, lang: String, div: Int): String = {
+    import graft.operators.Sampling.{DsirBuckets, DsirScale, DsirShift, DsirStep}
+    val tk =
+      s"""SELECT doc_id, lang, pmod(md5_prefix60(term), ${DsirBuckets}L) AS b
+         |FROM (SELECT doc_id, lang, explode(split(text, ' ')) AS term
+         |  FROM $tbl) WHERE term != ''""".stripMargin
+    val bs =
+      s"""SELECT b, count(*) AS c_raw,
+         |  sum(CASE WHEN lang = '$lang' THEN 1L ELSE 0L END) AS c_tgt
+         |FROM ($tk) GROUP BY b""".stripMargin
+    val tot =
+      s"""SELECT sum(c_raw) AS t_raw, greatest(sum(c_tgt), 1L) AS t_tgt
+         |FROM ($bs)""".stripMargin
+    val w =
+      s"""SELECT /*+ BROADCAST(t) */ b,
+         |  (c_tgt + 1) * ${DsirScale}L DIV (c_raw + 1)
+         |    - t_tgt * ${DsirScale}L DIV t_raw AS wt
+         |FROM ($bs) CROSS JOIN ($tot) t""".stripMargin
+    // ≤ DsirBuckets rows by construction — always broadcast-safe
+    val ds =
+      s"""SELECT /*+ BROADCAST(w) */ doc_id, max(lang) AS lang,
+         |  sum(wt) AS score,
+         |  (sum(wt) + ${DsirShift}L) DIV ${DsirStep}L AS bkt
+         |FROM ($tk) tk JOIN ($w) w ON tk.b = w.b GROUP BY doc_id"""
+        .stripMargin
+    val bc =
+      s"""SELECT bkt, cnt, coalesce(sum(cnt) OVER (ORDER BY bkt DESC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS above
+         |FROM (SELECT bkt, count(*) AS cnt FROM ($ds) GROUP BY bkt)"""
+        .stripMargin
+    val budget = s"(SELECT count(*) DIV $div FROM $tbl)"
+    s"""SELECT /*+ BROADCAST(c) */ d.doc_id, d.lang, d.score
+       |FROM ($ds) d JOIN ($bc) c ON d.bkt = c.bkt
+       |WHERE c.above + c.cnt <= $budget
+       |UNION ALL
+       |SELECT doc_id, lang, score FROM (
+       |  SELECT /*+ BROADCAST(c) */ d.doc_id, d.lang, d.score, c.above,
+       |    row_number() OVER (PARTITION BY d.bkt
+       |      ORDER BY d.score DESC, d.doc_id ASC) AS rnk
+       |  FROM ($ds) d JOIN ($bc) c ON d.bkt = c.bkt
+       |  WHERE c.above < $budget AND c.above + c.cnt > $budget)
+       |WHERE rnk <= $budget - above""".stripMargin
   }
 
   /** Parse a SQL expression template and splice `arg` where the

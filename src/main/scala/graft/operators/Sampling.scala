@@ -316,7 +316,7 @@ object Sampling {
     * refactored for composition ([[Curate.qCurateFull]] scores its
     * curated survivor set). Checkpointed: the histogram and both
     * selection branches of [[dsirSelectFrom]] consume it. */
-  private[operators] def dsirScored(docs: DataFrame,
+  private[graft] def dsirScored(docs: DataFrame,
       targetLang: String = DsirTargetLang): DataFrame = {
     import docs.sparkSession.implicits._
     import graft.functions.TextFunctions.tokens
@@ -337,7 +337,7 @@ object Sampling {
     * score-bucket histogram finds the boundary bucket; buckets above
     * it are taken whole, only the boundary bucket ranks its own rows
     * (partitioned window, (score desc, doc_id) tie-break). */
-  private[operators] def dsirSelectFrom(ds: DataFrame,
+  private[graft] def dsirSelectFrom(ds: DataFrame,
       budget: Long): DataFrame = {
     import ds.sparkSession.implicits._
     val bh = ds.groupBy($"bkt").agg(count(lit(1)).as("cnt"))

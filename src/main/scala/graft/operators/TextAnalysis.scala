@@ -455,7 +455,7 @@ object TextAnalysis {
     * oracle mirrors byte-for-byte), `was_trimmed`, and `ntok_before`.
     * Scale shape: the pair-span pipeline + ONE doc-grain merge join +
     * a narrow per-row lambda filter — no token-grain join. */
-  private[operators] def trimmedDocsOf(docs: DataFrame): DataFrame = {
+  private[graft] def trimmedDocsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val sp = pairSpansOf(docs)
     val iv = sp.select($"doc_a".as("doc_id"), $"start_a".as("st"),

@@ -693,6 +693,57 @@ object StreamingOps {
       .withColumn("admit", col("cov_e9") < maxCovE9)
   }
 
+  /** WINDOWED SPAN-COVERAGE MONITOR — the dashboard readout over
+    * [[spanAdmit]]'s per-document signal: per event-time window, the
+    * distribution of arriving documents across duplicate-coverage
+    * ratio buckets (cov_e9 div bucketE9, 10%-wide by default) plus
+    * admit counts at the same `maxCovE9` gate — "is incoming data
+    * getting more duplicated, and how much is the gate rejecting".
+    * Two chained stateful aggregations, both keyed by the SAME
+    * event-time window (the multi-stateful-operator shape Structured
+    * Streaming supports in Append mode): doc grain first (state =
+    * open windows × in-flight docs, expired by the watermark — the
+    * spanAdmit state), then bucket grain (state = open windows ×
+    * ≤ 1e9/bucketE9 + 1 buckets, volume-independent — the
+    * [[windowedHistogram]] discipline). Identical integer coverage
+    * arithmetic to the batch span family, so batch/stream parity is
+    * assertable row-for-row: withWatermark is a no-op on a batch
+    * frame, and the coverage histogram is the exact rollup of the
+    * batch q_span_admit per-doc decisions (StreamingSpec asserts both
+    * on real corpus data). */
+  def spanCoverageMonitor(docs: DataFrame, corpusAnchors: DataFrame,
+                          bucketE9: Long = 100000000L,
+                          maxCovE9: Long = 500000000L,
+                          windowLen: String = "1 hour",
+                          watermark: String = "30 minutes"): DataFrame = {
+    import graft.functions.TextFunctions.md5Prefix60
+    val spans = expr(
+      """transform(
+        |  sequence(1, greatest(size(split(text, ' ')) - 7, 1)),
+        |  i -> concat_ws(' ', slice(split(text, ' '), i, 8)))"""
+        .stripMargin)
+    val perDoc = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), explode(spans).as("span"))
+      .select(col("doc_id"), col("ts"), md5Prefix60(col("span")).as("h"))
+      .join(corpusAnchors.select(col("h"), lit(1L).as("in_c")),
+        Seq("h"), "left")
+      .groupBy(window(col("ts"), windowLen), col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("in_c"), lit(0L))).as("n_hit"))
+      .select(col("window"),
+        expr("n_hit * 1000000000 div n_spans").as("cov_e9"))
+    perDoc
+      .groupBy(col("window"),
+        expr(s"cov_e9 div ${bucketE9}L").as("cov_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cov_e9") < maxCovE9, 1L).otherwise(0L))
+          .as("n_admitted"),
+        sum(col("cov_e9")).as("sum_cov_e9"))
+      .select(col("window.start").as("window_start"), col("cov_bucket"),
+        col("n_docs"), col("n_admitted"), col("sum_cov_e9"))
+  }
+
   /** STREAMING DSIR SCORER — importance-score arriving documents
     * against the STANDING [[graft.operators.Sampling.dsirWeights]]
     * table (the model built in batch from the reference corpus —

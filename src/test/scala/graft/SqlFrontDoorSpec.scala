@@ -223,6 +223,57 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     }
   }
 
+  // span_trim TVF: the full trimmedDocsOf pipeline from SQL text —
+  // byte-equal rewritten text for EVERY document vs the library path
+  test("sql: span_trim TVF equals trimmedDocsOf byte-for-byte") {
+    views
+    val tvf = spark.sql(
+      """SELECT doc_id, text, was_trimmed, ntok_before, ntok_after
+        |FROM span_trim('sql_docs')""".stripMargin)
+    val lib = operators.TextAnalysis
+      .trimmedDocsOf(spark.table("sql_docs"))
+      .select($"doc_id", concat_ws(" ", $"kept").as("text"),
+        $"was_trimmed", $"ntok_before",
+        size($"kept").cast("long").as("ntok_after"))
+    assert(rows(tvf) === rows(lib))
+    // the trim is live on this corpus (docs actually get rewritten)
+    assert(tvf.filter($"was_trimmed").limit(1).count() === 1L)
+  }
+
+  // semdedup TVF: relational nearest-centroid assignment + ε-ball
+  // census from SQL text equals the library's fused-expression path
+  test("sql: semdedup TVF equals the library census") {
+    views
+    val tvf = spark.sql(
+      "SELECT * FROM semdedup('sql_emb', '0.45')")
+    val lib = operators.Similarity.qSemDedup(spark, sf)
+    assert(rows(tvf) === rows(lib))
+    assert(rows(tvf).nonEmpty)
+    // tau is live: a lower threshold can only drop MORE vectors
+    val loose = spark.sql(
+      "SELECT sum(n_dropped) AS d FROM semdedup('sql_emb', '0.30')")
+      .head().getLong(0)
+    val strict = tvf.agg(sum($"n_dropped")).head().getLong(0)
+    assert(loose >= strict)
+  }
+
+  // dsir_select TVF: hashed-unigram importance scoring + the bounded-
+  // histogram exact top-k from SQL text equals the library selection
+  test("sql: dsir_select TVF equals dsirScored + dsirSelectFrom") {
+    views
+    val docs = spark.table("sql_docs")
+    val tvf = spark.sql(
+      "SELECT doc_id, lang, score FROM dsir_select('sql_docs', 'en', 10)")
+    val lib = operators.Sampling.dsirSelectFrom(
+      operators.Sampling.dsirScored(
+        docs.select($"doc_id", $"lang", $"text")),
+      docs.count() / 10)
+      .select($"doc_id", $"lang", $"score")
+    assert(rows(tvf) === rows(lib))
+    // the budget is live and exact
+    assert(tvf.count() === docs.count() / 10)
+  }
+
   // 12. an oracle-gated relational query, reproduced from SQL text only
   test("sql: q1 pricing summary from text equals the library query") {
     views

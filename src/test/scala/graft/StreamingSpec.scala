@@ -1176,6 +1176,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed span-coverage monitor matches batch rollup and spanAdmit") {
+    import spark.implicits._
+    import graft.streaming.AdmitDoc
+    import graft.functions.TextFunctions.md5Prefix60
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 120)
+    val spanExpr = "transform(sequence(1, greatest(size(split(text,' '))" +
+      " - 7, 1)), i -> concat_ws(' ', slice(split(text,' '), i, 8)))"
+    val corpus = docs.filter(pmod($"doc_id", lit(10)) =!= 3)
+      .select(explode(expr(spanExpr)).as("span"))
+      .select(md5Prefix60($"span").as("h")).distinct()
+    val batch = docs.filter(pmod($"doc_id", lit(10)) === 3)
+      .as[(Long, String)].collect().toSeq
+    assert(batch.nonEmpty)
+    // spread docs over two event-time windows so the window key is live
+    val asDocs = batch.zipWithIndex.map { case ((id, t), i) =>
+      AdmitDoc(id, ts(if (i % 2 == 0) 1 else 90), t) }
+    // batch expectation 1: the SAME function on a non-streaming frame
+    val want = graft.streaming.StreamingOps
+      .spanCoverageMonitor(asDocs.toDF(), corpus)
+      .as[(java.sql.Timestamp, Long, Long, Long, Long)].collect().toSet
+    // batch expectation 2: the monitor is the exact rollup of the
+    // spanAdmit per-doc decisions — same gate, same buckets
+    val fromAdmit = graft.streaming.StreamingOps
+      .spanAdmit(asDocs.toDF(), corpus)
+      .groupBy(window($"ts", "1 hour"),
+        expr("cov_e9 div 100000000L").as("cov_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"admit".cast("long")).as("n_admitted"),
+        sum($"cov_e9").as("sum_cov_e9"))
+      .select($"window.start", $"cov_bucket", $"n_docs", $"n_admitted",
+        $"sum_cov_e9")
+      .as[(java.sql.Timestamp, Long, Long, Long, Long)].collect().toSet
+    assert(want === fromAdmit)
+
+    val in = MemoryStream[AdmitDoc](spark)
+    val q = graft.streaming.StreamingOps
+      .spanCoverageMonitor(in.toDF(), corpus)
+      .writeStream.format("memory").queryName("spancov")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(asDocs: _*)
+      q.processAllAvailable()
+      // push the watermark far past every window so Append emits all
+      in.addData(AdmitDoc(-1L, ts(24 * 60), "sentinel doc text"))
+      q.processAllAvailable()
+      in.addData(AdmitDoc(-2L, ts(48 * 60), "sentinel doc text two"))
+      q.processAllAvailable()
+      val got = spark.table("spancov")
+        .filter($"window_start" < ts(24 * 60))
+        .as[(java.sql.Timestamp, Long, Long, Long, Long)].collect().toSet
+      assert(got === want)
+      // the histogram is non-vacuous: two windows, all docs accounted
+      assert(got.map(_._1).size === 2)
+      assert(got.toSeq.map(_._3).sum === batch.size.toLong)
+    } finally q.stop()
+  }
+
   test("streaming span admission matches the batch decision row-for-row") {
     import spark.implicits._
     import graft.streaming.AdmitDoc
