@@ -150,7 +150,13 @@ object Curate {
       .transform(Cp.local)
     // stage 4: near-dup affinity on the PRE-trim text (jaccard > 1/2)
     // among trim survivors — clusters adopt the representative's
-    // split; keep the repaired train slice
+    // split; keep the repaired train slice. Routing this build through
+    // Dedup.withSharedPairs was evaluated and REJECTED (round 12): the
+    // shared table's df caps are computed over the RAW corpus, where
+    // exact duplicates inflate shingle df — a shingle rare within c2
+    // could exceed DfCap there and its candidate pairs would be lost.
+    // Stage 4's caps must live in the survivor universe, and the build
+    // runs once over the checkpointed c2 anyway (BASELINE round-12).
     val pr = Dedup.jaccardPairsOf(c2.select($"doc_id", $"text"))
     val surv = c3.select($"doc_id")
     val e4 = pr.filter(lit(3) * $"inter" > $"na" + $"nb")
