@@ -99,6 +99,30 @@ object Events {
         max($"value").as("max_value"))
   }
 
+  /** HOPPING-WINDOW event stats — the sliding dashboard aggregation
+    * (1-hour windows hopping every 15 minutes): each event belongs to
+    * exactly len/slide = 4 windows, emitted by the integer
+    * window-start expansion (ts_us div slide − i)·slide — the same
+    * expansion Spark's window(ts, len, slide) plans, written
+    * explicitly so the grouping key is a plain BIGINT and the oracle
+    * mirrors the arithmetic exactly (no timestamp-type coupling).
+    * Scale: a ×4 row expansion into a map-combined agg keyed by
+    * (window, type) — output bounded by time-range × types, the shape
+    * that survives any event volume. */
+  def qHopping(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val slideUs = 900000000L // 15 min; len = 4 × slide = 1 hour
+    events(s, d)
+      .select($"ts_us", $"event_type", $"user_id", $"value")
+      .withColumn("window_start_us", explode(expr(
+        s"transform(sequence(0, 3), i -> " +
+          s"(ts_us div ${slideUs}L - i) * ${slideUs}L)")))
+      .groupBy($"window_start_us", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"user_id").as("n_users"),
+        dsum($"value").as("sum_value"))
+  }
+
   /** Semi-structured extraction from the JSON `props` column. */
   def qJsonExtract(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1576,6 +1600,7 @@ object Events {
     "q_path_census" -> (qPathCensus _),
     "q_funnel" -> (qFunnel _),
     "q_event_stats" -> (qEventStats _),
+    "q_hopping" -> (qHopping _),
     "q_json_extract" -> (qJsonExtract _),
     "q_json_path" -> (qJsonPath _),
     "q_retention" -> (qRetention _)
@@ -2362,6 +2387,14 @@ object Events {
       s"""SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
          |COUNT(*) AS n, ${sqlSum("value")} AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_hopping" ->
+      s"""SELECT (epoch_us(ts) // 900000000 - i) * 900000000
+         |  AS window_start_us, event_type,
+         |COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+         |${sqlSum("value")} AS sum_value
+         |FROM (SELECT ts, event_type, user_id, value,
+         |  unnest(generate_series(0, 3)) AS i FROM events)
+         |GROUP BY 1, 2""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us,

@@ -504,6 +504,37 @@ object TextAnalysis {
         max($"score").as("max_score"))
   }
 
+  /** DISTINCT-N DIVERSITY CENSUS — the dataset-card repetitiveness
+    * numbers: per source, unique vs total unigrams and bigrams with
+    * the integer ratio_e9 idiom (distinct·10⁹ div total) — type-token
+    * ratio at n=1, distinct-2 at n=2 (low distinct-2 flags templated /
+    * boilerplate-heavy sources a quality gate should downweight).
+    * Two map-combined aggs at gram grain (Spark plans partial
+    * distinct aggregation) joined on the source key — output bounded
+    * by the source census. The 1-token-doc bigram edge follows the
+    * [[qTopNgrams]] greatest(·,1) idiom, mirrored by the oracle's
+    * shared shingleExpr. */
+  def qDistinctNgrams(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val grams2 = transform(
+      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val docs = Tables.documents(s, d)
+    val uni = docs.select($"source", explode(toks).as("g"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_uni"), countDistinct($"g").as("d_uni"))
+    val bi = docs.select($"source", explode(grams2).as("g"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_bi"), countDistinct($"g").as("d_bi"))
+    uni.join(bi, Seq("source"))
+      .select($"source", $"n_uni", $"d_uni",
+        expr("d_uni * 1000000000 div n_uni").as("ttr_e9"),
+        $"n_bi", $"d_bi",
+        expr("d_bi * 1000000000 div n_bi").as("distinct2_e9"))
+      .orderBy($"source".asc)
+  }
+
   def qTopNgrams(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = tokens($"text")
@@ -1774,6 +1805,7 @@ object TextAnalysis {
     "q_lang_id" -> (qLangId _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_top_ngrams" -> (qTopNgrams _),
+    "q_distinct_ngrams" -> (qDistinctNgrams _),
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_dup_span_coverage" -> (qDupSpanCoverage _),
     "q_substring_spans" -> (qSubstringSpans _),
@@ -2354,6 +2386,19 @@ object TextAnalysis {
         |ROUND(CAST(SUM(CAST(ttr AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 9)
         |  AS avg_ttr
         |FROM r GROUP BY source""".stripMargin,
+    "q_distinct_ngrams" ->
+      s"""WITH tok AS (SELECT source, string_split(text,' ') AS t
+         |  FROM documents),
+         |u AS (SELECT source, COUNT(*) AS n_uni,
+         |  COUNT(DISTINCT g) AS d_uni
+         |  FROM (SELECT source, unnest(t) AS g FROM tok) GROUP BY source),
+         |b AS (SELECT source, COUNT(*) AS n_bi, COUNT(DISTINCT g) AS d_bi
+         |  FROM (SELECT source, unnest(${sqlGrams(2)}) AS g FROM tok)
+         |  GROUP BY source)
+         |SELECT u.source AS source, n_uni, d_uni,
+         |  d_uni * 1000000000 // n_uni AS ttr_e9,
+         |  n_bi, d_bi, d_bi * 1000000000 // n_bi AS distinct2_e9
+         |FROM u JOIN b ON u.source = b.source""".stripMargin,
     "q_top_ngrams" ->
       """WITH tok AS (SELECT string_split(text,' ') AS t FROM documents),
         |g AS (SELECT unnest(list_transform(
