@@ -182,12 +182,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
              |LEFT SEMI JOIN (SELECT s FROM ($ds) GROUP BY s
              |  HAVING count(*) <= $cap) rare ON ds.s = rare.s"""
             .stripMargin
-        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(
+        // merge-pin the corpus-grown sides structurally (SQL hint
+        // comments never resolve in late-introduced plans — see
+        // parsePlanHinted): the posting self-join and the df-cap semi
+        // join must never AQE-broadcast at scale.
+        parsePlanHinted(
           s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |  a.n AS na, b.n AS nb, count(*) AS inter
              |FROM ($dsr) a JOIN ($dsr) b
              |  ON a.s = b.s AND a.doc_id < b.doc_id
-             |GROUP BY a.doc_id, b.doc_id, a.n, b.n""".stripMargin)
+             |GROUP BY a.doc_id, b.doc_id, a.n, b.n""".stripMargin,
+          merge = Set("b", "rare"))
       }))
     // SPAN TRIM as a TVF — the most differentiated curation verb from
     // pure SQL: every doc of the named view (doc_id, text) rewritten
@@ -208,7 +213,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "span_trim(table) — table is a string literal naming a view " +
             "with (doc_id, text)")
         val tbl = ident(strArg(args(0), "span_trim table"))
-        parsePlan(spanTrimSql(tbl))
+        parsePlanHinted(spanTrimSql(tbl),
+          merge = Set("b", "d", "iv"))
       }))
     // SEMDEDUP as a TVF: the per-cell census of
     // [[graft.operators.Similarity.qSemDedup]] over any (vec_id,
@@ -229,7 +235,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val tau = strArg(args(1), "semdedup tau")
         require(tau.matches("""[0-9]+(\.[0-9]+)?([eE]-?[0-9]+)?"""),
           s"semdedup tau must be a plain decimal, got $tau")
-        parsePlan(semdedupSql(tbl, tau))
+        parsePlanHinted(semdedupSql(tbl, tau),
+          merge = Set("b", "d"), bcast = Set("c"))
       }))
     // DSIR SELECTION as a TVF: the top-(n DIV budgetDiv) documents of
     // the named (doc_id, lang, text) view by hashed-unigram importance
@@ -250,12 +257,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"dsir_select targetLang must be a plain language tag, got $lang")
         val div = intArg(args(2), "budgetDiv")
         require(div >= 1, s"budgetDiv must be >= 1, got $div")
-        parsePlan(dsirSelectSql(tbl, lang, div))
+        parsePlanHinted(dsirSelectSql(tbl, lang, div),
+          merge = Set.empty, bcast = Set("t", "w", "c"))
       }))
   }
 
   private def parsePlan(sql: String) =
     org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(sql)
+
+  /** Parse TVF SQL and pin join strategies STRUCTURALLY. SQL hint
+    * comments (`/*+ MERGE(x) */`) are useless here: the analyzer's
+    * Hints batch has already run when a TVF plan is introduced
+    * mid-analysis (the CTESubstitution late-introduction class), so
+    * UnresolvedHint never resolves and AQE is free to broadcast a
+    * corpus-grown side — the q_bigram_lm sf10 OOM class, observed live
+    * on the span_trim expansion's anchor self-join. Instead, wrap the
+    * named subquery aliases in ResolvedHint directly (exactly what
+    * ResolveJoinStrategyHints would have produced): merge-pin every
+    * corpus-grown join side, broadcast-pin only vocabulary-/model-
+    * bounded sides. Aliases must be unique within one expansion. */
+  private def parsePlanHinted(sql: String, merge: Set[String],
+      bcast: Set[String] = Set.empty) = {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo, ResolvedHint, SHUFFLE_MERGE, SubqueryAlias}
+    parsePlan(sql).transformUp {
+      case s: SubqueryAlias if merge.contains(s.alias) =>
+        ResolvedHint(s, HintInfo(strategy = Some(SHUFFLE_MERGE)))
+      case s: SubqueryAlias if bcast.contains(s.alias) =>
+        ResolvedHint(s, HintInfo(strategy = Some(BROADCAST)))
+    }
+  }
 
   /** Table args are spliced into SQL text — identifiers only, no
     * expression injection (the dedup_pairs rule). */
@@ -287,11 +317,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
          |  AND count(DISTINCT doc_id) <= $SpanDfCap
          |  AND count(*) <= $SpanOccCap""".stripMargin
     val ha =
-      s"""SELECT /*+ MERGE(d) */ a.doc_id, a.pos, a.h
+      s"""SELECT a.doc_id, a.pos, a.h
          |FROM ($anchors) a LEFT SEMI JOIN ($dup) d ON a.h = d.h"""
         .stripMargin
     val pr =
-      s"""SELECT /*+ MERGE(b) */ a.doc_id AS doc_a, b.doc_id AS doc_b,
+      s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  a.pos AS pa, b.pos AS pb
          |FROM ($ha) a JOIN ($ha) b
          |  ON a.h = b.h AND a.doc_id < b.doc_id""".stripMargin
@@ -314,7 +344,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
          |GROUP BY doc_id""".stripMargin
     s"""SELECT doc_id, concat_ws(' ', kept) AS text, was_trimmed,
        |  ntok_before, CAST(size(kept) AS BIGINT) AS ntok_after
-       |FROM (SELECT /*+ MERGE(iv) */ t.doc_id,
+       |FROM (SELECT t.doc_id,
        |    CASE WHEN iv.ivs IS NULL THEN split(t.text, ' ')
        |      ELSE filter(split(t.text, ' '), (tok, i) ->
        |        NOT exists(iv.ivs, v -> v.st <= i + 1 AND i + 1 <= v.en))
@@ -340,18 +370,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // friendly (no N·√N window shuffle); the centroid side is
     // √N-bounded → broadcast (the bounded-model discipline).
     val assign =
-      s"""SELECT /*+ BROADCAST(c) */ e.vec_id, e.embedding,
+      s"""SELECT e.vec_id, e.embedding,
          |  min(struct(-cosine_sim(e.embedding, c.cv) AS nc, c.cid AS ci)).ci
          |    + 1 AS cell
          |FROM $tbl e CROSS JOIN ($cents) c
          |GROUP BY e.vec_id, e.embedding""".stripMargin
     val dropped =
-      s"""SELECT /*+ MERGE(b) */ DISTINCT b.cell AS cell, b.vec_id AS vec_id
+      s"""SELECT DISTINCT b.cell AS cell, b.vec_id AS vec_id
          |FROM ($assign) a JOIN ($assign) b
          |  ON a.cell = b.cell AND a.vec_id < b.vec_id
          |  AND cosine_sim(a.embedding, b.embedding) > CAST('$tau' AS DOUBLE)"""
         .stripMargin
-    s"""SELECT /*+ MERGE(d) */ a.cell AS cell, count(*) AS n_vecs,
+    s"""SELECT a.cell AS cell, count(*) AS n_vecs,
        |  sum(CASE WHEN d.vec_id IS NOT NULL THEN 1L ELSE 0L END)
        |    AS n_dropped,
        |  coalesce(bit_xor(CASE WHEN d.vec_id IS NOT NULL
@@ -384,13 +414,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"""SELECT sum(c_raw) AS t_raw, greatest(sum(c_tgt), 1L) AS t_tgt
          |FROM ($bs)""".stripMargin
     val w =
-      s"""SELECT /*+ BROADCAST(t) */ b,
+      s"""SELECT b,
          |  (c_tgt + 1) * ${DsirScale}L DIV (c_raw + 1)
          |    - t_tgt * ${DsirScale}L DIV t_raw AS wt
          |FROM ($bs) CROSS JOIN ($tot) t""".stripMargin
     // ≤ DsirBuckets rows by construction — always broadcast-safe
     val ds =
-      s"""SELECT /*+ BROADCAST(w) */ doc_id, max(lang) AS lang,
+      s"""SELECT doc_id, max(lang) AS lang,
          |  sum(wt) AS score,
          |  (sum(wt) + ${DsirShift}L) DIV ${DsirStep}L AS bkt
          |FROM ($tk) tk JOIN ($w) w ON tk.b = w.b GROUP BY doc_id"""
@@ -401,12 +431,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
          |FROM (SELECT bkt, count(*) AS cnt FROM ($ds) GROUP BY bkt)"""
         .stripMargin
     val budget = s"(SELECT count(*) DIV $div FROM $tbl)"
-    s"""SELECT /*+ BROADCAST(c) */ d.doc_id, d.lang, d.score
+    s"""SELECT d.doc_id, d.lang, d.score
        |FROM ($ds) d JOIN ($bc) c ON d.bkt = c.bkt
        |WHERE c.above + c.cnt <= $budget
        |UNION ALL
        |SELECT doc_id, lang, score FROM (
-       |  SELECT /*+ BROADCAST(c) */ d.doc_id, d.lang, d.score, c.above,
+       |  SELECT d.doc_id, d.lang, d.score, c.above,
        |    row_number() OVER (PARTITION BY d.bkt
        |      ORDER BY d.score DESC, d.doc_id ASC) AS rnk
        |  FROM ($ds) d JOIN ($bc) c ON d.bkt = c.bkt

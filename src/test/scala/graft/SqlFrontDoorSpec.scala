@@ -238,6 +238,20 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(rows(tvf) === rows(lib))
     // the trim is live on this corpus (docs actually get rewritten)
     assert(tvf.filter($"was_trimmed").limit(1).count() === 1L)
+    // the late-introduction hint regression class: SQL hint comments
+    // never resolve in TVF plans, so the corpus-grown joins must be
+    // merge-pinned STRUCTURALLY (parsePlanHinted) — no broadcast
+    // anywhere in this expansion (every join side is corpus-grown)
+    assert(!executedContains(tvf, "BroadcastHashJoin"),
+      "span_trim TVF must never broadcast a corpus-grown side")
+  }
+
+  test("sql: dedup_pairs TVF keeps its self-join off the broadcast path") {
+    views
+    val tvf = spark.sql(
+      "SELECT * FROM dedup_pairs('sql_docs', 5, 256)")
+    assert(!executedContains(tvf, "BroadcastHashJoin"),
+      "dedup_pairs TVF must never broadcast a corpus-grown side")
   }
 
   // semdedup TVF: relational nearest-centroid assignment + ε-ball
