@@ -391,6 +391,34 @@ object Dedup {
     Option(sharedPairs.get((s, d)))
       .getOrElse(jaccardPairsOf(Tables.documents(s, d), cappedSizes))
 
+  /** CROSS-SOURCE DUPLICATION CENSUS — the provenance-leakage question
+    * a corpus card must answer: which SOURCES copy from each other?
+    * Near-dup pairs (jaccard > 1/2 under the df cap — the cluster
+    * threshold) roll up per unordered source pair with an integer
+    * jaccard mass and a bit_xor placement proof over the exact pair
+    * set; the diagonal (src_lo = src_hi) is within-source duplication,
+    * off-diagonal cells are syndication/mirroring between feeds.
+    * Scale shape: the shared capped pair pipeline + two doc-grain
+    * merge joins (the source table is corpus-grown — never broadcast);
+    * output is bounded by the source-pair census. */
+  def qCrossSourceDups(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.documents(s, d).select($"doc_id", $"source")
+    jaccardPairs(s, d)
+      .filter(lit(3) * $"inter" > $"na" + $"nb")
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa"))
+        .hint("merge"), Seq("doc_a"))
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb"))
+        .hint("merge"), Seq("doc_b"))
+      .groupBy(least($"sa", $"sb").as("src_lo"),
+        greatest($"sa", $"sb").as("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("inter * 1000000000 div (na + nb - inter)"))
+          .as("sum_jac_e9"),
+        bit_xor(expr("doc_a * 1000003 ^ doc_b")).as("pair_checksum"))
+      .orderBy($"src_lo".asc, $"src_hi".asc)
+  }
+
   /** SUBSET-CONTAINMENT DETECTION — the asymmetric dup relation a
     * symmetric Jaccard threshold misses: doc A is a verbatim subset of
     * a LONGER doc B (truncated copy, quoted-in-full, prefix crawl).
@@ -1496,6 +1524,7 @@ object Dedup {
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_lsh_bucket_stats" -> (qLshBucketStats _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_cross_source_dups" -> (qCrossSourceDups _),
     "q_containment" -> (qContainment _),
     "q_split_leakage" -> (qSplitLeakage _),
     "q_triplets" -> (qTriplets _),
@@ -1966,6 +1995,30 @@ object Dedup {
          |UNION ALL SELECT * FROM ($simStats)
          |UNION ALL SELECT * FROM ($mhStats)""".stripMargin
     },
+    "q_cross_source_dups" ->
+      s"""WITH $tokCte,
+         |sh AS (SELECT doc_id, unnest(${shingleExpr(JaccardN)}) AS s FROM tok),
+         |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
+         |rare AS (SELECT s FROM ds GROUP BY s HAVING COUNT(*) <= $DfCap),
+         |dsr AS (SELECT ds.doc_id, ds.s FROM ds JOIN rare USING (s)),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  COUNT(*) AS inter FROM dsr a JOIN dsr b
+         |  ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |ed AS (SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb
+         |  FROM pr JOIN sz sa ON sa.doc_id = doc_a
+         |  JOIN sz sb ON sb.doc_id = doc_b
+         |  WHERE 3 * inter > sa.n + sb.n),
+         |sr AS (SELECT doc_id, source FROM documents)
+         |SELECT LEAST(s1.source, s2.source) AS src_lo,
+         |  GREATEST(s1.source, s2.source) AS src_hi,
+         |  COUNT(*) AS n_pairs,
+         |  CAST(SUM(inter * 1000000000 // (na + nb - inter)) AS BIGINT)
+         |    AS sum_jac_e9,
+         |  bit_xor(xor(doc_a * 1000003, doc_b)) AS pair_checksum
+         |FROM ed JOIN sr s1 ON s1.doc_id = ed.doc_a
+         |JOIN sr s2 ON s2.doc_id = ed.doc_b
+         |GROUP BY 1, 2""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH $tokCte,
          |sh AS (SELECT doc_id, unnest(${shingleExpr(JaccardN)}) AS s FROM tok),
