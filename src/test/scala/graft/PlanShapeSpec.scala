@@ -58,6 +58,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TopKPerGroup"))
   }
 
+  test("q_cross_source_dups: doc-grain source joins stay merge-pinned") {
+    // the two corpus-grown source joins carry explicit merge hints (the
+    // sf10 driver-OOM class); the pair pipeline's internal self-join is
+    // deliberately left to AQE over checkpoint-accurate stats (the
+    // lowered 8 MB threshold bounds it — jaccardPairsOf scaladoc)
+    val p = executed("q_cross_source_dups")
+    assert(countOf(p, "SortMergeJoin") >= 2,
+      "source joins must not AQE-broadcast")
+  }
+
+  test("q_hopping: map-combined agg, no window, no join") {
+    val p = executed("q_hopping")
+    assert(countOf(p, "HashAggregate") >= 2, "partial+final agg pair")
+    assert(!p.contains("Window [") && !p.contains("Join"),
+      "the hop expansion must stay a narrow map into one agg")
+  }
+
+  test("q_distinct_ngrams: partial distinct aggs, no cartesian") {
+    val p = executed("q_distinct_ngrams")
+    assert(p.contains("count(distinct"), "distinct must aggregate, not dedup-join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_asof_physical: the dedicated exec, exactly two input shuffles") {
     val p = executed("q_asof_physical")
     assert(p.contains("AsofJoin"))
