@@ -45,6 +45,19 @@ object Bench {
       require(unknown.isEmpty, s"BENCH_ONLY names unknown queries: $unknown")
       SparkEntry.queries.view.filterKeys(names).toMap
     }
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def writeFull(): Unit = {
+      // rewritten after EVERY query: a mid-sweep JVM death (the sf30
+      // q_ngram_jaccard OOM, round 12) must not erase the completed
+      // queries' timings — the partial map is the evidence trail
+      val total = acc.map(_._2).filter(_ >= 0).sum
+      val full = acc.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+         s""""queries":$full,"sf":"$sfDir","n_done":${acc.size}}""" + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 to reps).map { rep =>
         val t0 = System.nanoTime()
@@ -60,22 +73,19 @@ object Bench {
       // ContextCleaner only drops on GC, and 127 queries of accumulated
       // blocks tax storage memory for everything downstream (the round-7
       // q_json_path 0.4→3.0 s sweep anomaly). Each query still pays its
-      // OWN checkpoint cost inside its timed reps.
+      // OWN checkpoint cost inside its timed reps. BLOCKING: async
+      // unpersist let multi-GB sf30 checkpoint blocks from prior
+      // queries ride into the next query's heap (round-12 sweep OOM).
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       // a failure anywhere marks the query failed (-1) in the JSON —
       // a broken query must not read as a fast one
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      val r = name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      acc += r
+      writeFull()
+      r
     }
     val total = results.map(_._2).filter(_ >= 0).sum
-    // complete per-query map, full precision, to a file (no size limit)
-    val full = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
-    java.nio.file.Files.write(fullPath,
-      (s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-       s""""queries":$full,"sf":"$sfDir"}""" + "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // bounded line: failures first (must never be hidden), then
     // slowest-first until the budget is reached; emit sorted by name
     val failed = results.filter(_._2 < 0)
