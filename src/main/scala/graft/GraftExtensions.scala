@@ -244,6 +244,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // [[graft.operators.Sampling.dsirSelectFrom]] from SQL text,
     // including the bounded-histogram exact top-k (no data-sized
     // global window). Integer-exact weights via md5_prefix60 + DIV.
+    // NO CHECKPOINT (same caveat as span_trim): the library path
+    // Cp.local-checkpoints dsirScored so the histogram and both
+    // selection branches read ONE materialization, but a TVF plan
+    // cannot checkpoint — the scored-docs subtree (full token explode
+    // + weight join) and the budget count(*) scalar are each inlined
+    // three times, and exchange reuse is not guaranteed after AQE
+    // replanning. SQL callers chaining this into further stages
+    // should CACHE the view (or the TVF result) first.
     ext.injectTableFunction((
       FunctionIdentifier("dsir_select"),
       info("dsir_select"),
@@ -259,6 +267,59 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(div >= 1, s"budgetDiv must be >= 1, got $div")
         parsePlanHinted(dsirSelectSql(tbl, lang, div),
           merge = Set.empty, bcast = Set("t", "w", "c"))
+      }))
+    // CC NEAR-DUP CLUSTERING from SQL text — the verb a parsed-SQL
+    // template cannot express: connectedComponents is an O(log n)
+    // large-star/small-star LOOP with per-round checkpoints, counts
+    // and a size-gated local finish, so this TVF is EAGER — the
+    // builder calls the library path ([[graft.operators.Dedup
+    // .dupClustersOf]]) on the named view DURING ANALYSIS and splices
+    // the resulting (checkpoint-backed) plan into the outer query.
+    // Consequences a SQL caller must know: (a) the contraction rounds'
+    // Spark jobs run when the statement is ANALYZED (sql(...) call),
+    // not when the result is fetched; (b) the result is pinned to the
+    // view's content at analysis time. Args beyond the view name are
+    // literal ints: shingle width n, df cap, and the jaccard threshold
+    // as an integer percentage (50 ⇔ the q_dup_clusters boundary
+    // 3·inter > na+nb, applied in exact integer arithmetic).
+    ext.injectTableFunction((
+      FunctionIdentifier("dup_clusters"),
+      info("dup_clusters"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "dup_clusters(table, shingleN, dfCap, tauPct) — table names " +
+            "a view with (doc_id, text); tauPct is jaccard·100")
+        val tbl = ident(strArg(args(0), "dup_clusters table"))
+        val n = intArg(args(1), "shingleN")
+        val cap = intArg(args(2), "dfCap")
+        val tauPct = intArg(args(3), "tauPct")
+        val s = org.apache.spark.sql.SparkSession.active
+        graft.operators.Dedup
+          .dupClustersOf(s.table(tbl), n = n, dfCap = cap.toLong,
+            tauPct = tauPct)
+          .queryExecution.logical
+      }))
+    // THE FULL CURATION COMPOSITION from SQL text — q_curate_full
+    // (length gate → exact dedup → span trim → leakage-repaired train
+    // split → DSIR selection, with the six-stage census) over any
+    // (doc_id, source, lang, text) view. EAGER for the same reason as
+    // dup_clusters: stage 4 runs the CC loop and stage 5 needs the
+    // survivor count for its budget — jobs run at ANALYSIS time and
+    // the result is pinned to the view's content then. With span_trim
+    // + dedup_pairs + semdedup + dsir_select this closes the SQL
+    // story: every curation verb AND the end-to-end composition are
+    // reachable from pure SQL text.
+    ext.injectTableFunction((
+      FunctionIdentifier("curate"),
+      info("curate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "curate(table) — table names a view with " +
+            "(doc_id, source, lang, text)")
+        val tbl = ident(strArg(args(0), "curate table"))
+        val s = org.apache.spark.sql.SparkSession.active
+        graft.operators.Curate.curateFullOf(s.table(tbl))
+          .queryExecution.logical
       }))
   }
 
@@ -358,23 +419,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   /** The [[graft.operators.Similarity.qSemDedup]] census as
     * inlined-derived-table SQL. Cells scale-parameterized at
     * max(16, ⌈√N⌉) via a scalar subquery (engine-identical: IEEE sqrt
-    * of an exact integer is correctly rounded). */
+    * of an exact integer is correctly rounded). Cell labels are the
+    * DENSE ORDINAL (row_number over vec_id order) of the centroid,
+    * not vec_id+1, and an all-NaN cosine row (zero vector) labels as
+    * cell 0 — both exactly mirroring the library's NearestCentroid
+    * scan (1-based position in the vec_id-sorted collected array,
+    * `best` never updated from 0 when every comparison is NaN), so
+    * the bit-equal-to-library contract holds on arbitrary user views
+    * with gaps in vec_id, not just this repo's contiguous ids. */
   private def semdedupSql(tbl: String, tau: String): String = {
     val cells =
       s"""(SELECT greatest(${graft.operators.Similarity.Cells}L,
          |  CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM $tbl)""".stripMargin
+    // bounded window: row_number runs over the √N-bounded centroid
+    // set only (the model side), never the corpus
     val cents =
-      s"SELECT vec_id AS cid, embedding AS cv FROM $tbl WHERE vec_id < $cells"
-    // argmax cosine, ties → lowest cid: min(struct(-cos, cid)) — double
-    // negation is exact, struct compare is lexicographic. Partial-agg
+      s"""SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS ci,
+         |  embedding AS cv FROM $tbl WHERE vec_id < $cells""".stripMargin
+    // argmax cosine, ties → lowest ordinal: min(struct(-cos, ci)) —
+    // double negation is exact, struct compare is lexicographic, and
+    // Spark orders NaN above every double so NaN cosines lose to any
+    // real one (= the library's `cos > bestCos` skip). Partial-agg
     // friendly (no N·√N window shuffle); the centroid side is
     // √N-bounded → broadcast (the bounded-model discipline).
     val assign =
-      s"""SELECT e.vec_id, e.embedding,
-         |  min(struct(-cosine_sim(e.embedding, c.cv) AS nc, c.cid AS ci)).ci
-         |    + 1 AS cell
-         |FROM $tbl e CROSS JOIN ($cents) c
-         |GROUP BY e.vec_id, e.embedding""".stripMargin
+      s"""SELECT vec_id, embedding,
+         |  CASE WHEN isnan(ms.nc) THEN 0L ELSE ms.ci END AS cell
+         |FROM (SELECT e.vec_id, e.embedding,
+         |    min(struct(-cosine_sim(e.embedding, c.cv) AS nc, c.ci AS ci))
+         |      AS ms
+         |  FROM $tbl e CROSS JOIN ($cents) c
+         |  GROUP BY e.vec_id, e.embedding)""".stripMargin
     val dropped =
       s"""SELECT DISTINCT b.cell AS cell, b.vec_id AS vec_id
          |FROM ($assign) a JOIN ($assign) b

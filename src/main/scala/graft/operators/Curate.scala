@@ -112,7 +112,15 @@ object Curate {
     * DuckDB mirror is gate-SF-only (the stage-4 recursive-CC reach —
     * the q_dup_clusters family rule); the ENGINE runs at every SF and
     * is covered by the bench ladder. */
-  def qCurateFull(s: SparkSession, d: String): DataFrame = {
+  def qCurateFull(s: SparkSession, d: String): DataFrame =
+    curateFullOf(Tables.documents(s, d))
+
+  /** [[qCurateFull]] over an arbitrary (doc_id, source, lang, text)
+    * frame — the library entry behind the eager `curate` SQL TVF.
+    * EAGER: stage checkpoints and the DSIR budget count run Spark
+    * jobs when this is CALLED, not when the result is acted on. */
+  def curateFullOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     import graft.functions.Cp
     import org.apache.spark.sql.Column
@@ -128,7 +136,7 @@ object Curate {
       val b = pmod(md5Prefix60(id.cast("string")), lit(100L))
       when(b < 80, "train").when(b < 90, "val").otherwise("test")
     }
-    val c0 = Tables.documents(s, d)
+    val c0 = docs
       .select($"doc_id", $"source", $"lang", $"text",
         size(tokens($"text")).cast("long").as("ntok"))
     // stage 1: length gate (read by census + fingerprint window)

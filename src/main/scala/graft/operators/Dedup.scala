@@ -303,18 +303,20 @@ object Dedup {
     * df-capped table is checkpointed too, saving the second df-agg +
     * semi-join pass the self-join would otherwise duplicate. */
   private[graft] def jaccardPairsOf(docs: DataFrame,
-                                    cappedSizes: Boolean = false): DataFrame = {
+                                    cappedSizes: Boolean = false,
+                                    n: Int = JaccardN,
+                                    dfCap: Long = DfCap): DataFrame = {
     import docs.sparkSession.implicits._
     val ds = docs
       .select($"doc_id",
-        array_distinct(MinHash.shingleHash60(tokens($"text"), JaccardN)).as("shs"))
+        array_distinct(MinHash.shingleHash60(tokens($"text"), n)).as("shs"))
       .select($"doc_id", size($"shs").cast("long").as("n"), explode($"shs").as("s"))
       .transform(graft.functions.Cp.local)
     // document frequency per shingle hash; ds is distinct per (doc, s)
     // so count(*) IS the df. The semi-join shuffles on the same key as
     // the aggregation, so no extra partitioning is introduced.
     val rare = ds.groupBy($"s").agg(count(lit(1)).as("df"))
-      .filter($"df" <= DfCap).select($"s")
+      .filter($"df" <= dfCap).select($"s")
     // rare is shingle-grain (corpus-grown): never an AQE broadcast
     val dsr = ds.join(rare.hint("merge"), Seq("s"), "left_semi")
       .transform(graft.functions.Cp.local)
@@ -679,15 +681,35 @@ object Dedup {
     * edges; components give one canonical (min) doc per cluster.
     * The threshold is the integer form `3·inter > na+nb` (⇔ jaccard
     * > 0.5), so the boundary is engine-exact. */
-  def qDupClusters(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val edges = jaccardPairs(s, d)
-      .filter(lit(3) * $"inter" > $"na" + $"nb")
+  def qDupClusters(s: SparkSession, d: String): DataFrame =
+    clusterCensusOf(jaccardPairs(s, d))
+
+  /** Pair table → cluster census: jaccard > tauPct/100 in exact
+    * integer form ((100+tauPct)·inter > tauPct·(na+nb) — at the
+    * default tauPct=50 this is literally 3·inter > na+nb after
+    * dividing by 50, so the q_dup_clusters oracle boundary is
+    * unchanged), CC labels, per-cluster (n_docs, max_doc). Shared by
+    * [[qDupClusters]] and the eager `dup_clusters` SQL TVF so the
+    * two paths cannot drift. */
+  private[graft] def clusterCensusOf(pairs: DataFrame,
+                                     tauPct: Int = 50): DataFrame = {
+    import pairs.sparkSession.implicits._
+    require(tauPct >= 1 && tauPct <= 99, s"tauPct must be 1..99, got $tauPct")
+    val edges = pairs
+      .filter(lit(100L + tauPct) * $"inter" >
+        lit(tauPct.toLong) * ($"na" + $"nb"))
       .select($"doc_a", $"doc_b")
     connectedComponents(edges)
       .groupBy($"label")
       .agg(count(lit(1)).as("n_docs"), max($"id").as("max_doc"))
   }
+
+  /** [[qDupClusters]] over an arbitrary (doc_id, text) frame with
+    * caller-chosen shingle width, df cap and threshold — the library
+    * entry behind the `dup_clusters` SQL TVF. */
+  def dupClustersOf(docs: DataFrame, n: Int = JaccardN,
+                    dfCap: Long = DfCap, tauPct: Int = 50): DataFrame =
+    clusterCensusOf(jaccardPairsOf(docs, n = n, dfCap = dfCap), tauPct)
 
   /** Exact-truth slice bound for [[qSimhashRecall]] — the N² Hamming
     * ground truth only ever runs on this fixed slice (qEmbedNearDup

@@ -437,6 +437,17 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
     val semCells = math.max(Cells,
       math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    // Driver-memory bound of the model collect: √N · Dims · 4 B. At
+    // 10⁹ docs that is ~32k × 256 B ≈ 8 MB — negligible; it grows as
+    // √N and only approaches driver scale around ~10¹² docs (√N ≈ 1M
+    // centroids ≈ 256 MB at Dims=64). Guard loudly rather than OOM
+    // quietly: past the cap, shard the centroid set (hierarchical /
+    // two-level IVF) instead of collecting it.
+    require(semCells.toLong * Dims * 4L <= (1L << 28),
+      s"qSemDedup centroid model ($semCells cells × $Dims floats = " +
+        s"${semCells.toLong * Dims * 4L} B) exceeds the 256 MB driver " +
+        "collect bound — corpus is past ~10^12 docs; use a two-level " +
+        "(sharded) centroid assignment instead of a driver collect")
     val centroids: Array[Array[Float]] = emb.filter($"vec_id" < semCells)
       .orderBy($"vec_id").select($"embedding").collect()
       .map(_.getSeq[Float](0).toArray)

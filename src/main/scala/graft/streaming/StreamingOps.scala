@@ -701,16 +701,19 @@ object StreamingOps {
     * getting more duplicated, and how much is the gate rejecting".
     * Two chained stateful aggregations, both keyed by the SAME
     * event-time window (the multi-stateful-operator shape Structured
-    * Streaming supports in Append mode): doc grain first (state =
-    * open windows × in-flight docs, expired by the watermark — the
-    * spanAdmit state), then bucket grain (state = open windows ×
-    * ≤ 1e9/bucketE9 + 1 buckets, volume-independent — the
-    * [[windowedHistogram]] discipline). Identical integer coverage
-    * arithmetic to the batch span family, so batch/stream parity is
-    * assertable row-for-row: withWatermark is a no-op on a batch
-    * frame, and the coverage histogram is the exact rollup of the
-    * batch q_span_admit per-doc decisions (StreamingSpec asserts both
-    * on real corpus data). */
+    * Streaming supports in Append mode): (doc, ts) grain first —
+    * keyed (window, doc_id, ts) to mirror [[spanAdmit]]'s (doc_id,
+    * ts) state key exactly, so a doc_id re-delivered at two
+    * timestamps inside one window stays two admission decisions
+    * rather than one pooled coverage row (state = open windows ×
+    * in-flight docs, expired by the watermark) — then bucket grain
+    * (state = open windows × ≤ 1e9/bucketE9 + 1 buckets,
+    * volume-independent — the [[windowedHistogram]] discipline).
+    * Identical integer coverage arithmetic to the batch span family,
+    * so batch/stream parity is assertable row-for-row: withWatermark
+    * is a no-op on a batch frame, and the coverage histogram is the
+    * exact rollup of the [[spanAdmit]] per-(doc, ts) decisions
+    * (StreamingSpec asserts both on real corpus data). */
   def spanCoverageMonitor(docs: DataFrame, corpusAnchors: DataFrame,
                           bucketE9: Long = 100000000L,
                           maxCovE9: Long = 500000000L,
@@ -728,7 +731,13 @@ object StreamingOps {
       .select(col("doc_id"), col("ts"), md5Prefix60(col("span")).as("h"))
       .join(corpusAnchors.select(col("h"), lit(1L).as("in_c")),
         Seq("h"), "left")
-      .groupBy(window(col("ts"), windowLen), col("doc_id"))
+      // the (doc, ts) grain mirrors spanAdmit's state key; ts enters
+      // the key as a METADATA-FREE long copy — keeping the watermarked
+      // column itself in the grouping output would hand the downstream
+      // stateful agg two event-time columns (window + ts), which
+      // Structured Streaming rejects
+      .groupBy(window(col("ts"), windowLen), col("doc_id"),
+        col("ts").cast("long").as("ts_key"))
       .agg(count(lit(1)).as("n_spans"),
         sum(coalesce(col("in_c"), lit(0L))).as("n_hit"))
       .select(col("window"),

@@ -288,6 +288,34 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(tvf.count() === docs.count() / 10)
   }
 
+  // dup_clusters TVF (EAGER: the CC loop runs at analysis time):
+  // default params reproduce the oracle-gated q_dup_clusters census
+  test("sql: dup_clusters TVF equals the library CC census") {
+    views
+    val tvf = spark.sql(
+      "SELECT * FROM dup_clusters('sql_docs', 5, 256, 50)")
+    val lib = operators.Dedup.qDupClusters(spark, sf)
+    assert(rows(tvf) === rows(lib))
+    assert(rows(tvf).nonEmpty)
+    // the threshold is live: a looser tau admits more edges, so the
+    // clustered-node universe can only grow
+    val loose = spark.sql(
+      "SELECT sum(n_docs) AS n FROM dup_clusters('sql_docs', 5, 256, 30)")
+      .head().getLong(0)
+    val strict = tvf.agg(sum($"n_docs")).head().getLong(0)
+    assert(loose >= strict)
+  }
+
+  // curate TVF (EAGER): the full six-stage composition from SQL text
+  // equals the oracle-gated q_curate_full census bit-for-bit
+  test("sql: curate TVF equals the full curation composition") {
+    views
+    val tvf = spark.sql("SELECT * FROM curate('sql_docs')")
+    val lib = operators.Curate.qCurateFull(spark, sf)
+    assert(rows(tvf) === rows(lib))
+    assert(tvf.count() === 6)
+  }
+
   // 12. an oracle-gated relational query, reproduced from SQL text only
   test("sql: q1 pricing summary from text equals the library query") {
     views
