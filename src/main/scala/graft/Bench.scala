@@ -33,9 +33,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.getOrCreate("graft-bench")
+    var spark = GraftSession.getOrCreate("graft-bench")
     // session warmup: JIT/codegen + parquet footers for every table
-    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    def warm(s: org.apache.spark.sql.SparkSession): Unit =
+      SparkEntry.entry(s).write.format("noop").mode("overwrite").save()
+    warm(spark)
     // SPARK_GRAFT_BENCH_REPS reports the min of N timed runs. Default
     // is 2: reps=1 numbers on a shared host carry ±40% fixed-overhead
     // variance on sub-2 s queries (round-9 lesson — the regression scan
@@ -66,15 +68,34 @@ object Bench {
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 to reps).map { rep =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name: $e"); -1.0
-        }
-      }.drop(1) // rep 0 is the per-query warmup, never reported
+      def runOnce(): Double = {
+        val times = (0 to reps).map { rep =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name: $e"); -1.0
+          }
+        }.drop(1) // rep 0 is the per-query warmup, never reported
+        if (times.contains(-1.0)) -1.0 else times.min
+      }
+      var v = runOnce()
+      // In local mode a single task-level OutOfMemoryError STOPS the
+      // whole SparkContext (SparkUncaughtExceptionHandler), and every
+      // later query then fails with "stopped SparkContext" — 45
+      // poisoned -1 entries in the round-12 sf30 sweep. A real driver
+      // restarts the app; mirror that: recreate the session, re-warm,
+      // and retry THIS query once on the fresh JVM state. A query that
+      // fails again on a clean session is genuinely broken (-1); a
+      // query that only died of a predecessor's corpse is not.
+      if (v == -1.0 && spark.sparkContext.isStopped) {
+        System.err.println(
+          s"[bench] $name: context stopped — new session, one retry")
+        spark = GraftSession.getOrCreate("graft-bench")
+        warm(spark)
+        v = runOnce()
+      }
       // free localCheckpoint blocks between queries (outside the timed
       // region): the dedup family pins checkpointed RDDs that the
       // ContextCleaner only drops on GC, and 127 queries of accumulated
@@ -83,11 +104,15 @@ object Bench {
       // OWN checkpoint cost inside its timed reps. BLOCKING: async
       // unpersist let multi-GB sf30 checkpoint blocks from prior
       // queries ride into the next query's heap (round-12 sweep OOM).
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      // a failure anywhere marks the query failed (-1) in the JSON —
-      // a broken query must not read as a fast one
-      val r = name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      if (!spark.sparkContext.isStopped)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      // broadcast hash relations (one per broadcast join, ~150 queries
+      // of them) are reaped by the ContextCleaner only after a DRIVER
+      // GC notices the weak refs; nudge it so they don't squat in
+      // storage memory for the rest of the sweep (outside timed region)
+      System.gc()
+      val r = name -> v
       acc += r
       writeFull()
       r

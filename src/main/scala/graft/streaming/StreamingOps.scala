@@ -660,6 +660,18 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("pair"),
         col("cnt"))
 
+  /** The 8-token sliding anchor spans of `text` — ONE definition for
+    * every streaming member of the span family ([[spanAdmit]],
+    * [[spanCoverageMonitor]], [[admitAndScore]]): the window width
+    * and the ≥1-span floor on short docs must match the batch
+    * q_span_admit anchors exactly, or batch/stream parity silently
+    * degrades to "similar". */
+  private val anchorSpans8 = expr(
+    """transform(
+      |  sequence(1, greatest(size(split(text, ' ')) - 7, 1)),
+      |  i -> concat_ws(' ', slice(split(text, ' '), i, 8)))"""
+      .stripMargin)
+
   /** STREAMING SPAN-ADMISSION — [[graft.operators.TextAnalysis]]'s
     * q_span_admit decision applied at INGEST time: each arriving
     * document's 8-token anchor hashes probe the standing corpus
@@ -674,11 +686,7 @@ object StreamingOps {
                 maxCovE9: Long = 500000000L,
                 watermark: String = "30 minutes"): DataFrame = {
     import graft.functions.TextFunctions.md5Prefix60
-    val spans = expr(
-      """transform(
-        |  sequence(1, greatest(size(split(text, ' ')) - 7, 1)),
-        |  i -> concat_ws(' ', slice(split(text, ' '), i, 8)))"""
-        .stripMargin)
+    val spans = anchorSpans8
     docs
       .withWatermark("ts", watermark)
       .select(col("doc_id"), col("ts"), explode(spans).as("span"))
@@ -720,11 +728,7 @@ object StreamingOps {
                           windowLen: String = "1 hour",
                           watermark: String = "30 minutes"): DataFrame = {
     import graft.functions.TextFunctions.md5Prefix60
-    val spans = expr(
-      """transform(
-        |  sequence(1, greatest(size(split(text, ' ')) - 7, 1)),
-        |  i -> concat_ws(' ', slice(split(text, ' '), i, 8)))"""
-        .stripMargin)
+    val spans = anchorSpans8
     val perDoc = docs
       .withWatermark("ts", watermark)
       .select(col("doc_id"), col("ts"), explode(spans).as("span"))
@@ -784,6 +788,111 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_tokens"),
         sum(coalesce(col("wt"), lit(0L))).as("score"))
       .withColumn("keep", col("score") >= minScore)
+
+  /** UNIFIED INGEST GATE — [[spanAdmit]]'s duplicate-coverage
+    * admission AND [[dsirScore]]'s importance scoring computed in ONE
+    * stateful aggregation (one state entry per in-flight (doc, ts)
+    * instead of two parallel queries): span-anchor probes against the
+    * standing corpus hash set and hashed-unigram probes against the
+    * broadcast ≤256-row weight table are unioned into a single
+    * per-(doc, ts) frame tagged by probe kind, each row joined
+    * against ITS lookup side before the union (the corpus-grown
+    * anchor set stays off the broadcast path; the bounded weight
+    * table rides one), then aggregated once under the watermark.
+    * Emits (doc_id, ts, n_spans, n_hit, cov_e9, admit, n_tokens,
+    * score, keep) with bit-identical integer arithmetic to both
+    * parents — StreamingSpec asserts row-for-row equality against
+    * spanAdmit ⋈ dsirScore on the same data, in batch AND stream
+    * mode. */
+  def admitAndScore(docs: DataFrame, corpusAnchors: DataFrame,
+                    weights: DataFrame,
+                    maxCovE9: Long = 500000000L,
+                    minScore: Long = 0L,
+                    watermark: String = "30 minutes"): DataFrame = {
+    import graft.functions.TextFunctions.md5Prefix60
+    val spans = anchorSpans8
+    val wm = docs.withWatermark("ts", watermark)
+    val sp = wm
+      .select(col("doc_id"), col("ts"), explode(spans).as("span"))
+      .select(col("doc_id"), col("ts"), md5Prefix60(col("span")).as("h"))
+      .join(corpusAnchors.select(col("h"), lit(1L).as("v")),
+        Seq("h"), "left")
+      .select(col("doc_id"), col("ts"), lit(0L).as("kind"),
+        coalesce(col("v"), lit(0L)).as("v"))
+    val tk = wm
+      .select(col("doc_id"), col("ts"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("term"))
+      .filter(col("term") =!= "")
+      .select(col("doc_id"), col("ts"),
+        graft.operators.Sampling.dsirBucket(col("term")).as("b"))
+      .join(broadcast(weights), Seq("b"), "left")
+      .select(col("doc_id"), col("ts"), lit(1L).as("kind"),
+        coalesce(col("wt"), lit(0L)).as("v"))
+    sp.union(tk)
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(
+        sum(when(col("kind") === 0L, 1L).otherwise(0L)).as("n_spans"),
+        sum(when(col("kind") === 0L, col("v")).otherwise(0L)).as("n_hit"),
+        sum(when(col("kind") === 1L, 1L).otherwise(0L)).as("n_tokens"),
+        sum(when(col("kind") === 1L, col("v")).otherwise(0L)).as("score"))
+      .select(col("doc_id"), col("ts"), col("n_spans"), col("n_hit"),
+        expr("n_hit * 1000000000 div n_spans").as("cov_e9"),
+        col("n_tokens"), col("score"))
+      .withColumn("admit", col("cov_e9") < maxCovE9)
+      .withColumn("keep", col("score") >= minScore)
+  }
+
+  /** STREAMING CURATION END-TO-END — the ingest-to-packed-table
+    * pipeline a production trainer runs continuously, composed from
+    * the library's own parity-asserted pieces:
+    *
+    *   arriving docs → [[admitAndScore]] (duplicate-coverage
+    *   admission at `maxCovE9` + DSIR importance at `minScore`, one
+    *   stateful agg) → survivors land in a parquet STAGING area (the
+    *   in-repo stand-in for the Kafka topic between pipeline stages)
+    *   → [[packDocs]] assigns context-window bins incrementally
+    *   (per-shard running token count in the state store) →
+    *   [[graft.sources.ManifestTable]] upsert: an ATOMIC snapshot
+    *   table of packed placements, exactly-once under crash/replay.
+    *
+    * Two chained streaming queries, not one: a
+    * flatMapGroupsWithState packer cannot legally follow a streaming
+    * aggregation in the same query plan, and the staged handoff is
+    * the shape that scales anyway (each stage restarts/rescales
+    * independently; the staging dir is replayable history). Returns
+    * (gateQuery, packQuery) — caller awaits/stops both.
+    * StreamingSpec runs the chain on corpus data and asserts the
+    * manifest equals the batch composition (same gate in batch mode
+    * + cumulative pack) with exactly-once manifest state under
+    * replay. */
+  def curateIngest(docs: DataFrame, corpusAnchors: DataFrame,
+                   weights: DataFrame, stagingDir: String,
+                   manifestPath: String, checkpointRoot: String,
+                   maxCovE9: Long = 500000000L, minScore: Long = 0L,
+                   budget: Long = 512L, shards: Int = 8,
+                   watermark: String = "30 minutes") = {
+    import graft.functions.TextFunctions.md5Prefix60
+    val s = docs.sparkSession
+    val gate = admitAndScore(docs, corpusAnchors, weights,
+      maxCovE9, minScore, watermark)
+      .filter(col("admit") && col("keep"))
+      .select(col("doc_id").as("docId"),
+        md5Prefix60(col("doc_id").cast("string")).as("h"),
+        col("n_tokens").as("nTok"))
+      .writeStream.format("parquet")
+      .option("path", stagingDir)
+      .option("checkpointLocation", s"$checkpointRoot/gate")
+      .outputMode(OutputMode.Append).start()
+    val staged = s.readStream
+      .schema("docId BIGINT, h BIGINT, nTok BIGINT")
+      .parquet(stagingDir)
+      .as[PackDoc](Encoders.product[PackDoc])
+    val pack = packToManifest(staged, manifestPath, budget, shards)
+      .option("checkpointLocation", s"$checkpointRoot/pack")
+      .start()
+    (gate, pack)
+  }
 
   /** Windowed value HISTOGRAM over fixed integer buckets — the
     * bounded-state streaming quantile primitive. State is one count

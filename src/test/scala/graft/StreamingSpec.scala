@@ -1279,4 +1279,87 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming curation end-to-end: gate → pack → manifest equals batch") {
+    import spark.implicits._
+    import graft.streaming.{AdmitDoc, PackOut}
+    import graft.functions.TextFunctions.md5Prefix60
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang", $"text").filter($"doc_id" < 80)
+    val spanExpr = "transform(sequence(1, greatest(size(split(text,' '))" +
+      " - 7, 1)), i -> concat_ws(' ', slice(split(text,' '), i, 8)))"
+    val standing = docs.filter(pmod($"doc_id", lit(10)) =!= 3)
+    val corpus = standing.select(explode(expr(spanExpr)).as("span"))
+      .select(md5Prefix60($"span").as("h")).distinct()
+    val weights = graft.operators.Sampling.dsirWeights(standing)
+    val incoming = docs.filter(pmod($"doc_id", lit(10)) === 3)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    assert(incoming.nonEmpty)
+    val asDocs = incoming.zipWithIndex
+      .map { case ((id, t), i) => AdmitDoc(id, ts(i + 1), t) }
+    // minScore at the batch median so `keep` discriminates
+    val allScores = StreamingOps.dsirScore(asDocs.toDF(), weights)
+      .select($"score").as[Long].collect().sorted
+    val minScore = allScores(allScores.length / 2)
+    val (budget, shards) = (50L, 2)
+
+    // the unified gate IS spanAdmit ⋈ dsirScore (batch mode, one pass)
+    val gateB = StreamingOps.admitAndScore(asDocs.toDF(), corpus, weights,
+      minScore = minScore)
+    val parent = StreamingOps.spanAdmit(asDocs.toDF(), corpus)
+      .join(StreamingOps.dsirScore(asDocs.toDF(), weights,
+        minScore = minScore), Seq("doc_id", "ts"))
+      .select($"doc_id", $"n_spans", $"n_hit", $"cov_e9", $"admit",
+        $"n_tokens", $"score", $"keep")
+    assert(gateB.select($"doc_id", $"n_spans", $"n_hit", $"cov_e9",
+        $"admit", $"n_tokens", $"score", $"keep")
+      .collect().map(_.toString).sorted.toSeq ===
+      parent.collect().map(_.toString).sorted.toSeq)
+
+    // batch twin of the FULL chain: survivors → (h, docId)-sorted
+    // cumulative pack per shard, same arithmetic as packDocs
+    val surv = gateB.filter($"admit" && $"keep")
+      .select($"doc_id", md5Prefix60($"doc_id".cast("string")).as("h"),
+        $"n_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(surv.nonEmpty && surv.size < incoming.size,
+      "gate must discriminate for the parity to be non-vacuous")
+    val want = surv.groupBy(t => ((t._2 % shards) + shards) % shards)
+      .flatMap { case (shard, ds) =>
+        var cum = 0L
+        ds.sortBy(d => (d._2, d._1)).map { d =>
+          cum += d._3
+          d._1 -> PackOut(d._1, shard, (cum - d._3) / budget,
+            (cum - 1) / budget)
+        }
+      }
+
+    val base = java.nio.file.Files.createTempDirectory("cur8")
+      .toFile.getAbsolutePath
+    val in = MemoryStream[AdmitDoc](spark)
+    val (gq, pq) = StreamingOps.curateIngest(in.toDF(), corpus, weights,
+      s"$base/staging", s"$base/table", s"$base/ck",
+      minScore = minScore, budget = budget, shards = shards)
+    try {
+      in.addData(asDocs: _*)
+      gq.processAllAvailable()
+      // watermark push: a STANDING doc's text is fully covered by the
+      // corpus → admit=false, so the sentinel never reaches staging
+      in.addData(AdmitDoc(-1L, ts(24 * 60),
+        standing.select($"text").head.getString(0)))
+      gq.processAllAvailable()
+      pq.processAllAvailable()
+      def state() = graft.sources.ManifestTable
+        .read(spark, s"$base/table")
+        .as[PackOut].collect().map(p => p.docId -> p).toMap
+      val got = state()
+      assert(got === want)
+      // exactly-once under at-least-once replay: re-merging the same
+      // deterministic rows is a content no-op
+      graft.sources.ManifestTable.merge(spark, s"$base/table",
+        got.values.toSeq.toDF(), "docId")
+      assert(state() === got)
+    } finally { gq.stop(); pq.stop() }
+  }
 }
