@@ -55,6 +55,43 @@ object Cp {
     ds.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
   }
 
+  /** Checkpoint MATERIALIZED AND DECLARED clustered by `cols`.
+    *
+    * [[local]] forgets the physical layout (under AQE the captured
+    * outputPartitioning is Unknown), so a table materialized
+    * partitioned-by-key still gets re-shuffled by every downstream
+    * join/agg on that key. This variant repartitions to exactly
+    * `nPart` hash partitions on `cols` (REPARTITION_BY_NUM — AQE
+    * never coalesces it, so the layout is provably
+    * pmod(murmur3(cols), nPart)), checkpoints, and re-declares the
+    * partitioning on the checkpointed frame — downstream same-key
+    * aggregations and co-partitioned joins (including self-joins;
+    * attribute remapping survives dedup) then plan with ZERO
+    * exchanges. The posting-table pipelines are the target: build
+    * shuffled once, consumed shuffle-free three times. */
+  def localClustered(df: org.apache.spark.sql.DataFrame, nPart: Int,
+                     cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    org.apache.spark.sql.graft.Bridge.claimClustered(
+      local(df.repartition(nPart, cols.map(col): _*)), nPart, cols)
+  }
+
+  /** Checkpoint a frame whose CLUSTERED (and optionally per-partition
+    * SORTED) layout is inherited from upstream, and re-declare it.
+    * For frames derived from a [[localClustered]] ancestor through
+    * partition-preserving operators only — filters, projections, and
+    * merge/broadcast joins or hash-aggs keyed on the same `cols`
+    * (a merge join additionally leaves its streamed side ascending on
+    * the key: pass `sorted = true` and the next merge self-join skips
+    * its sorts too). The layout claim is the CALLER's proof burden —
+    * see [[org.apache.spark.sql.graft.Bridge.claimClustered]]; every
+    * call site stays behind the DuckDB oracle gate. */
+  def localClusteredAs(df: org.apache.spark.sql.DataFrame, nPart: Int,
+                       cols: Seq[String],
+                       sorted: Boolean = false): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graft.Bridge.claimClustered(
+      local(df), nPart, cols, sorted)
+
   /** Iterative-round checkpoint hygiene: drop a DEAD generation's
     * localCheckpoint blocks by RDD id. Eager localCheckpoints truncate
     * lineage, so dropped blocks are unrecoverable — callers must only

@@ -145,11 +145,22 @@ object Dedup {
     val w = Window.partitionBy($"band", $"bucket")
     // materialized once: both self-join sides would otherwise re-run
     // the whole signature pass (shingle md5 + K minhash lanes + band
-    // window) — the dominant cost of the query
-    val banded = minhashBandedOf(docs)
-      .withColumn("f", count(lit(1)).over(w))
-      .withColumn("bmin", min($"doc_id").over(w))
-      .transform(graft.functions.Cp.local)
+    // window) — the dominant cost of the query. The explicit
+    // repartition BEFORE the window pins the (band, bucket) layout
+    // (REPARTITION_BY_NUM — AQE can't coalesce it, unlike the
+    // ENSURE_REQUIREMENTS exchange the window would otherwise
+    // introduce), the window's sort leaves partitions ascending on
+    // exactly those keys, and both are re-declared on the checkpoint —
+    // so the 128 B/row signature table shuffles ONCE and the
+    // self-join below is a pure co-partitioned merge.
+    val nPart = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val banded = graft.functions.Cp.localClusteredAs(
+      minhashBandedOf(docs)
+        .repartition(nPart, $"band", $"bucket")
+        .withColumn("f", count(lit(1)).over(w))
+        .withColumn("bmin", min($"doc_id").over(w)),
+      nPart, Seq("band", "bucket"), sorted = true)
     banded.as("a")
       .join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
@@ -219,9 +230,17 @@ object Dedup {
     import s.implicits._
     val cap = LshParams.BucketCap
     val w = Window.partitionBy($"bucket")
-    val sh = simhashOf(Tables.documents(s, d))._1
-      .withColumn("f", count(lit(1)).over(w))
-      .withColumn("bmin", min($"doc_id").over(w))
+    // single simhash pass, clustered by bucket (the minhashCandidates
+    // layout discipline): without the checkpoint both self-join sides
+    // re-run the tokenize+simhash scan; the pinned repartition +
+    // re-declared layout make the self-join a co-partitioned merge
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val sh = graft.functions.Cp.localClusteredAs(
+      simhashOf(Tables.documents(s, d))._1
+        .repartition(nPart, $"bucket")
+        .withColumn("f", count(lit(1)).over(w))
+        .withColumn("bmin", min($"doc_id").over(w)),
+      nPart, Seq("bucket"), sorted = true)
     sh.as("a").join(sh.as("b"),
         $"a.bucket" === $"b.bucket" && $"a.doc_id" < $"b.doc_id" &&
           ($"a.f" <= cap || $"a.doc_id" === $"a.bmin"))
@@ -293,33 +312,43 @@ object Dedup {
     * restricted to shingles rarer than [[DfCap]].
     *
     * The exploded (doc, shingle-hash) posting table is MATERIALIZED
-    * once (localCheckpoint): it is read three times below (df
-    * aggregation + both self-join sides), and without materialization
-    * each read re-runs the scan + per-shingle md5 pass — measured 4
-    * full passes in the physical plan (both join sides are broadcast
-    * at bench SF, so ReuseExchange never kicks in). One pass + block
-    * reads is the shape a production minhash pipeline uses: the
-    * posting list is built once, then joined against itself. The
-    * df-capped table is checkpointed too, saving the second df-agg +
-    * semi-join pass the self-join would otherwise duplicate. */
+    * once, CLUSTERED by the shingle hash ([[graft.functions.Cp
+    * .localClustered]]): it is read three times below (df aggregation
+    * + both self-join sides), and every one of those consumers keys
+    * on `s` — with a plain checkpoint the layout is forgotten and
+    * each consumer re-shuffles the posting volume (measured: 3 extra
+    * posting-grain exchanges per pair query), while the clustered
+    * declaration makes the df-agg, the semi-join AND the self-join
+    * plan with zero exchanges. The df-capped table is re-declared
+    * clustered AND sorted ([[graft.functions.Cp.localClusteredAs]] —
+    * the merge semi-join streams its left side in key order), so the
+    * pair self-join is a pure co-partitioned merge: no exchange, no
+    * sort, on a table shuffled exactly once at build. One shuffle +
+    * block reads is the shape a production minhash pipeline uses. */
   private[graft] def jaccardPairsOf(docs: DataFrame,
                                     cappedSizes: Boolean = false,
                                     n: Int = JaccardN,
                                     dfCap: Long = DfCap): DataFrame = {
     import docs.sparkSession.implicits._
-    val ds = docs
+    val nPart = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ds = graft.functions.Cp.localClustered(docs
       .select($"doc_id",
         array_distinct(MinHash.shingleHash60(tokens($"text"), n)).as("shs"))
-      .select($"doc_id", size($"shs").cast("long").as("n"), explode($"shs").as("s"))
-      .transform(graft.functions.Cp.local)
+      .select($"doc_id", size($"shs").cast("long").as("n"), explode($"shs").as("s")),
+      nPart, Seq("s"))
     // document frequency per shingle hash; ds is distinct per (doc, s)
-    // so count(*) IS the df. The semi-join shuffles on the same key as
-    // the aggregation, so no extra partitioning is introduced.
+    // so count(*) IS the df. Zero-exchange: ds is declared clustered
+    // by s, the aggregation key.
     val rare = ds.groupBy($"s").agg(count(lit(1)).as("df"))
       .filter($"df" <= dfCap).select($"s")
-    // rare is shingle-grain (corpus-grown): never an AQE broadcast
-    val dsr = ds.join(rare.hint("merge"), Seq("s"), "left_semi")
-      .transform(graft.functions.Cp.local)
+    // rare is shingle-grain (corpus-grown): never an AQE broadcast.
+    // The merge semi-join preserves ds's clustering and leaves its
+    // streamed side ascending on s — both re-declared on the
+    // checkpoint (sorted = true), which is what lets the self-join
+    // below skip its exchanges AND its sorts.
+    val dsr = graft.functions.Cp.localClusteredAs(
+      ds.join(rare.hint("merge"), Seq("s"), "left_semi"),
+      nPart, Seq("s"), sorted = true)
     val base = dsr.as("a")
       .join(dsr.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),

@@ -116,6 +116,55 @@ object Similarity {
         round($"cos", 6).as("cos"))
   }
 
+  private val EvalQueries = 100 // bounded held-out slice for the label eval
+  private val ClassK = 5        // voters per query
+
+  /** k-NN LABEL CLASSIFICATION EVAL — the standard embedding-quality
+    * probe a training-data pipeline runs after (re)embedding a corpus:
+    * hold out a bounded query slice (vec_id < [[EvalQueries]]), label
+    * each query by majority vote of its [[ClassK]] nearest TRAIN
+    * vectors (cosine, the [[qKnnBrute]] kernel; neighbor rank and
+    * vote ties both broken deterministically — (cos desc, vec_id asc)
+    * and (votes desc, label asc)), and report the per-class census:
+    * support, correct count, integer accuracy, and a bit_xor
+    * confusion proof folding every (query, predicted, true) triple —
+    * so the oracle hash match certifies every individual prediction,
+    * not just the accuracy numbers. Scale shape: the query slice is
+    * CONSTANT-bounded and broadcast; the corpus only streams through
+    * the scoring map + a per-query (≤ corpus-grain) top-k window
+    * partitioned by query; everything after vote extraction is
+    * ≤ queries×labels rows. */
+  def qKnnClassify(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter($"vec_id" < EvalQueries)
+      .select($"vec_id".as("query_id"),
+        $"label".cast("long").as("true_label"), $"embedding".as("qv"))
+    val train = emb.filter($"vec_id" >= EvalQueries)
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
+    val nn = broadcast(q).join(train)
+      .select($"query_id", $"true_label", $"vec_id",
+        $"label".cast("long").as("pred_label"),
+        cosineFast($"qv", $"embedding").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= ClassK)
+    val wv = Window.partitionBy($"query_id")
+      .orderBy($"votes".desc, $"pred_label".asc)
+    val pred = nn.groupBy($"query_id", $"true_label", $"pred_label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rk", row_number().over(wv))
+      .filter($"rk" === 1)
+    pred.groupBy($"true_label")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"pred_label" === $"true_label", 1L).otherwise(0L))
+          .as("n_correct"),
+        bit_xor(expr("query_id * 1000003 ^ pred_label * 8191 ^ true_label"))
+          .as("confusion_checksum"))
+      .select($"true_label", $"n", $"n_correct",
+        expr("n_correct * 1000000000 div n").as("acc_e9"),
+        $"confusion_checksum")
+  }
+
   /** Embedding-space near-duplicate pairs (cosine above threshold) by
     * brute pairwise comparison — the CROSS-CHECK baseline for
     * [[nearDupLsh]], bounded to the `vec_id < BruteSlice` slice so the
@@ -407,6 +456,49 @@ object Similarity {
     ivfSearch(s, emb, centroids)
   }
 
+  /** CLUSTER LABEL-PURITY CENSUS — the embedding-space diagnostic run
+    * alongside [[qKnnClassify]]: coarse-quantize the corpus to the
+    * scale-parameterized √N cell set (the [[qSemDedup]] assignment,
+    * identical kernel and oracle mirror), take each cell's MAJORITY
+    * label (votes desc, label asc — deterministic), and report the
+    * distribution of cells across integer purity deciles
+    * (majority-votes·10⁹ div cell-size), with vector mass, majority
+    * mass, and a bit_xor proof over every (cell, majority-label)
+    * assignment. Low-purity mass = embedding space where labels
+    * interleave — the "is this embedding good enough to curate with"
+    * readout. Scale shape: one narrow assignment map over the corpus,
+    * one (cell, label)-grain agg, then everything is cell-bounded
+    * (≈√N) and finally decile-bounded (≤ 11 rows). */
+  def qClusterPurity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val semCells = math.max(Cells,
+      math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    val centroids: Array[Array[Float]] = emb.filter($"vec_id" < semCells)
+      .orderBy($"vec_id").select($"embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val corpus = emb.select($"vec_id", $"label".cast("long").as("label"),
+      nearestCentroid($"embedding", centroids).as("cell"))
+    val votes = corpus.groupBy($"cell", $"label")
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy($"cell").orderBy($"votes".desc, $"label".asc)
+    val cells = votes
+      .withColumn("n_vecs", sum($"votes").over(Window.partitionBy($"cell")))
+      .withColumn("rk", row_number().over(wv))
+      .filter($"rk" === 1)
+      .select($"cell", $"label".as("maj_label"), $"votes".as("maj_votes"),
+        $"n_vecs")
+      .withColumn("purity_e9", expr("maj_votes * 1000000000 div n_vecs"))
+    cells
+      .groupBy(expr("purity_e9 div 100000000").as("purity_bucket"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum($"n_vecs").as("n_vecs"),
+        sum($"maj_votes").as("n_majority"),
+        bit_xor(expr("CAST(cell AS BIGINT) * 1000003 ^ maj_label"))
+          .as("cell_checksum"))
+      .orderBy($"purity_bucket".asc)
+  }
+
   /** Near-dup cosine threshold for [[qSemDedup]]. Tuned to the
     * synthetic corpus's cosine range (random vectors top out ~0.49
     * within cells); a production run on real embeddings sets ~0.95 —
@@ -684,6 +776,8 @@ object Similarity {
     "q_embedding_stats" -> (qEmbeddingStats _),
     "q_centroid_shift" -> (qCentroidShift _),
     "q_knn_brute" -> (qKnnBrute _),
+    "q_knn_classify" -> (qKnnClassify _),
+    "q_cluster_purity" -> (qClusterPurity _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_semdedup" -> (qSemDedup _),
     "q_neardup_lsh" -> (qNearDupLsh _),
@@ -875,6 +969,68 @@ object Similarity {
          |FROM e GROUP BY label""".stripMargin
     },
     "q_knn_brute" -> knnBruteSql,
+    "q_knn_classify" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id,
+         |  CAST(label AS BIGINT) AS true_label, v AS qv
+         |  FROM e WHERE vec_id < $EvalQueries),
+         |c AS (SELECT vec_id, CAST(label AS BIGINT) AS pred_label, v
+         |  FROM e WHERE vec_id >= $EvalQueries),
+         |nn AS (SELECT query_id, true_label, pred_label FROM (
+         |  SELECT q.query_id, q.true_label, c.pred_label,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY list_cosine_similarity(q.qv, c.v) DESC,
+         |               c.vec_id ASC) AS rank
+         |  FROM q CROSS JOIN c) t WHERE rank <= $ClassK),
+         |vote AS (SELECT query_id, true_label, pred_label,
+         |  COUNT(*) AS votes FROM nn GROUP BY 1, 2, 3),
+         |pick AS (SELECT query_id, true_label, pred_label FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY votes DESC, pred_label ASC) AS rk FROM vote) t
+         |  WHERE rk = 1)
+         |SELECT true_label, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN pred_label = true_label
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  CAST(SUM(CASE WHEN pred_label = true_label
+         |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000000 // COUNT(*)
+         |    AS acc_e9,
+         |  bit_xor(xor(xor(query_id * 1000003, pred_label * 8191),
+         |    true_label)) AS confusion_checksum
+         |FROM pick GROUP BY 1""".stripMargin,
+    "q_cluster_purity" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT CAST(vec_id + 1 AS INT) AS cell, v AS cv
+         |  FROM e WHERE vec_id <
+         |    (SELECT GREATEST($Cells, CAST(ceil(sqrt(COUNT(*)))
+         |      AS BIGINT)) FROM e)),
+         |corpus AS MATERIALIZED (SELECT vec_id,
+         |  CAST(label AS BIGINT) AS label, cell FROM (
+         |  SELECT e.vec_id, e.label, c.cell,
+         |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |    ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+         |      c.cell ASC) AS rn
+         |  FROM e CROSS JOIN cent c) t WHERE rn = 1),
+         |votes AS (SELECT cell, label, COUNT(*) AS votes
+         |  FROM corpus GROUP BY 1, 2),
+         |tot AS (SELECT cell, CAST(SUM(votes) AS BIGINT) AS n_vecs
+         |  FROM votes GROUP BY 1),
+         |pick AS (SELECT cell, label AS maj_label,
+         |  CAST(votes AS BIGINT) AS maj_votes FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+         |    ORDER BY votes DESC, label ASC) AS rk FROM votes) t
+         |  WHERE rk = 1),
+         |cs AS (SELECT p.cell, p.maj_label, p.maj_votes, t.n_vecs,
+         |  p.maj_votes * 1000000000 // t.n_vecs AS purity_e9
+         |  FROM pick p JOIN tot t USING (cell))
+         |SELECT purity_e9 // 100000000 AS purity_bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |  CAST(SUM(n_vecs) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(maj_votes) AS BIGINT) AS n_majority,
+         |  bit_xor(xor(CAST(cell AS BIGINT) * 1000003, maj_label))
+         |    AS cell_checksum
+         |FROM cs GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "q_mmr" -> mmrSql,
     "q_ann_recall" ->
       s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($knnBruteSql) kb),

@@ -202,10 +202,11 @@ object TextAnalysis {
     // span posting table feeds both the dup-index agg and the join
     // probe side; without the checkpoint each side re-runs the
     // explode + per-span md5 pass.
-    val spanOcc = Tables.documents(s, d)
-      .select($"doc_id", explode(spans).as("span"))
-      .select($"doc_id", md5Prefix60($"span").as("h"))
-      .transform(graft.functions.Cp.local)
+    val spanOcc = graft.functions.Cp.localClustered(
+      Tables.documents(s, d)
+        .select($"doc_id", explode(spans).as("span"))
+        .select($"doc_id", md5Prefix60($"span").as("h")),
+      s.conf.get("spark.sql.shuffle.partitions").toInt, Seq("h"))
     val dupIndex = spanOcc.groupBy($"h")
       .agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" > 1)
@@ -261,11 +262,16 @@ object TextAnalysis {
     val spans = transform(
       sequence(lit(1), greatest(size(toks) - (SpanK - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(SpanK))))
-    val anchors = docs
+    // clustered by the anchor hash (the Dedup.jaccardPairsOf layout
+    // discipline): the df/occ agg, the semi-join and both self-join
+    // sides all key on h — one build shuffle serves every consumer
+    val nPart = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val anchors = graft.functions.Cp.localClustered(docs
       .select($"doc_id", posexplode(spans))
       .select($"doc_id", ($"pos" + 1).cast("long").as("pos"),
-        md5Prefix60($"col").as("h"))
-      .transform(graft.functions.Cp.local)
+        md5Prefix60($"col").as("h")),
+      nPart, Seq("h"))
     // df bounds DOCS per anchor; occ bounds total POSITIONS — a doc
     // repeating one 8-gram p times contributes p rows at df=2, so the
     // join bucket is occ², not df² ("a a a …" pathology). Both caps
@@ -276,8 +282,13 @@ object TextAnalysis {
       .select($"h")
     // dup index + both join sides are span-grain (corpus-grown):
     // never broadcastable, merge-join on the uniform hash
-    val ha = anchors.join(dup.hint("merge"), Seq("h"), "left_semi")
-      .transform(graft.functions.Cp.local)
+    // layout inherited from the clustered anchors through the merge
+    // semi-join (partition-preserving, streamed side ascending on h):
+    // re-declared so the self-join below is a pure co-partitioned
+    // merge — no exchange, no sort
+    val ha = graft.functions.Cp.localClusteredAs(
+      anchors.join(dup.hint("merge"), Seq("h"), "left_semi"),
+      nPart, Seq("h"), sorted = true)
     val pr = ha.as("a")
       .join(ha.as("b").hint("merge"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")

@@ -55,4 +55,59 @@ object Bridge {
       org.apache.spark.sql.catalyst.expressions.Literal.create(
         filterBytes, org.apache.spark.sql.types.BinaryType),
       eagerExpression(hashed)))
+
+  /** Re-declare the physical layout of a CHECKPOINTED frame.
+    *
+    * `Dataset.localCheckpoint` wraps the materialized RDD in a
+    * [[org.apache.spark.sql.execution.LogicalRDD]] whose
+    * outputPartitioning is whatever the executed plan reported — under
+    * AQE that is `UnknownPartitioning`, so every downstream
+    * join/aggregate on the SAME key re-shuffles the materialized
+    * table from scratch (the pair family pays 3 extra posting-volume
+    * exchanges per query from this). This helper rebuilds the
+    * LogicalRDD with `HashPartitioning(cols, nPart)` (+ optional
+    * per-partition ascending order on the same cols), which is
+    * exactly what `ShuffleExchangeExec` would have declared for the
+    * shuffle that produced the layout.
+    *
+    * CONTRACT (the caller proves, the engine trusts): the
+    * checkpointed RDD really is laid out as
+    * `pmod(murmur3(cols), nPart)` — i.e. it was produced by
+    * `repartition(nPart, cols)` (REPARTITION_BY_NUM is exempt from
+    * AQE coalescing) or by a chain of partition-preserving operators
+    * (filters/projections/merge-joins/hash-agg on the same key) from
+    * such a shuffle — and, when `sorted`, each partition is ascending
+    * on `cols` (e.g. the streamed side of a sort-merge join). A false
+    * claim produces WRONG JOINS silently; keep every call site behind
+    * the DuckDB oracle gate. LogicalRDD.newInstance remaps the
+    * partitioning/ordering attributes on self-join deduplication, so
+    * the claim survives self-joins. */
+  def claimClustered(df: DataFrame, nPart: Int, cols: Seq[String],
+                     sorted: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.LogicalRDD
+    val cds = df.asInstanceOf[classic.Dataset[Row]]
+    val lr = cds.queryExecution.analyzed match {
+      case l: LogicalRDD => l
+      case other => throw new IllegalArgumentException(
+        s"claimClustered expects a checkpointed frame (LogicalRDD), got ${other.nodeName}")
+    }
+    val attrs = cols.map(c => lr.output.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"claimClustered: no output column named $c in ${lr.output.map(_.name)}")))
+    require(lr.rdd.getNumPartitions == nPart,
+      s"claimClustered: rdd has ${lr.rdd.getNumPartitions} partitions, claimed $nPart")
+    val ord = if (sorted) attrs.map(a => SortOrder(a, Ascending)) else Nil
+    // the original LogicalRDD's second ctor arg list is protected;
+    // lr.stats / lr.constraints re-expose the same planning inputs
+    // (stats resolve FROM originStats when it was set), so the
+    // relabeled node plans identically — including broadcast
+    // decisions — except for the declared layout
+    val relabeled = new LogicalRDD(
+      lr.output, lr.rdd, HashPartitioning(attrs, nPart), ord,
+      lr.isStreaming, lr.stream)(
+      cds.sparkSession, Some(lr.stats), Some(lr.constraints))
+    classic.Dataset.ofRows(cds.sparkSession, relabeled)
+  }
 }

@@ -289,18 +289,35 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("pair pipeline: posting volume shuffles exactly once (clustered checkpoints)") {
+    // jaccardPairsOf declares its layout (Cp.localClustered): across
+    // the final plan AND every checkpointed subtree, the only shuffle
+    // exchanges allowed are (1) the posting build's REPARTITION_BY_NUM
+    // and (2) the pair-grain aggregation — the df-agg, the semi-join
+    // and both self-join sides must ride the declared clustering. A
+    // third exchange means a checkpoint stopped declaring its layout
+    // and the posting table is being re-shuffled again at every SF.
+    val plans = allPlans(SparkEntry.queries("q_ngram_jaccard")(spark, sf))
+    val shuffles = plans.map(p =>
+      countOf(p.toString, "Exchange hashpartitioning")).sum
+    assert(shuffles <= 2, s"posting-volume shuffle count crept to $shuffles:\n" +
+      plans.map(_.toString).mkString("\n---\n"))
+  }
+
   test("pair generators keep scans pruned to the columns they use") {
-    // q_minhash_pairs materializes its banded table (localCheckpoint),
-    // which hides the scan from the outer plan — assert pruning on the
-    // builder subplan that actually reads parquet instead
+    // the banded/simhash tables are materialized (localCheckpoint),
+    // which hides the parquet scan from the outer plan — assert
+    // pruning over the final plan PLUS the recorded checkpoint
+    // subtrees, where the scan actually lives
     val builderPlans = Seq(
-      "minhashBandedOf" -> graft.operators.Dedup
-        .minhashBandedOf(Tables.documents(spark, sf)),
-      "q_simhash_pairs" -> SparkEntry.queries("q_simhash_pairs")(spark, sf))
-    for ((name, df) <- builderPlans) {
-      val p = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-      val scans = p.linesIterator.filter(_.contains("ReadSchema")).toList
+      "minhashBandedOf" -> (() => Seq(graft.operators.Dedup
+        .minhashBandedOf(Tables.documents(spark, sf))
+        .queryExecution.sparkPlan)),
+      "q_simhash_pairs" -> (() =>
+        allPlans(SparkEntry.queries("q_simhash_pairs")(spark, sf))))
+    for ((name, mk) <- builderPlans) {
+      val scans = mk().flatMap(
+        _.toString.linesIterator.filter(_.contains("ReadSchema")))
       assert(scans.nonEmpty, name)
       // doc text + id only — never lang/source/n_chars
       scans.foreach(s => assert(!s.contains("n_chars") && !s.contains("source"), name))
