@@ -642,12 +642,25 @@ object TextAnalysis {
     * windows, no all-pairs. */
   def qRouge(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val base = Tables.documents(s, d)
-      .select($"doc_id", $"lang", tokens($"text").as("t"))
-    val perN = Seq(1, 2).map { n =>
-      val c = base
+    // the DOC-grain token table is tokenized once, shuffled ONCE by
+    // pair and checkpointed with its layout declared: every downstream
+    // key — the (pair, side, lang, g) count agg, both overlap-join
+    // sides on (pair, g), the pair totals and the totals⋈overlap
+    // join — is pair-prefixed, so BOTH n-gram passes plan with zero
+    // further exchanges (HashPartitioning(pair) satisfies clustering
+    // on any pair-prefixed key set). Gram volume never shuffles at
+    // all — only token arrays move, once. Was: two tokenize scans +
+    // gram-volume agg shuffles + agg'd-volume joins per n (48.5 s at
+    // sf10 → the doc-grain shuffle shape).
+    val base = graft.functions.Cp.localClustered(
+      Tables.documents(s, d)
         .select(expr("doc_id DIV 2").as("pair"),
           pmod($"doc_id", lit(2L)).as("side"), $"lang",
+          tokens($"text").as("t")),
+      s.conf.get("spark.sql.shuffle.partitions").toInt, Seq("pair"))
+    val perN = Seq(1, 2).map { n =>
+      val c = base
+        .select($"pair", $"side", $"lang",
           explode(wordGrams($"t", n)).as("g"))
         .groupBy($"pair", $"side", $"lang", $"g")
         .agg(count(lit(1)).as("c"))
@@ -1037,12 +1050,19 @@ object TextAnalysis {
     * oracle SF. */
   def qSourceOverlap(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = Tables.documents(s, d)
-      .select($"source", tokens($"text").as("t"))
-      .select($"source", explode(wordGrams($"t", OverlapN)).as("g"))
-      .select($"source", md5Prefix60($"g").as("h"))
-      .distinct()
-      .transform(graft.functions.Cp.local)
+    // one h-clustered shuffle of the raw gram stream; the distinct,
+    // the collect_set-by-h and the checkpoint all ride that layout
+    // (HashPartitioning(h) satisfies clustering on (source, h) too) —
+    // the gram volume moves once instead of distinct-then-regroup
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val sh = graft.functions.Cp.localClusteredAs(
+      Tables.documents(s, d)
+        .select($"source", tokens($"text").as("t"))
+        .select($"source", explode(wordGrams($"t", OverlapN)).as("g"))
+        .select($"source", md5Prefix60($"g").as("h"))
+        .repartition(nPart, $"h")
+        .distinct(),
+      nPart, Seq("h"))
     val sizes = sh.groupBy($"source").agg(count(lit(1)).as("sz"))
     val pairs = sh.groupBy($"h")
       .agg(sort_array(collect_set($"source")).as("ss"))
@@ -1076,13 +1096,18 @@ object TextAnalysis {
     * rule). */
   def qNgramNovelty(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val post = Tables.documents(s, d)
-      .select($"doc_id", $"source", tokens($"text").as("t"))
-      .select($"doc_id", $"source",
-        explode(wordGrams($"t", OverlapN)).as("g"))
-      .select($"doc_id", $"source", md5Prefix60($"g").as("h"))
-      .distinct()
-      .transform(graft.functions.Cp.local)
+    // h-clustered build (the qSourceOverlap discipline): distinct,
+    // first-seer agg and the posting join all ride one gram shuffle
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val post = graft.functions.Cp.localClusteredAs(
+      Tables.documents(s, d)
+        .select($"doc_id", $"source", tokens($"text").as("t"))
+        .select($"doc_id", $"source",
+          explode(wordGrams($"t", OverlapN)).as("g"))
+        .select($"doc_id", $"source", md5Prefix60($"g").as("h"))
+        .repartition(nPart, $"h")
+        .distinct(),
+      nPart, Seq("h"))
     val first = post.groupBy($"h").agg(min($"doc_id").as("first_doc"))
     post.join(first.hint("merge"), Seq("h"))
       .groupBy($"doc_id", $"source")
