@@ -316,6 +316,20 @@ object Similarity {
     import emb.sparkSession.implicits._
     val (banded, _) = ndBandedOf(emb, tables)
     val w = Window.partitionBy($"t", $"bucket")
+    // MEASURED REJECTION (round 13, the q_bootstrap discipline): the
+    // clustered-checkpoint treatment (repartition + localClusteredAs
+    // sorted, the minhashCandidates shape) was tried here and measured
+    // 45.5 s vs 41.2 s at sf30 — unlike the text-side pair builders,
+    // this self-join's two sides are IDENTICAL subtrees, so
+    // ReuseExchange already shares the one (t, bucket) shuffle and the
+    // checkpoint only adds a materialization of the 256 B/row banded
+    // table. The super-linear sf10→sf30 growth (4.3 → 41 s for 3×
+    // data) is CANDIDATE volume, not shuffles: ScaleUp replicates
+    // vectors verbatim, so replica families (~100-wide at sf10,
+    // ~300-wide at sf30) collide in every table and emit f²/2 pairs
+    // while f ≤ bucketCap — quadratic in family width BY DESIGN
+    // (exact pair recovery below the cap; the star fallback takes
+    // over above it). Real corpora hit the cap instead.
     val st = banded
       .withColumn("f", count(lit(1)).over(w))
       .withColumn("bmin", min($"vec_id").over(w))
