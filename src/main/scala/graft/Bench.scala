@@ -18,8 +18,10 @@ package graft
   * a line carrying all ~258 queries at full double precision (~6 KB)
   * would get its head truncated and become unparseable — which is
   * exactly what happened to rounds 1–3. The final line reports the
-  * total, every failed query, and the slowest queries that fit the
-  * budget. The COMPLETE per-query map is emitted two ways: (a)
+  * total, EVERY query's timing as the compact `qms` integer array
+  * (name-ascending order, unit declared in `qms_unit`), plus every
+  * failed query and the slowest queries by name in the remaining
+  * budget. The COMPLETE per-query NAMED map is also emitted two ways: (a)
   * written to BENCH_FULL.json next to the cwd (committed per round —
   * the durable history), and (b) printed as self-contained CHUNK
   * lines (`"metric":"chunk"`) immediately before the final line, so
@@ -118,11 +120,36 @@ object Bench {
       r
     }
     val total = results.map(_._2).filter(_ >= 0).sum
-    // bounded line: failures first (must never be hidden), then
-    // slowest-first until the budget is reached; emit sorted by name
     val failed = results.filter(_._2 < 0)
+    // ALL queries' timings in the final line itself (round-13 verdict
+    // item: n_reported must equal n_queries): full names don't fit the
+    // 2000-char tail (names alone are 3.3 KB), so `qms` carries every
+    // timing as an integer (-1 = failed) in ASCENDING NAME ORDER —
+    // ~1.1 KB for 260 queries at sf0.1. A consumer recovers the names
+    // by sorting the query registry (SURVEY §2 / SparkEntry.queries)
+    // ascending. Unit is milliseconds; if big-SF magnitudes blow the
+    // tail budget the unit degrades to deciseconds (declared in
+    // qms_unit — 0.1 s resolution is fine once queries run 10 s+).
+    val byName = results.sortBy(_._1)
+    def qmsArr(mult: Double): String = byName
+      .map { case (_, v) => if (v < 0) "-1" else math.round(v * mult).toString }
+      .mkString("[", ",", "]")
+    val lineCap = 1950 // whole final line must survive the 2000-char tail
+    var qmsUnit = "ms"
+    var qms = qmsArr(1000)
+    if (qms.length > lineCap - 420) { qmsUnit = "ds"; qms = qmsArr(10) }
+    // named `queries` object for readability: failures first (never
+    // hidden), then slowest-first under whatever budget the full qms
+    // array leaves in the line
+    def lineWith(qsObj: String, nNamed: Int): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,""" +
+      s""""queries":$qsObj,""" +
+      s""""qms":$qms,"qms_order":"name_asc","qms_unit":"$qmsUnit",""" +
+      s""""sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},""" +
+      s""""n_reported":${byName.size},"n_named":$nNamed,""" +
+      s""""full":"BENCH_FULL.json"}"""
+    val budget = lineCap - lineWith("{}", results.size).length
     val byCost = results.filter(_._2 >= 0).sortBy(-_._2)
-    val budget = 1650 // chars for the queries object (final line ≲ 1.9 KB)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 2
     (failed ++ byCost).foreach { case (k, v) =>
@@ -132,11 +159,7 @@ object Bench {
     val qs = picked.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,""" +
-      s""""queries":$qs,""" +
-      s""""sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},""" +
-      s""""n_reported":${picked.size},"full":"BENCH_FULL.json"}"""
+    val line = lineWith(qs, picked.size)
     // The harness keeps only the TAIL of the combined process output;
     // rounds 6-7 lost the JSON line because WARN chatter (WindowExec,
     // shutdown hooks) printed AFTER it. Silence ALL logging — the

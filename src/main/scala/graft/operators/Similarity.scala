@@ -1020,10 +1020,14 @@ object Similarity {
          |    (SELECT GREATEST($Cells, CAST(ceil(sqrt(COUNT(*)))
          |      AS BIGINT)) FROM e)),
          |corpus AS MATERIALIZED (SELECT vec_id,
-         |  CAST(label AS BIGINT) AS label, cell FROM (
+         |  CAST(label AS BIGINT) AS label,
+         |  CASE WHEN isnan(cos) THEN 0 ELSE cell END AS cell FROM (
          |  SELECT e.vec_id, e.label, c.cell,
+         |  list_cosine_similarity(e.v, c.cv) AS cos,
          |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |    ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+         |    ORDER BY CASE WHEN isnan(list_cosine_similarity(e.v, c.cv))
+         |      THEN 1 ELSE 0 END ASC,
+         |      list_cosine_similarity(e.v, c.cv) DESC,
          |      c.cell ASC) AS rn
          |  FROM e CROSS JOIN cent c) t WHERE rn = 1),
          |votes AS (SELECT cell, label, COUNT(*) AS votes

@@ -739,9 +739,12 @@ object StreamingOps {
       // the key as a METADATA-FREE long copy — keeping the watermarked
       // column itself in the grouping output would hand the downstream
       // stateful agg two event-time columns (window + ts), which
-      // Structured Streaming rejects
+      // Structured Streaming rejects. unix_micros, NOT cast("long"):
+      // the cast truncates to whole seconds and would pool two
+      // same-second deliveries of one doc_id into a single coverage
+      // row, breaking the exact spanAdmit key mirror
       .groupBy(window(col("ts"), windowLen), col("doc_id"),
-        col("ts").cast("long").as("ts_key"))
+        expr("unix_micros(ts)").as("ts_key"))
       .agg(count(lit(1)).as("n_spans"),
         sum(coalesce(col("in_c"), lit(0L))).as("n_hit"))
       .select(col("window"),
@@ -803,7 +806,16 @@ object StreamingOps {
     * score, keep) with bit-identical integer arithmetic to both
     * parents — StreamingSpec asserts row-for-row equality against
     * spanAdmit ⋈ dsirScore on the same data, in batch AND stream
-    * mode. */
+    * mode.
+    *
+    * Edge contract (deliberate divergence from the two-query parent):
+    * a doc whose text yields ZERO valid tokens (or zero spans) still
+    * emits ONE row here — n_tokens=0, score=0 (resp. n_spans=0 with
+    * NULL cov_e9/admit) — because an ingest gate must render a
+    * decision for every arriving doc. The INNER-join parent silently
+    * DROPS such docs (the token explode leaves no dsirScore row), so
+    * the parity assertion holds on docs with ≥1 span AND ≥1 token;
+    * StreamingSpec filters both sides accordingly. */
   def admitAndScore(docs: DataFrame, corpusAnchors: DataFrame,
                     weights: DataFrame,
                     maxCovE9: Long = 500000000L,

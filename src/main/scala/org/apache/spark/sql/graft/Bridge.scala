@@ -93,9 +93,15 @@ object Bridge {
       case other => throw new IllegalArgumentException(
         s"claimClustered expects a checkpointed frame (LogicalRDD), got ${other.nodeName}")
     }
-    val attrs = cols.map(c => lr.output.find(_.name == c).getOrElse(
-      throw new IllegalArgumentException(
-        s"claimClustered: no output column named $c in ${lr.output.map(_.name)}")))
+    val attrs = cols.map { c =>
+      val hits = lr.output.filter(_.name == c)
+      require(hits.size <= 1,
+        s"claimClustered: ambiguous column name $c (${hits.size} matches) " +
+          s"in ${lr.output.map(_.name)} — a claim bound to the wrong " +
+          "attribute declares a false layout (silently wrong joins)")
+      hits.headOption.getOrElse(throw new IllegalArgumentException(
+        s"claimClustered: no output column named $c in ${lr.output.map(_.name)}"))
+    }
     require(lr.rdd.getNumPartitions == nPart,
       s"claimClustered: rdd has ${lr.rdd.getNumPartitions} partitions, claimed $nPart")
     val ord = if (sorted) attrs.map(a => SortOrder(a, Ascending)) else Nil

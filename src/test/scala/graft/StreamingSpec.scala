@@ -1312,7 +1312,11 @@ class StreamingSpec extends AnyFunSuite {
         minScore = minScore), Seq("doc_id", "ts"))
       .select($"doc_id", $"n_spans", $"n_hit", $"cov_e9", $"admit",
         $"n_tokens", $"score", $"keep")
-    assert(gateB.select($"doc_id", $"n_spans", $"n_hit", $"cov_e9",
+    // parity contract: docs with >=1 span AND >=1 token (the unified
+    // gate additionally emits a decision row for span-only/token-only
+    // docs that the INNER-join parent drops — see admitAndScore doc)
+    assert(gateB.filter($"n_spans" > 0 && $"n_tokens" > 0)
+      .select($"doc_id", $"n_spans", $"n_hit", $"cov_e9",
         $"admit", $"n_tokens", $"score", $"keep")
       .collect().map(_.toString).sorted.toSeq ===
       parent.collect().map(_.toString).sorted.toSeq)
