@@ -76,6 +76,25 @@ object Cp {
       local(df.repartition(nPart, cols.map(col): _*)), nPart, cols)
   }
 
+  /** [[localClustered]] + per-partition ASCENDING ORDER on the same
+    * `cols`: repartition (REPARTITION_BY_NUM, AQE-exempt) then
+    * sortWithinPartitions (partition-preserving), checkpoint, and
+    * re-declare both properties. Downstream same-key merge joins then
+    * plan with zero exchanges AND zero sorts — the build shape for a
+    * table consumed by several merge-hinted equi-joins on its key
+    * (recall/census evaluators joining two pair tables, per-round
+    * edge⋈degree joins). Both layout facts are provable from the
+    * plan: the claim never sits downstream of an ENSURE_REQUIREMENTS
+    * exchange. */
+  def localClusteredSorted(df: org.apache.spark.sql.DataFrame, nPart: Int,
+                           cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    org.apache.spark.sql.graft.Bridge.claimClustered(
+      local(df.repartition(nPart, cols.map(col): _*)
+        .sortWithinPartitions(cols.map(col): _*)),
+      nPart, cols, sorted = true)
+  }
+
   /** Checkpoint a frame whose CLUSTERED (and optionally per-partition
     * SORTED) layout is inherited from upstream, and re-declare it.
     * For frames derived from a [[localClustered]] ancestor through

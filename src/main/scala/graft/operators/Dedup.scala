@@ -87,6 +87,70 @@ object Dedup {
         ($"n_batch" - coalesce($"n_dup", lit(0L))).as("n_novel"))
   }
 
+  /** Buckets for the standing fingerprint store — matches the session
+    * shuffle-partition count so a probe-side shuffle lands on the same
+    * granularity the store was written with. */
+  private[graft] val FpStoreBuckets = 32
+
+  /** Deterministic store table name per corpus directory (the catalog
+    * key a cross-session ingest job would agree on). */
+  private[graft] def fpStoreTable(d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"graft_fpstore_${md.take(12)}"
+  }
+
+  /** Build (if absent) the STANDING FINGERPRINT STORE for corpus dir
+    * `d`: the corpus side of [[qIncrementalDedup]] — (doc_id, source,
+    * fp) with fp = md5(normalized text) — persisted as a parquet table
+    * BUCKETED AND SORTED BY fp ([[graft.sources.Sources
+    * .writeBucketed]]). This is the cross-SESSION form of
+    * [[withSharedPairs]]: on a standing 100 TB corpus the fingerprint
+    * scan+normalize+hash runs ONCE at ingest/compaction time, and
+    * every later dedup batch probes a pre-partitioned table — the
+    * probe plan carries ZERO corpus-side exchange (bucketed scan
+    * feeds the merge semi-join directly; FpStoreSpec asserts it) and
+    * never re-reads corpus TEXT, only the narrow fp column. */
+  private[graft] def ensureFpStore(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val tbl = fpStoreTable(d)
+    if (!s.catalog.tableExists(tbl)) {
+      val corpus = Tables.documents(s, d)
+        .filter(pmod($"doc_id", lit(BatchMod)) =!= BatchRem)
+        .select($"doc_id", $"source", fingerprint($"text").as("fp"))
+      graft.sources.Sources.writeBucketed(corpus, tbl, "fp", FpStoreBuckets,
+        path = Some(s"/tmp/graft_fpstore/$tbl"))
+    }
+    tbl
+  }
+
+  /** INCREMENTAL dedup against the PERSISTED fingerprint store — the
+    * production shape of [[qIncrementalDedup]]: same census, same
+    * oracle, but the corpus side is the standing bucketed table from
+    * [[ensureFpStore]] instead of a per-query fingerprint pass over
+    * corpus text. The batch side (days-of-ingest small) is fingerprinted
+    * fresh and shuffled once to the store's bucket granularity; the
+    * store side streams straight off its bucketed+sorted files into
+    * the merge semi-join (merge-hinted — the corpus-grown side must
+    * never ride an AQE broadcast). At 100 TB this removes the whole
+    * corpus scan+hash+shuffle from every ingest cycle. */
+  def qIncrementalDedupStore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val store = s.table(ensureFpStore(s, d)).select($"fp")
+    val batch = Tables.documents(s, d)
+      .filter(pmod($"doc_id", lit(BatchMod)) === BatchRem)
+      .select($"doc_id", $"source", fingerprint($"text").as("fp"))
+      .transform(graft.functions.Cp.local) // read twice: counts + probe
+    val batchCounts = batch.groupBy($"source")
+      .agg(count(lit(1)).as("n_batch"))
+    val dupCounts = batch.join(store.hint("merge"), Seq("fp"), "left_semi")
+      .groupBy($"source").agg(count(lit(1)).as("n_dup"))
+    batchCounts.join(dupCounts, Seq("source"), "left")
+      .select($"source", $"n_batch",
+        coalesce($"n_dup", lit(0L)).as("n_dup_vs_corpus"),
+        ($"n_batch" - coalesce($"n_dup", lit(0L))).as("n_novel"))
+  }
+
   /** MinHash signature matrix: K universal-hash mins over 3-word
     * shingles, one md5 per shingle (see [[MinHash]]), as a single
     * narrow projection (no shuffle). */
@@ -917,17 +981,29 @@ object Dedup {
       val b = pmod(md5Prefix60(id.cast("string")), lit(100L))
       when(b < 80, "train").when(b < 90, "val").otherwise("test")
     }
-    val edges = jaccardPairs(s, d)
-      .filter(lit(3) * $"inter" > $"na" + $"nb")
-      .select($"doc_a", $"doc_b")
-      .transform(graft.functions.Cp.local) // reused: CC + both censuses
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // reused by CC + both censuses; clustered+sorted by doc_a so each
+    // census's first merge join reads it exchange- and sort-free
+    val edges = graft.functions.Cp.localClusteredSorted(
+      jaccardPairs(s, d)
+        .filter(lit(3) * $"inter" > $"na" + $"nb")
+        .select($"doc_a", $"doc_b"),
+      nPart, Seq("doc_a"))
     val lab = connectedComponents(edges).withColumnRenamed("id", "doc_id")
-    val assigned = Tables.documents(s, d).select($"doc_id")
-      .join(lab.hint("merge"), Seq("doc_id"), "left")
-      .withColumn("label", coalesce($"label", $"doc_id"))
-      .select($"doc_id", splitOf($"doc_id").as("s_old"),
-        splitOf($"label").as("s_new"))
-      .transform(graft.functions.Cp.local) // reused: both censuses + moved
+    // reused by both censuses (x2 joins each, keyed doc_a/doc_b via
+    // alias — projection keeps the declared layout on the renamed
+    // attribute) + moved; clustered+sorted by doc_id so all four
+    // census joins stream it without re-shuffling. Explicit
+    // repartition, NOT a layout claim off the docs⋈lab merge join:
+    // that join's exchanges are ENSURE_REQUIREMENTS-inserted and AQE
+    // may coalesce them (the false-claim class).
+    val assigned = graft.functions.Cp.localClusteredSorted(
+      Tables.documents(s, d).select($"doc_id")
+        .join(lab.hint("merge"), Seq("doc_id"), "left")
+        .withColumn("label", coalesce($"label", $"doc_id"))
+        .select($"doc_id", splitOf($"doc_id").as("s_old"),
+          splitOf($"label").as("s_new")),
+      nPart, Seq("doc_id"))
     def census(stage: String, c: String) = edges
       .join(assigned.select($"doc_id".as("doc_a"), col(c).as("sa"))
         .hint("merge"), Seq("doc_a"))
@@ -972,9 +1048,15 @@ object Dedup {
     val und = jaccardPairs(s, d)
       .filter(lit(3) * $"inter" > $"na" + $"nb")
       .select($"doc_a", $"doc_b")
-    val edges = und.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .union(und.select($"doc_b".as("src"), $"doc_a".as("dst")))
-      .transform(graft.functions.Cp.local) // read once per round + the degree agg
+    // materialized CLUSTERED+SORTED by src: all 7 consumers key on it
+    // (the degree agg ×4 plan sites and the per-round edges⋈deg join
+    // ×3) — with a plain checkpoint each re-shuffled the edge volume
+    // every round (7 UnknownPartitioning scans in the round-13 plans)
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val edges = graft.functions.Cp.localClusteredSorted(
+      und.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .union(und.select($"doc_b".as("src"), $"doc_a".as("dst"))),
+      nPart, Seq("src"))
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     var ranks = docs.select($"doc_id", lit(1000000000L).as("rank_e9"))
     for (_ <- 0 until PrIters) {
@@ -1440,13 +1522,21 @@ object Dedup {
     * four 1-row aggs cross-joined. */
   def qMinhashRecall(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val truth = jaccardPairs(s, d)
-      .filter(lit(3) * $"inter" > $"na" + $"nb")
-      .select($"doc_a", $"doc_b")
-      .transform(graft.functions.Cp.local)
-    val cand = minhashCandidates(Tables.documents(s, d))
-      .select($"doc_a", $"doc_b")
-      .transform(graft.functions.Cp.local)
+    // both pair tables clustered+sorted by the full join key: the hit
+    // join and the missed anti-join (2 consumers × 2 sides) then plan
+    // as pure co-partitioned merges — zero exchanges, zero sorts — on
+    // tables shuffled exactly once at build (was 6 UnknownPartitioning
+    // checkpoint scans, each re-shuffling pair volume)
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val truth = graft.functions.Cp.localClusteredSorted(
+      jaccardPairs(s, d)
+        .filter(lit(3) * $"inter" > $"na" + $"nb")
+        .select($"doc_a", $"doc_b"),
+      nPart, Seq("doc_a", "doc_b"))
+    val cand = graft.functions.Cp.localClusteredSorted(
+      minhashCandidates(Tables.documents(s, d))
+        .select($"doc_a", $"doc_b"),
+      nPart, Seq("doc_a", "doc_b"))
     val hit = truth.join(cand.hint("merge"), Seq("doc_a", "doc_b"))
     val missed = truth.join(cand.hint("merge"), Seq("doc_a", "doc_b"),
       "left_anti")
@@ -1568,6 +1658,7 @@ object Dedup {
     "q_exact_dedup" -> (qExactDedup _),
     "q_fingerprint" -> (qFingerprint _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
+    "q_incremental_store" -> (qIncrementalDedupStore _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_minhash_pairs" -> (qMinhashPairs _),
     "q_jaccard_est" -> (qJaccardEst _),
@@ -1959,6 +2050,25 @@ object Dedup {
       """SELECT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp,
         |COUNT(*) AS n_copies, MIN(doc_id) AS keeper
         |FROM documents GROUP BY 1""".stripMargin,
+    // identical census to q_incremental_dedup — the store variant
+    // changes WHERE the corpus fingerprints come from (the standing
+    // bucketed table), never what they are
+    "q_incremental_store" ->
+      s"""WITH f AS (SELECT doc_id, source,
+         |  md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+         |  FROM documents),
+         |corpus AS (SELECT DISTINCT fp FROM f
+         |  WHERE doc_id % $BatchMod <> $BatchRem),
+         |batch AS (SELECT doc_id, source, fp FROM f
+         |  WHERE doc_id % $BatchMod = $BatchRem),
+         |dup AS (SELECT doc_id FROM batch WHERE fp IN (SELECT fp FROM corpus))
+         |SELECT b.source, COUNT(*) AS n_batch,
+         |CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_dup_vs_corpus,
+         |CAST(COUNT(*) - SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS n_novel
+         |FROM batch b LEFT JOIN dup ON b.doc_id = dup.doc_id
+         |GROUP BY b.source""".stripMargin,
     "q_incremental_dedup" ->
       s"""WITH f AS (SELECT doc_id, source,
          |  md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp

@@ -411,8 +411,15 @@ object Events {
   def qAssocRules(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val D = "DECIMAL(38,0)"
-    val ut = events(s, d).select($"user_id", $"event_type").distinct()
-      .transform(graft.functions.Cp.local) // reused by pairs, items, N
+    // reused by pairs (self-join, ×2 keyed user_id), items, and the
+    // user total (countDistinct's partial-distinct also keys user_id):
+    // clustered by user_id so all three user-grain consumers read the
+    // materialized table exchange-free; items' domain-grain agg
+    // map-combines to ~|types|×partitions rows either way
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val ut = graft.functions.Cp.localClustered(
+      events(s, d).select($"user_id", $"event_type").distinct(),
+      nPart, Seq("user_id"))
     val items = ut.groupBy($"event_type").agg(count(lit(1)).as("n_item"))
     val total = ut.agg(countDistinct($"user_id").as("n_users"))
     ut.as("a").join(ut.as("b"),

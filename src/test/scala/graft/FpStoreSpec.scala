@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The standing bucketed fingerprint store (SURVEY §2 row 35f1):
+  * correctness — the store-backed probe census is bit-identical to the
+  * per-query-fingerprint form — and the scale property that justifies
+  * persisting it: the probe plan reads the corpus side straight off
+  * its bucketed files with ZERO exchange (only the days-of-ingest
+  * batch side shuffles, to the store's own bucket granularity).
+  *
+  * The shipped small SFs carry almost no cross-batch fingerprint
+  * duplicates (sf0.01: zero — AQE's empty-relation propagation then
+  * erases the probe branch entirely), so the suite builds its own
+  * corpus dir: sf0.001 documents plus batch docs (doc_id % 10 == 3)
+  * duplicating known corpus texts. */
+class FpStoreSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = "/tmp/graft_fpstore_spec"
+    val base = spark.read
+      .parquet(TestSpark.sf + "/documents.parquet")
+      .filter(pmod($"doc_id", lit(10)) =!= 3)
+    // 10 batch docs duplicating corpus texts (with punctuation noise
+    // the normalizer must erase) + 10 novel ones
+    val donors = base.orderBy($"doc_id").limit(10)
+      .select($"text").as[String].collect()
+    val batch = (0 until 20).map { i =>
+      val id = 100000L + i * 10 + 3
+      val text = if (i < 10) donors(i) + "!!" else s"novel text $i only here"
+      (id, text, "en", if (i % 2 == 0) "web" else "books",
+        text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    base.unionByName(batch).write.mode("overwrite")
+      .parquet(d + "/documents.parquet")
+    d
+  }
+
+  test("q_incremental_store census equals q_incremental_dedup") {
+    val a = operators.Dedup.qIncrementalDedupStore(spark, dir).collect()
+    val b = operators.Dedup.qIncrementalDedup(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a.map(_.toString).sorted.toSeq === b && a.nonEmpty)
+    assert(a.map(_.getLong(2)).sum == 10,
+      "census must see exactly the 10 planted duplicates")
+  }
+
+  test("probe plan: bucketed store scan, zero corpus-side exchange") {
+    val df = operators.Dedup.qIncrementalDedupStore(spark, dir)
+    df.collect() // settle AQE to the final plan
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("SelectedBucketsCount"),
+      "store must be read as a bucketed scan:\n" + p)
+    val fpShuffles = p.sliding("Exchange hashpartitioning(fp".length)
+      .count(_ == "Exchange hashpartitioning(fp")
+    assert(fpShuffles == 1,
+      s"only the batch side may shuffle on fp (found $fpShuffles):\n" + p)
+    assert(p.contains("SortMergeJoin") && p.contains("LeftSemi"),
+      "probe must be the merge semi-join (corpus side never broadcasts):\n" + p)
+  }
+}
