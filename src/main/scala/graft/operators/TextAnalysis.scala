@@ -428,6 +428,80 @@ object TextAnalysis {
       .orderBy($"source".asc)
   }
 
+  /** Deterministic anchor-store table name per corpus dir (the
+    * [[graft.operators.Dedup.fpStoreTable]] convention). */
+  private[graft] def anchorStoreTable(d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"graft_anchorstore_${md.take(12)}"
+  }
+
+  /** Build (if absent) the STANDING ANCHOR STORE for corpus dir `d`:
+    * the DISTINCT [[SpanK]]-token window hashes of the standing corpus
+    * (the corpus side of [[qSpanAdmit]]), persisted as a parquet table
+    * bucketed+sorted by h. On a 100 TB corpus the tokenize + explode +
+    * distinct over corpus text — the dominant cost of every admission
+    * cycle — runs once at ingest/compaction; each batch then probes a
+    * pre-partitioned narrow (h)-only table. */
+  private[graft] def ensureAnchorStore(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val tbl = anchorStoreTable(d)
+    if (!s.catalog.tableExists(tbl)) {
+      val toks = tokens($"text")
+      val spans = transform(
+        sequence(lit(1), greatest(size(toks) - (SpanK - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(SpanK))))
+      val corpus = Tables.documents(s, d)
+        .filter(pmod($"doc_id", lit(AdmitMod)) =!= AdmitRem)
+        .select(explode(spans).as("span"))
+        .select(md5Prefix60($"span").as("h"))
+        .distinct()
+      graft.sources.Sources.writeBucketed(corpus, tbl, "h",
+        graft.operators.Dedup.FpStoreBuckets,
+        path = Some(s"/tmp/graft_fpstore/$tbl"))
+    }
+    tbl
+  }
+
+  /** SPAN-GRAIN ADMISSION against the PERSISTED anchor store — the
+    * production shape of [[qSpanAdmit]]: same census, same oracle,
+    * but the corpus anchor set is the standing bucketed table from
+    * [[ensureAnchorStore]] instead of a per-cycle tokenize + distinct
+    * over corpus text. The batch side explodes its own spans fresh
+    * (days-of-ingest small) and shuffles once to the store's bucket
+    * granularity; the store streams straight off its bucketed+sorted
+    * files into the merge semi-join (merge-hinted — corpus-grown
+    * sides never broadcast). FpStoreSpec asserts the zero-exchange
+    * store scan; the DuckDB oracle proves every admit decision. */
+  def qSpanAdmitStore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val spans = transform(
+      sequence(lit(1), greatest(size(toks) - (SpanK - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(SpanK))))
+    val corpus = s.table(ensureAnchorStore(s, d))
+    val batch = Tables.documents(s, d)
+      .filter(pmod($"doc_id", lit(AdmitMod)) === AdmitRem)
+      .select($"doc_id", $"source", explode(spans).as("span"))
+      .select($"doc_id", $"source", md5Prefix60($"span").as("h"))
+      .transform(graft.functions.Cp.local) // read twice: spans + hits
+    val hits = batch.join(corpus.hint("merge"), Seq("h"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
+    val cov = batch.groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_spans"))
+      .join(hits.hint("merge"), Seq("doc_id"), "left")
+      .withColumn("cov_e9",
+        expr("coalesce(n_hit, 0L) * 1000000000 div n_spans"))
+      .withColumn("admit", $"cov_e9" < AdmitMaxCovE9)
+    cov.groupBy($"source")
+      .agg(count(lit(1)).as("n_batch"),
+        sum($"admit".cast("long")).as("n_admitted"),
+        sum($"cov_e9").as("sum_cov_e9"),
+        coalesce(bit_xor(when($"admit", expr("doc_id * 1000003"))),
+          lit(0L)).as("admit_checksum"))
+      .orderBy($"source".asc)
+  }
+
   /** SPAN TRIM — the ACTIONABLE end of the span family: rewrite every
     * document with its ≥12-token shared spans REMOVED (the
     * "deduplicate training text verbatim" pass real curation
@@ -1849,6 +1923,7 @@ object TextAnalysis {
     "q_span_coverage" -> (qSpanCoverage _),
     "q_span_trim" -> (qSpanTrim _),
     "q_span_admit" -> (qSpanAdmit _),
+    "q_span_admit_store" -> (qSpanAdmitStore _),
     "q_quality_model" -> (qQualityModel _),
     "q_calibration" -> (qCalibration _),
     "q_dp_counts" -> (qDpCounts _),
@@ -2495,6 +2570,37 @@ object TextAnalysis {
          |covered * 1000000000 // ntok AS ratio_e9
          |FROM nt JOIN pd USING (doc_id)
          |ORDER BY ratio_e9 DESC, doc_id ASC LIMIT $SpanReportK""".stripMargin,
+    // identical census to q_span_admit — the store variant changes
+    // WHERE the corpus anchors come from, never what they are
+    "q_span_admit_store" ->
+      s"""WITH tok AS (SELECT doc_id, source, string_split(text,' ') AS t
+         |  FROM documents),
+         |an AS MATERIALIZED (SELECT doc_id, source,
+         |  CAST(('0x'||substr(md5(span),1,15)) AS BIGINT) AS h FROM (
+         |  SELECT doc_id, source, unnest(${sqlGrams(SpanK)}) AS span
+         |  FROM tok)),
+         |corpus AS (SELECT DISTINCT h FROM an
+         |  WHERE doc_id % $AdmitMod <> $AdmitRem),
+         |batch AS (SELECT * FROM an
+         |  WHERE doc_id % $AdmitMod = $AdmitRem),
+         |hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |  FROM batch WHERE h IN (SELECT h FROM corpus) GROUP BY 1),
+         |cov AS (SELECT b.doc_id, b.source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |  COALESCE(MAX(hits.n_hit), 0) AS n_hit
+         |  FROM batch b LEFT JOIN hits ON b.doc_id = hits.doc_id
+         |  GROUP BY 1, 2),
+         |fl AS (SELECT doc_id, source,
+         |  n_hit * 1000000000 // n_spans AS cov_e9,
+         |  n_hit * 1000000000 // n_spans < $AdmitMaxCovE9 AS admit
+         |  FROM cov)
+         |SELECT source, COUNT(*) AS n_batch,
+         |CAST(SUM(CASE WHEN admit THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_admitted,
+         |CAST(SUM(cov_e9) AS BIGINT) AS sum_cov_e9,
+         |COALESCE(bit_xor(CASE WHEN admit
+         |  THEN doc_id * 1000003 END), 0) AS admit_checksum
+         |FROM fl GROUP BY 1 ORDER BY 1 ASC""".stripMargin,
     "q_span_admit" ->
       s"""WITH tok AS (SELECT doc_id, source, string_split(text,' ') AS t
          |  FROM documents),

@@ -25,8 +25,13 @@ class FpStoreSpec extends AnyFunSuite {
       .parquet(TestSpark.sf + "/documents.parquet")
       .filter(pmod($"doc_id", lit(10)) =!= 3)
     // 10 batch docs duplicating corpus texts (with punctuation noise
-    // the normalizer must erase) + 10 novel ones
-    val donors = base.orderBy($"doc_id").limit(10)
+    // the fingerprint normalizer must erase; donors are ≥60 tokens so
+    // the span-coverage of a copy stays far above the 50% admit gate
+    // even though the trailing "!!" perturbs its last ≤8 windows)
+    // + 10 novel ones
+    val donors = base
+      .filter(size(split($"text", " ")) >= 60)
+      .orderBy($"doc_id").limit(10)
       .select($"text").as[String].collect()
     val batch = (0 until 20).map { i =>
       val id = 100000L + i * 10 + 3
@@ -61,5 +66,31 @@ class FpStoreSpec extends AnyFunSuite {
       s"only the batch side may shuffle on fp (found $fpShuffles):\n" + p)
     assert(p.contains("SortMergeJoin") && p.contains("LeftSemi"),
       "probe must be the merge semi-join (corpus side never broadcasts):\n" + p)
+  }
+
+  test("q_span_admit_store census equals q_span_admit") {
+    val a = operators.TextAnalysis.qSpanAdmitStore(spark, dir).collect()
+    val b = operators.TextAnalysis.qSpanAdmit(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a.map(_.toString).sorted.toSeq === b && a.nonEmpty)
+    // the 10 planted full-text duplicates have ~100% span coverage
+    // and must be REJECTED by the 50% gate; the 10 novel docs admit
+    assert(a.map(_.getLong(2)).sum == 10,
+      "exactly the 10 novel docs must be admitted")
+  }
+
+  test("anchor-store probe plan: bucketed scan, zero corpus-side exchange") {
+    val df = operators.TextAnalysis.qSpanAdmitStore(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("SelectedBucketsCount"),
+      "anchor store must be read as a bucketed scan:\n" + p)
+    val hShuffles = p.sliding("Exchange hashpartitioning(h".length)
+      .count(_ == "Exchange hashpartitioning(h")
+    assert(hShuffles == 1,
+      s"only the batch side may shuffle on h (found $hShuffles):\n" + p)
+    assert(p.contains("SortMergeJoin") && p.contains("LeftSemi"),
+      "probe must be the merge semi-join:\n" + p)
   }
 }
