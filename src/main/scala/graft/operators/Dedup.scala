@@ -578,6 +578,13 @@ object Dedup {
     * doc_id. */
   def qPrefixJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // NOTE round-14: the clustered-checkpoint treatment was measured
+    // and REJECTED here (20.8 → 39.2 s at sf10): clustering the
+    // posting table on doc_id adds a full posting-sized repartition +
+    // sort before the checkpoint, while the only shuffle it saves is
+    // the doc_a merge join's build side — the df window (s) and the
+    // (doc_b, s) join redistribute regardless. The narrow
+    // explode-into-checkpoint below is the right shape.
     val ds = Tables.documents(s, d)
       .select($"doc_id",
         array_distinct(MinHash.shingleHash60(tokens($"text"), JaccardN)).as("shs"))
@@ -1273,19 +1280,26 @@ object Dedup {
     * 3·tri/wedges downstream, kept as exact integers. */
   def qTriangles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val e = jaccardPairs(s, d).filter(lit(3) * $"inter" > $"na" + $"nb")
       .select($"doc_a", $"doc_b").transform(graft.functions.Cp.local)
     val deg = e.select(explode(array($"doc_a", $"doc_b")).as("v"))
       .groupBy($"v").agg(count(lit(1)).as("deg"))
-    val dir = e
+    // clustered+sorted on src: the wedge self-join below reads BOTH
+    // sides of the materialized oriented edge list with zero
+    // exchanges and zero sorts. Measured at sf10 (reps=2 isolated):
+    // 23.7 → 21.5 s. Clustering `e` on doc_a as well was measured and
+    // REJECTED (25.7 s with both treatments): it adds a full pair-set
+    // repartition that serves only one of e's four consumers.
+    val dir = graft.functions.Cp.localClusteredSorted(e
       .join(deg.select($"v".as("doc_a"), $"deg".as("da")), Seq("doc_a"))
       .join(deg.select($"v".as("doc_b"), $"deg".as("db")), Seq("doc_b"))
       .select(
         when($"da" < $"db" || ($"da" === $"db" && $"doc_a" < $"doc_b"),
           $"doc_a").otherwise($"doc_b").as("src"),
         when($"da" < $"db" || ($"da" === $"db" && $"doc_a" < $"doc_b"),
-          $"doc_b").otherwise($"doc_a").as("dst"))
-      .transform(graft.functions.Cp.local)
+          $"doc_b").otherwise($"doc_a").as("dst")),
+      nPart, Seq("src"))
     // wedges at the apex: unordered out-neighbor pairs; closing edge
     // probed in canonical (min, max) form against the undirected set
     val tri = dir.as("x")
