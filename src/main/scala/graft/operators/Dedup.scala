@@ -151,6 +151,76 @@ object Dedup {
         ($"n_batch" - coalesce($"n_dup", lit(0L))).as("n_novel"))
   }
 
+  /** Deterministic band-store table name per corpus dir (the
+    * [[fpStoreTable]] convention at the LSH grain). */
+  private[graft] def bandStoreTable(d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"graft_bandstore_${md.take(12)}"
+  }
+
+  /** Build (if absent) the STANDING LSH BAND STORE for corpus dir
+    * `d`: the corpus side of [[qNeardupAdmitStore]] — every banded
+    * MinHash bucket key `bb = band|bucket` with its full signature,
+    * DISTINCT at (bb, sig) grain, persisted as a parquet table
+    * bucketed+sorted by bb. Two scale facts are baked in at write
+    * time: the distinct collapses verbatim-replica families (an
+    * N-copy document contributes ONE row per band, so no probe ever
+    * meets an N-sized bucket of identical signatures), and the
+    * band id is folded into the join key so the probe is a
+    * single-column equi-join aligned with the table's bucketing —
+    * zero corpus-side exchange, corpus text never re-shingled. */
+  private[graft] def ensureBandStore(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val tbl = bandStoreTable(d)
+    if (!s.catalog.tableExists(tbl)) {
+      val corpus = minhashBandedOf(
+        Tables.documents(s, d)
+          .filter(pmod($"doc_id", lit(BatchMod)) =!= BatchRem))
+        .select(concat_ws("|", $"band", $"bucket").as("bb"), $"sig")
+        .distinct()
+      graft.sources.Sources.writeBucketed(corpus, tbl, "bb", FpStoreBuckets,
+        path = Some(s"/tmp/graft_fpstore/$tbl"))
+    }
+    tbl
+  }
+
+  /** NEAR-DUP ADMISSION against the PERSISTED band store — the third
+    * member of the standing-store family ([[qIncrementalDedupStore]]
+    * exact-fingerprint, [[graft.operators.TextAnalysis
+    * .qSpanAdmitStore]] span-grain): an incoming document is FLAGGED
+    * when any of its [[Bands]] MinHash band buckets contains a
+    * standing-corpus signature agreeing on ≥ K/2 lanes (estimated
+    * Jaccard ≥ 1/2 — the near-dup threshold the pair family uses).
+    * The batch side shingles + signs its own (days-of-ingest small)
+    * documents fresh and shuffles once to the store's bucket
+    * granularity; the store streams off its bucketed+sorted files
+    * into the merge join (merge-hinted — corpus-grown sides never
+    * broadcast). Per source: batch size, flagged count, and a
+    * bit_xor proof over the ADMITTED doc_ids, so the oracle match
+    * certifies every admission decision. */
+  def qNeardupAdmitStore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val store = s.table(ensureBandStore(s, d))
+      .withColumnRenamed("sig", "sig_c")
+    val batchDocs = Tables.documents(s, d)
+      .filter(pmod($"doc_id", lit(BatchMod)) === BatchRem)
+    val best = minhashBandedOf(batchDocs)
+      .select($"doc_id", concat_ws("|", $"band", $"bucket").as("bb"), $"sig")
+      .join(store.hint("merge"), Seq("bb"))
+      .groupBy($"doc_id")
+      .agg(max(MinHash.sigAgree($"sig", $"sig_c").cast("long")).as("best_agree"))
+    batchDocs.select($"doc_id", $"source")
+      .join(best.hint("merge"), Seq("doc_id"), "left")
+      .withColumn("flagged", lit(2) * coalesce($"best_agree", lit(0L)) >= K)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_batch"),
+        sum($"flagged".cast("long")).as("n_flagged"),
+        coalesce(bit_xor(when(!$"flagged", expr("doc_id * 1000003"))),
+          lit(0L)).as("admit_checksum"))
+      .orderBy($"source".asc)
+  }
+
   /** MinHash signature matrix: K universal-hash mins over 3-word
     * shingles, one md5 per shingle (see [[MinHash]]), as a single
     * narrow projection (no shuffle). */
@@ -1673,6 +1743,7 @@ object Dedup {
     "q_fingerprint" -> (qFingerprint _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_incremental_store" -> (qIncrementalDedupStore _),
+    "q_neardup_admit_store" -> (qNeardupAdmitStore _),
     "q_minhash_sig" -> (qMinhashSig _),
     "q_minhash_pairs" -> (qMinhashPairs _),
     "q_jaccard_est" -> (qJaccardEst _),
@@ -2099,6 +2170,42 @@ object Dedup {
          |  AS BIGINT) AS n_novel
          |FROM batch b LEFT JOIN dup ON b.doc_id = dup.doc_id
          |GROUP BY b.source""".stripMargin,
+    // identical decisions to an in-session banded probe — the store
+    // variant changes WHERE the corpus band rows come from, never
+    // what they are; DISTINCT (band, bucket, sig) mirrors the store's
+    // replica-collapsing write exactly (agreement is a function of
+    // the signature, so collapsing identical signatures per bucket
+    // cannot change any doc's best_agree)
+    "q_neardup_admit_store" -> {
+      val rows = K / Bands
+      val sigList = (0 until K).map(j => MinHash.sqlSig("sh", j)).mkString(", ")
+      s"""WITH $tokCte,
+         |shl AS (SELECT doc_id, ${shingleExpr(ShingleN)} AS sh FROM tok),
+         |sig AS (SELECT doc_id, [$sigList] AS sig FROM shl),
+         |banded AS (SELECT doc_id, sig, pb AS band,
+         |  md5(array_to_string(sig[pb*$rows+1 : pb*$rows+$rows], '|')) AS bucket
+         |  FROM sig CROSS JOIN
+         |    (SELECT unnest([${(0 until Bands).mkString(", ")}]) AS pb)),
+         |corpus AS (SELECT DISTINCT band, bucket, sig FROM banded
+         |  WHERE doc_id % $BatchMod <> $BatchRem),
+         |batch AS (SELECT * FROM banded WHERE doc_id % $BatchMod = $BatchRem),
+         |hits AS (SELECT b.doc_id,
+         |  MAX(CAST(list_sum(list_transform(generate_series(1, $K),
+         |    i -> CASE WHEN b.sig[i] = c.sig[i] THEN 1 ELSE 0 END)) AS BIGINT))
+         |    AS best_agree
+         |  FROM batch b JOIN corpus c
+         |  ON b.band = c.band AND b.bucket = c.bucket GROUP BY 1),
+         |docs AS (SELECT doc_id, source FROM documents
+         |  WHERE doc_id % $BatchMod = $BatchRem),
+         |fl AS (SELECT d.doc_id, d.source,
+         |  2 * COALESCE(hits.best_agree, 0) >= $K AS flagged
+         |  FROM docs d LEFT JOIN hits ON d.doc_id = hits.doc_id)
+         |SELECT source, COUNT(*) AS n_batch,
+         |CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |COALESCE(bit_xor(CASE WHEN NOT flagged
+         |  THEN doc_id * 1000003 END), 0) AS admit_checksum
+         |FROM fl GROUP BY 1 ORDER BY 1 ASC""".stripMargin
+    },
     "q_minhash_sig" -> {
       val sigs = (0 until K).map(j =>
         s"${MinHash.sqlSig("sh", j)} AS sig_${"%02d".format(j)}")

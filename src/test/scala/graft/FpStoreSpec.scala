@@ -79,6 +79,33 @@ class FpStoreSpec extends AnyFunSuite {
       "exactly the 10 novel docs must be admitted")
   }
 
+  test("q_neardup_admit_store flags planted near-dups, admits novel docs") {
+    val rows = operators.Dedup.qNeardupAdmitStore(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // the 10 planted donor+"!!" copies share all but ~3 trailing
+    // 3-word shingles with their corpus donors (J ≈ 0.9 on ≥60-token
+    // texts), so every banded probe finds a ≥K/2-agreement partner;
+    // the 10 novel 5-token docs share no shingle with the corpus
+    assert(rows.map(_.getLong(2)).sum == 10,
+      "exactly the 10 planted near-duplicates must be flagged")
+    assert(rows.map(_.getLong(1)).sum == 20, "batch size must be 20")
+  }
+
+  test("band-store probe plan: bucketed scan, zero corpus-side exchange") {
+    val df = operators.Dedup.qNeardupAdmitStore(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("SelectedBucketsCount"),
+      "band store must be read as a bucketed scan:\n" + p)
+    val bbShuffles = p.sliding("Exchange hashpartitioning(bb".length)
+      .count(_ == "Exchange hashpartitioning(bb")
+    assert(bbShuffles == 1,
+      s"only the batch side may shuffle on bb (found $bbShuffles):\n" + p)
+    assert(p.contains("SortMergeJoin"),
+      "probe must be the merge join (corpus side never broadcasts):\n" + p)
+  }
+
   test("anchor-store probe plan: bucketed scan, zero corpus-side exchange") {
     val df = operators.TextAnalysis.qSpanAdmitStore(spark, dir)
     df.collect()
