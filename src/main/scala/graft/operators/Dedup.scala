@@ -124,6 +124,29 @@ object Dedup {
     tbl
   }
 
+  /** Close the ingest loop on the standing fingerprint store: append
+    * a newly ADMITTED batch's fingerprints so the next cycle's probe
+    * sees them — probe → admit → append → next batch. Parquet
+    * bucketed append adds per-bucket files with the SAME hash spec
+    * (Spark validates it), so later probes still skip the corpus-side
+    * exchange; multi-file buckets re-sort per partition (sort
+    * metadata applies only to single-file buckets) until the next
+    * compaction, which is the standard bucketed-table lifecycle.
+    * Callers append only what they admit — appending an fp that is
+    * already standing is semantically harmless (semi/anti-join
+    * probes ignore multiplicity) but wasted bytes. */
+  private[graft] def appendFpStore(s: SparkSession, d: String,
+                                   docs: DataFrame): Unit = {
+    import s.implicits._
+    val tbl = fpStoreTable(d)
+    require(s.catalog.tableExists(tbl),
+      s"fingerprint store $tbl does not exist — build it with ensureFpStore")
+    graft.sources.Sources.writeBucketed(
+      docs.select($"doc_id", $"source", fingerprint($"text").as("fp")),
+      tbl, "fp", FpStoreBuckets,
+      mode = org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** INCREMENTAL dedup against the PERSISTED fingerprint store — the
     * production shape of [[qIncrementalDedup]]: same census, same
     * oracle, but the corpus side is the standing bucketed table from

@@ -68,6 +68,39 @@ class FpStoreSpec extends AnyFunSuite {
       "probe must be the merge semi-join (corpus side never broadcasts):\n" + p)
   }
 
+  test("fp store ingest cycle: append admitted batch, next probe sees it") {
+    import spark.implicits._
+    // private corpus dir — this test mutates its store
+    val d2 = "/tmp/graft_fpstore_cycle"
+    spark.read.parquet(dir + "/documents.parquet")
+      .write.mode("overwrite").parquet(d2 + "/documents.parquet")
+    spark.sql(s"DROP TABLE IF EXISTS ${operators.Dedup.fpStoreTable(d2)}")
+    // cycle 1: the 10 planted copies are dup, the 10 novel docs admit
+    val c1 = operators.Dedup.qIncrementalDedupStore(spark, d2).collect()
+    assert(c1.map(_.getLong(3)).sum == 10, "cycle 1 must admit the 10 novel")
+    // ingest: append the ADMITTED (novel) batch docs to the store
+    val batch = spark.read.parquet(d2 + "/documents.parquet")
+      .filter(pmod($"doc_id", lit(10)) === 3)
+    val novel = batch.filter($"text".startsWith("novel"))
+    operators.Dedup.appendFpStore(spark, d2, novel)
+    spark.catalog.refreshTable(operators.Dedup.fpStoreTable(d2))
+    // cycle 2: the same batch now probes as ALL duplicate
+    val c2 = operators.Dedup.qIncrementalDedupStore(spark, d2).collect()
+    assert(c2.map(_.getLong(2)).sum == 20 && c2.map(_.getLong(3)).sum == 0,
+      "after the append every batch doc must be a standing duplicate: " +
+        c2.mkString(", "))
+    // the appended store still probes without a corpus-side exchange
+    val df = operators.Dedup.qIncrementalDedupStore(spark, d2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("SelectedBucketsCount"),
+      "appended store must still be read as a bucketed scan:\n" + p)
+    assert(p.sliding("Exchange hashpartitioning(fp".length)
+      .count(_ == "Exchange hashpartitioning(fp") == 1,
+      "appended store must still probe with zero corpus-side exchange:\n" + p)
+  }
+
   test("q_span_admit_store census equals q_span_admit") {
     val a = operators.TextAnalysis.qSpanAdmitStore(spark, dir).collect()
     val b = operators.TextAnalysis.qSpanAdmit(spark, dir)
