@@ -321,6 +321,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.operators.Curate.curateFullOf(s.table(tbl))
           .queryExecution.logical
       }))
+    // GRAPH ANN from SQL text — EAGER for the dup_clusters reason: the
+    // beam walk is a driver loop (ladder count + per-hop checkpoints
+    // with generation hygiene), not a parsed-SQL template. The builder
+    // runs [[graft.operators.Similarity.annGraphOf]] on the named
+    // (vec_id, embedding) view during analysis and splices the
+    // checkpoint-backed plan in; same caveats as dup_clusters — index
+    // build + walk jobs run when the statement is ANALYZED, result
+    // pinned to the view's content at that moment.
+    ext.injectTableFunction((
+      FunctionIdentifier("ann_graph"),
+      info("ann_graph"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "ann_graph(table) — table names a view with " +
+            "(vec_id, embedding); queries are the vec_id < 20 slice")
+        val tbl = ident(strArg(args(0), "ann_graph table"))
+        val s = org.apache.spark.sql.SparkSession.active
+        graft.operators.Similarity.annGraphOf(s.table(tbl))
+          .queryExecution.logical
+      }))
   }
 
   private def parsePlan(sql: String) =

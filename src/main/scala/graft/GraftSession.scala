@@ -45,6 +45,15 @@ object GraftSession {
       // are unaffected.
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
         (8L << 20).toString)
+      // Honor per-bucket SORT metadata when (and only when) every
+      // selected bucket is a single file — the standing-store contract:
+      // a freshly compacted store streams straight into its merge-join
+      // probes with no store-side sort, and appended (multi-file)
+      // buckets still re-sort correctly. Spark 3+ turned this off by
+      // default because it lists files at PLANNING time to count them;
+      // the file index is cached per table, and our store probes pay
+      // that listing anyway, so the check is ~free here.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS): read as nanosecond
       // longs (graft.operators.Events floor-divides to micros, matching

@@ -208,6 +208,26 @@ object Dedup {
     tbl
   }
 
+  /** Close the ingest loop on the standing band store: append an
+    * admitted batch's (bb, sig) band rows — distinct within the batch,
+    * like the store build — so the next cycle's near-dup probe sees
+    * them. Same lifecycle as [[appendFpStore]]: bucketed append keeps
+    * the hash spec, multi-file buckets re-sort until
+    * [[graft.sources.Sources.compactBucketed]]. */
+  private[graft] def appendBandStore(s: SparkSession, d: String,
+                                     docs: DataFrame): Unit = {
+    import s.implicits._
+    val tbl = bandStoreTable(d)
+    require(s.catalog.tableExists(tbl),
+      s"band store $tbl does not exist — build it with ensureBandStore")
+    graft.sources.Sources.writeBucketed(
+      minhashBandedOf(docs)
+        .select(concat_ws("|", $"band", $"bucket").as("bb"), $"sig")
+        .distinct(),
+      tbl, "bb", FpStoreBuckets,
+      mode = org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** NEAR-DUP ADMISSION against the PERSISTED band store — the third
     * member of the standing-store family ([[qIncrementalDedupStore]]
     * exact-fingerprint, [[graft.operators.TextAnalysis

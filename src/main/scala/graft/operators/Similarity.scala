@@ -460,15 +460,253 @@ object Similarity {
         round($"cos", 6).as("cos"))
   }
 
-  def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+  /** Pinned IVF coarse centroids for corpus dir `d`: the first
+    * [[Cells]] corpus vectors — the oracle-mirrorable stand-in for a
+    * k-means sample job. A bounded MODEL collect (Cells × Dims floats),
+    * like k-means centers. */
+  private def pinnedCentroids(s: SparkSession, d: String): Array[Array[Float]] = {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
-    // bounded model parameter: Cells × Dims floats, like k-means centers
-    val centroids: Array[Array[Float]] = emb.filter($"vec_id" < Cells)
+    Tables.embeddings(s, d).filter($"vec_id" < Cells)
       .orderBy($"vec_id").select($"embedding").collect()
       .map(_.getSeq[Float](0).toArray)
-    ivfSearch(s, emb, centroids)
   }
+
+  def qAnnIvf(s: SparkSession, d: String): DataFrame =
+    ivfSearch(s, Tables.embeddings(s, d), pinnedCentroids(s, d))
+
+  /** Deterministic IVF-store table name per corpus dir (the
+    * [[graft.operators.Dedup.fpStoreTable]] convention at the
+    * embedding grain). */
+  private[graft] def ivfStoreTable(d: String): String = {
+    val md = MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"graft_ivfstore_${md.take(12)}"
+  }
+
+  /** Build (if absent) the STANDING IVF INDEX STORE for corpus dir
+    * `d` — the fourth member of the standing-store family
+    * ([[graft.operators.Dedup.ensureFpStore]] exact-fingerprint,
+    * anchor, band), at the embedding grain: every corpus vector
+    * assigned to its nearest pinned coarse centroid (the [[qAnnIvf]]
+    * literal-mirror discipline, one narrow codegen map) and persisted
+    * as a parquet table PARTITIONED BY cell. Unlike the probe-key
+    * stores this is a true inverted file: the directory layout IS the
+    * index, so a query batch that probes NProbe of Cells cells reads
+    * only those cells' files — partition pruning at the scan, the
+    * ~NProbe/Cells I/O bound that makes ANN serving viable on a
+    * standing 100 TB corpus (a bucketed layout would still scan every
+    * file and only save the shuffle). Assignment runs ONCE at
+    * ingest; queries never re-quantize corpus vectors. */
+  private[graft] def ensureIvfStore(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val tbl = ivfStoreTable(d)
+    if (!s.catalog.tableExists(tbl)) {
+      val centroids = pinnedCentroids(s, d)
+      Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding",
+          nearestCentroid($"embedding", centroids).as("cell"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell")
+        .format("parquet")
+        .option("path", s"/tmp/graft_fpstore/$tbl")
+        .saveAsTable(tbl)
+    }
+    tbl
+  }
+
+  /** IVF search against the PERSISTED index store: the query batch
+    * (bounded) picks its NProbe best cells, the probed cell SET —
+    * ≤ Cells values, a model-sized driver collect like the centroids
+    * themselves — becomes a partition filter on the store, and the
+    * scan reads ONLY those cells' files. Everything downstream is the
+    * [[ivfSearch]] shape: broadcast query side, per-cell cosine,
+    * bounded top-k window. */
+  private[graft] def ivfStoreSearch(s: SparkSession, d: String,
+                                    nQ: Int): DataFrame = {
+    import s.implicits._
+    val centroids = pinnedCentroids(s, d)
+    val centDf = centroids.zipWithIndex
+      .map { case (v, i) => (i + 1, v) }.toSeq.toDF("cell", "cv")
+    val wProbe = Window.partitionBy($"query_id").orderBy($"ccos".desc, $"cell".asc)
+    val queryCells = Tables.embeddings(s, d).filter($"vec_id" < nQ)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("ccos", cosineFast($"qv", $"cv"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter($"pr" <= NProbe)
+      .select($"query_id", $"qv", $"cell")
+      .transform(graft.functions.Cp.local) // read twice: cell set + join
+    // the probed-cell set is bounded by Cells — a model parameter, not
+    // data — and collecting it makes the pruning STATIC: the store scan
+    // carries it as a partition filter, no lookup-join planning needed
+    val probed = queryCells.select($"cell").distinct()
+      .collect().map(r => Int.box(r.getInt(0))).toSeq
+    val store = s.table(ensureIvfStore(s, d))
+      .filter($"cell".isin(probed: _*))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    broadcast(queryCells)
+      .join(store, Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosineFast($"qv", $"embedding").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"neighbor_id", $"rank".cast("long").as("rank"),
+        round($"cos", 6).as("cos"))
+  }
+
+  /** ANN against the standing IVF store — same results and oracle as
+    * [[qAnnIvf]] (the store changes WHERE corpus cells come from,
+    * never what they contain); IvfStoreSpec asserts the partition
+    * pruning that is the point. */
+  def qAnnIvfStore(s: SparkSession, d: String): DataFrame =
+    ivfStoreSearch(s, d, NQueries)
+
+  private val GraphM = 12      // max out-degree of the neighbor graph
+  private val GraphBeam = 48   // beam width per query (HNSW's ef knob)
+  private val GraphHops = 5    // expansion rounds
+  private val GraphEntries = 4 // fixed entry points (vec_id < 4)
+
+  /** GRAPH-BASED ANN (the NSW/DiskANN family) — beam search over a
+    * bounded-degree neighbor graph, the recall/latency frontier past
+    * IVF: search cost is hops × beam × degree rows per query,
+    * INDEPENDENT of corpus size, where even a pruned IVF probe still
+    * reads ~nProbe/cells of the corpus.
+    *
+    * Index build (ingest-time at scale, in-session here): candidate
+    * edges from the ladder-width signed-projection buckets
+    * ([[LshParams.widthForCount]] — occupancy pinned at ~2^5 for any
+    * N, so the per-bucket self-join stays linear) with all-planes
+    * multiprobe (H1 bit flips) for cross-boundary edges, then ONE
+    * degree-cap window keeps each node's [[GraphM]] best neighbors —
+    * the adjacency is N·M rows. Each edge CARRIES the endpoint vector
+    * (the DiskANN co-location trick): a hop is one sequential read of
+    * the frontier's adjacency rows, never a second corpus lookup.
+    *
+    * Search: [[GraphHops]] rounds of expand-score-reselect from
+    * [[GraphEntries]] pinned entry points (production: a medoid
+    * sample; pinned ids keep the oracle literal). Each round the
+    * bounded frontier broadcasts into the adjacency table (map-side,
+    * zero shuffle of the corpus-grown side), new candidates anti-join
+    * the visited set, and the beam re-selects the best [[GraphBeam]].
+    * Everything is deterministic (cos DESC, id ASC tie-breaks), so the
+    * whole greedy walk is DuckDB-mirrorable as unrolled MATERIALIZED
+    * CTEs — the oracle proves every hop, not just the final top-k. */
+  def qAnnGraph(s: SparkSession, d: String): DataFrame =
+    annGraphOf(Tables.embeddings(s, d))
+
+  /** [[qAnnGraph]] over any (vec_id, embedding) frame — build the
+    * bounded-degree graph in-session and walk it (the `ann_graph` SQL
+    * TVF's entry point; queries are the vec_id < [[NQueries]] slice). */
+  private[graft] def annGraphOf(emb: DataFrame): DataFrame =
+    graphSearch(emb,
+      graphEdgesOf(emb)
+        .transform(graft.functions.Cp.local)) // re-read every hop
+
+  /** The [[qAnnGraph]] index build as a reusable stage: the
+    * bounded-degree adjacency (src, dst, dv) of `emb` — deterministic,
+    * so the in-session and persisted forms are row-identical. */
+  private[graft] def graphEdgesOf(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val np = LshParams.widthForCount(emb.count())
+    val base = emb.select($"vec_id", $"embedding",
+      signedProjBuckets($"embedding", planesFor(0, np)).as("bucket"))
+    val probes = (0 until np).map(p => $"bucket".bitwiseXOR(lit(1L << p)))
+    val probed = base.select($"vec_id", $"embedding",
+      explode(array(($"bucket" +: probes): _*)).as("bucket"))
+    // corpus-grown both sides: merge join, never an AQE broadcast flip
+    val cand = probed
+      .select($"bucket", $"vec_id".as("src"), $"embedding".as("sv"))
+      .join(base.select($"bucket", $"vec_id".as("dst"),
+        $"embedding".as("dv")).hint("merge"), Seq("bucket"))
+      .filter($"src" =!= $"dst")
+      .select($"src", $"sv", $"dst", $"dv")
+      // a pair can collide via several probes; duplicate rows are
+      // bit-identical, so keep-any is deterministic content
+      .dropDuplicates("src", "dst")
+    val wM = Window.partitionBy($"src")
+      .orderBy(cosineFast($"sv", $"dv").desc, $"dst".asc)
+    cand
+      .withColumn("rk", row_number().over(wM)).filter($"rk" <= GraphM)
+      .select($"src", $"dst", $"dv")
+  }
+
+  /** The [[qAnnGraph]] beam walk over a given adjacency table. */
+  private def graphSearch(emb: DataFrame, edges: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val q = emb.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val ent = emb.filter($"vec_id" < GraphEntries)
+      .select($"vec_id", $"embedding".as("dv"))
+    val sc = s.sparkContext
+    var before = sc.getPersistentRDDs.keySet
+    var visited = q.crossJoin(broadcast(ent))
+      .select($"query_id", $"qv", $"vec_id",
+        cosineFast($"qv", $"dv").as("cos"))
+      .transform(graft.functions.Cp.local)
+    var gen = sc.getPersistentRDDs.keySet -- before
+    for (_ <- 1 to GraphHops) {
+      val wb = Window.partitionBy($"query_id")
+        .orderBy($"cos".desc, $"vec_id".asc)
+      val beam = visited
+        .withColumn("rk", row_number().over(wb)).filter($"rk" <= GraphBeam)
+        .select($"query_id", $"qv", $"vec_id".as("src"))
+      val expanded = broadcast(beam).join(edges, Seq("src"))
+        .select($"query_id", $"qv", $"dst".as("vec_id"), $"dv")
+        .dropDuplicates("query_id", "vec_id")
+        .join(visited.select($"query_id", $"vec_id"),
+          Seq("query_id", "vec_id"), "left_anti")
+        .select($"query_id", $"qv", $"vec_id",
+          cosineFast($"qv", $"dv").as("cos"))
+      before = sc.getPersistentRDDs.keySet
+      val next = graft.functions.Cp.local(visited.unionByName(expanded))
+      val newGen = sc.getPersistentRDDs.keySet -- before
+      graft.functions.Cp.dropGeneration(s, gen) // superseded generation
+      gen = newGen
+      visited = next
+    }
+    val wk = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    visited.filter($"vec_id" =!= $"query_id")
+      .withColumn("rank", row_number().over(wk)).filter($"rank" <= K)
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        $"rank".cast("long").as("rank"), round($"cos", 6).as("cos"))
+  }
+
+  /** Deterministic graph-store table name per corpus dir (the
+    * [[graft.operators.Dedup.fpStoreTable]] convention). */
+  private[graft] def graphStoreTable(d: String): String = {
+    val md = MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"graft_graphstore_${md.take(12)}"
+  }
+
+  /** Build (if absent) the STANDING NEIGHBOR-GRAPH STORE for corpus
+    * dir `d`: the [[graphEdgesOf]] adjacency — (src, dst, dv) with the
+    * endpoint vector co-located, DiskANN's on-disk layout — persisted
+    * bucketed+sorted by src. This is where graph ANN actually earns
+    * its keep at scale: the LSH-candidate + degree-cap build (the only
+    * corpus-sized work in the family) runs ONCE at ingest, and every
+    * later query session walks the standing adjacency with bounded
+    * per-hop reads — no rebuild, no corpus scan, ever. */
+  private[graft] def ensureGraphStore(s: SparkSession, d: String): String = {
+    val tbl = graphStoreTable(d)
+    if (!s.catalog.tableExists(tbl)) {
+      graft.sources.Sources.writeBucketed(
+        graphEdgesOf(Tables.embeddings(s, d)), tbl, "src",
+        graft.operators.Dedup.FpStoreBuckets,
+        path = Some(s"/tmp/graft_fpstore/$tbl"))
+    }
+    tbl
+  }
+
+  /** Graph ANN against the STANDING adjacency store — same walk, same
+    * results, same oracle as [[qAnnGraph]] (the edge build is
+    * deterministic, so the persisted rows are identical); the index
+    * build cost moves to ingest time where it belongs. */
+  def qAnnGraphStore(s: SparkSession, d: String): DataFrame =
+    graphSearch(Tables.embeddings(s, d), s.table(ensureGraphStore(s, d)))
 
   /** CLUSTER LABEL-PURITY CENSUS — the embedding-space diagnostic run
     * alongside [[qKnnClassify]]: coarse-quantize the corpus to the
@@ -800,7 +1038,10 @@ object Similarity {
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_multiprobe" -> (qAnnMultiProbe _),
     "q_ann_ivf" -> (qAnnIvf _),
-    "q_ann_ivf_trained" -> (qAnnIvfTrained _)
+    "q_ann_ivf_store" -> (qAnnIvfStore _),
+    "q_ann_ivf_trained" -> (qAnnIvfTrained _),
+    "q_ann_graph" -> (qAnnGraph _),
+    "q_ann_graph_store" -> (qAnnGraphStore _)
   )
 
   /** Oracle for [[qMmr]]: identical greedy rounds as chained
@@ -1133,7 +1374,79 @@ object Similarity {
          |  ROUND(rawcos, 6) AS cos FROM scored) t
          |WHERE rank <= $K""".stripMargin
     },
-    "q_ann_ivf" ->
+    "q_ann_ivf" -> annIvfSql,
+    // the store variant is result-identical by construction: the
+    // persisted cell assignment is the same pinned-centroid argmax the
+    // in-session form computes, so ONE oracle proves both
+    "q_ann_ivf_store" -> annIvfSql,
+    "q_ann_graph" -> annGraphSql,
+    // deterministic edge build → the persisted adjacency is row-identical
+    // to the in-session one, so one oracle proves both walks
+    "q_ann_graph_store" -> annGraphSql
+  )
+
+  /** Oracle for [[qAnnGraph]]: the edge build via the masked
+    * MaxPlanes-bit bucket + ladder width (the ndStatsSql idiom) with
+    * per-plane H1 probes from a lateral generate_series, then each beam
+    * hop unrolled as MATERIALIZED CTEs (the unrolled-rounds rule). */
+  private lazy val annGraphSql: String = {
+    val rounds = (1 to GraphHops).map { r =>
+      s"""b$r AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id ASC) AS rk FROM v${r - 1}) z
+         |  WHERE rk <= $GraphBeam),
+         |c$r AS (SELECT DISTINCT bm.query_id, ed.dst AS vec_id
+         |  FROM b$r bm JOIN edges ed ON ed.src = bm.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} x
+         |    WHERE x.query_id = bm.query_id AND x.vec_id = ed.dst)),
+         |v$r AS MATERIALIZED (
+         |  SELECT * FROM v${r - 1}
+         |  UNION ALL
+         |  SELECT c.query_id, c.vec_id,
+         |    list_cosine_similarity(q.qv, t.v) AS cos
+         |  FROM c$r c JOIN q ON q.query_id = c.query_id
+         |  JOIN e t ON t.vec_id = c.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT COUNT(*) AS cnt FROM e),
+       |p AS (SELECT ${LshParams.ladderSql("cnt")} AS planes FROM n),
+       |b AS MATERIALIZED (SELECT vec_id,
+       |  (${sqlBucketExpr("v", 0, LshParams.MaxPlanes)}
+       |   & ((CAST(1 AS BIGINT) << planes) - 1)) AS bucket
+       |  FROM e CROSS JOIN p),
+       |pr AS (SELECT vec_id, bucket FROM b
+       |  UNION ALL
+       |  SELECT b.vec_id, xor(b.bucket, (CAST(1 AS BIGINT) << f.i)) AS bucket
+       |  FROM b CROSS JOIN p
+       |  CROSS JOIN generate_series(0, ${LshParams.MaxPlanes - 1}) AS f(i)
+       |  WHERE f.i < p.planes),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT pr.vec_id AS src, t.vec_id AS dst
+       |  FROM pr JOIN b t ON t.bucket = pr.bucket AND t.vec_id <> pr.vec_id),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT c.src, c.dst, ROW_NUMBER() OVER (PARTITION BY c.src
+       |      ORDER BY list_cosine_similarity(s.v, t.v) DESC, c.dst ASC) AS rk
+       |    FROM cand c JOIN e s ON s.vec_id = c.src
+       |    JOIN e t ON t.vec_id = c.dst) z
+       |  WHERE rk <= $GraphM),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |v0 AS MATERIALIZED (
+       |  SELECT q.query_id, t.vec_id, list_cosine_similarity(q.qv, t.v) AS cos
+       |  FROM q CROSS JOIN (SELECT vec_id, v FROM e
+       |    WHERE vec_id < $GraphEntries) t),
+       |$rounds
+       |SELECT query_id, neighbor_id, rank, cos FROM (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id ASC) AS rank,
+       |    ROUND(cos, 6) AS cos
+       |  FROM v$GraphHops WHERE vec_id <> query_id) z
+       |WHERE rank <= $K""".stripMargin
+  }
+
+  /** Shared oracle for [[qAnnIvf]] and [[qAnnIvfStore]]. */
+  private lazy val annIvfSql: String =
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |cent AS (SELECT CAST(vec_id + 1 AS INT) AS cell, v AS cv FROM e WHERE vec_id < $Cells),
          |corpus AS (SELECT vec_id, v, cell FROM (
@@ -1153,5 +1466,4 @@ object Similarity {
          |  ROUND(list_cosine_similarity(qc.qv, co.v), 6) AS cos
          |  FROM qc JOIN corpus co ON co.cell = qc.cell AND co.vec_id <> qc.query_id) t
          |WHERE rank <= $K""".stripMargin
-  )
 }

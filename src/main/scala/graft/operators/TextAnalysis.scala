@@ -463,6 +463,29 @@ object TextAnalysis {
     tbl
   }
 
+  /** Close the ingest loop on the standing anchor store: append an
+    * admitted batch's distinct [[SpanK]]-token window hashes so the
+    * next cycle's span probe counts them as standing coverage. Same
+    * lifecycle as [[graft.operators.Dedup.appendFpStore]]: bucketed
+    * append keeps the hash spec, multi-file buckets re-sort until
+    * [[graft.sources.Sources.compactBucketed]]. */
+  private[graft] def appendAnchorStore(s: SparkSession, d: String,
+                                       docs: DataFrame): Unit = {
+    import s.implicits._
+    val tbl = anchorStoreTable(d)
+    require(s.catalog.tableExists(tbl),
+      s"anchor store $tbl does not exist — build it with ensureAnchorStore")
+    val toks = tokens($"text")
+    val spans = transform(
+      sequence(lit(1), greatest(size(toks) - (SpanK - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(SpanK))))
+    graft.sources.Sources.writeBucketed(
+      docs.select(explode(spans).as("span"))
+        .select(md5Prefix60($"span").as("h")).distinct(),
+      tbl, "h", graft.operators.Dedup.FpStoreBuckets,
+      mode = org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** SPAN-GRAIN ADMISSION against the PERSISTED anchor store — the
     * production shape of [[qSpanAdmit]]: same census, same oracle,
     * but the corpus anchor set is the standing bucketed table from

@@ -484,4 +484,52 @@ object Sources {
       .format("parquet")
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
+
+  /** Compact a bucketed table back to ONE sorted file per bucket.
+    *
+    * Bucketed APPENDs keep the hash spec (Spark validates it, so probes
+    * still skip the corpus-side exchange) but stack an extra file per
+    * bucket per append, and the scan trusts the per-bucket SORT
+    * metadata only while every selected bucket has at most one file —
+    * so until compaction each merge-join probe re-sorts the store side.
+    * This is the standard bucketed-table lifecycle step the standing
+    * dedup stores document (probe → admit → append → … → compact).
+    *
+    * Shape: repartition by the bucket column with the bucket count —
+    * the same murmur3-pmod hash the bucket spec uses, so each writer
+    * task holds exactly its own bucket and emits one file — then
+    * stage-and-swap: write the compacted copy as a stage table at a
+    * sibling path (alternating `.c` suffix), swap catalog names, delete
+    * the superseded files. The catalog swap is the commit point; a
+    * failed compaction leaves the live table untouched. (The two-DDL
+    * swap is single-writer; a multi-writer deployment would route it
+    * through [[ManifestTable]]'s CAS commit.) */
+  def compactBucketed(s: SparkSession, table: String, bucketCol: String,
+                      nBuckets: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val loc = s.sql(s"DESCRIBE TABLE EXTENDED $table")
+      .filter(col("col_name") === "Location")
+      .head.getString(1)
+    val newLoc =
+      if (loc.endsWith(".c")) loc.stripSuffix(".c") else loc + ".c"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(newLoc), true)
+    val stage = table + "_cstage"
+    s.sql(s"DROP TABLE IF EXISTS $stage")
+    // read the raw FILES, not the table: a bucketed-table scan exposes
+    // its hash partitioning, which makes the planner drop the
+    // repartition as redundant — and then auto-disable the bucketed
+    // scan anyway (nothing above needs it), so the write lands
+    // size-split across tasks and buckets stay multi-file. The plain
+    // path read has no partitioning to satisfy anything, so the
+    // repartition survives and each bucket lands in exactly one task →
+    // exactly one file.
+    writeBucketed(s.read.parquet(loc).repartition(nBuckets, col(bucketCol)),
+      stage, bucketCol, nBuckets, path = Some(newLoc))
+    s.sql(s"DROP TABLE $table")
+    s.sql(s"ALTER TABLE $stage RENAME TO $table")
+    fs.delete(new org.apache.hadoop.fs.Path(loc), true)
+    s.catalog.refreshTable(table)
+  }
 }

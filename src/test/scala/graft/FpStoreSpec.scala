@@ -101,6 +101,79 @@ class FpStoreSpec extends AnyFunSuite {
       "appended store must still probe with zero corpus-side exchange:\n" + p)
   }
 
+  test("compaction restores single-file buckets: store-side sort disappears") {
+    import spark.implicits._
+    // private corpus dir — this test appends to and compacts its store
+    val d3 = "/tmp/graft_fpstore_compact"
+    spark.read.parquet(dir + "/documents.parquet")
+      .write.mode("overwrite").parquet(d3 + "/documents.parquet")
+    val tbl = operators.Dedup.fpStoreTable(d3)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    def probe(): (Seq[String], String) = {
+      val df = operators.Dedup.qIncrementalDedupStore(spark, d3)
+      val rows = df.collect().map(_.toString).sorted.toSeq
+      (rows, df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head)
+    }
+    def storeSorts(p: String) =
+      p.sliding("Sort [fp".length).count(_ == "Sort [fp")
+    probe() // builds the store
+    // append → multi-file buckets → sort metadata no longer trusted,
+    // so the probe re-sorts the store side (batch side always sorts)
+    val novel = spark.read.parquet(d3 + "/documents.parquet")
+      .filter(pmod($"doc_id", lit(10)) === 3)
+      .filter($"text".startsWith("novel"))
+    operators.Dedup.appendFpStore(spark, d3, novel)
+    spark.catalog.refreshTable(tbl)
+    val (r2, p2) = probe()
+    assert(storeSorts(p2) == 2,
+      s"post-append probe must re-sort the multi-file store side:\n$p2")
+    graft.sources.Sources.compactBucketed(spark, tbl, "fp",
+      operators.Dedup.FpStoreBuckets)
+    val (r3, p3) = probe()
+    assert(r3 === r2, "compaction must not change the census")
+    assert(storeSorts(p3) == 1,
+      s"compacted store must stream sorted off single-file buckets:\n$p3")
+    assert(p3.contains("SelectedBucketsCount"),
+      "compacted store must still read as a bucketed scan:\n" + p3)
+    assert(p3.sliding("Exchange hashpartitioning(fp".length)
+      .count(_ == "Exchange hashpartitioning(fp") == 1,
+      "compacted store must still probe with zero corpus-side exchange:\n" + p3)
+  }
+
+  test("band + anchor store ingest cycles: appended batches stop admitting") {
+    import spark.implicits._
+    // private corpus dir — this test mutates both of its stores
+    val d4 = "/tmp/graft_fpstore_cycle2"
+    spark.read.parquet(dir + "/documents.parquet")
+      .write.mode("overwrite").parquet(d4 + "/documents.parquet")
+    spark.sql(s"DROP TABLE IF EXISTS ${operators.Dedup.bandStoreTable(d4)}")
+    spark.sql(
+      s"DROP TABLE IF EXISTS ${operators.TextAnalysis.anchorStoreTable(d4)}")
+    val novel = spark.read.parquet(d4 + "/documents.parquet")
+      .filter(pmod($"doc_id", lit(10)) === 3)
+      .filter($"text".startsWith("novel"))
+    // band: cycle 1 flags only the 10 planted near-copies
+    val b1 = operators.Dedup.qNeardupAdmitStore(spark, d4).collect()
+    assert(b1.map(_.getLong(2)).sum == 10)
+    operators.Dedup.appendBandStore(spark, d4, novel)
+    spark.catalog.refreshTable(operators.Dedup.bandStoreTable(d4))
+    val b2 = operators.Dedup.qNeardupAdmitStore(spark, d4).collect()
+    assert(b2.map(_.getLong(2)).sum == 20,
+      "appended novel docs must now flag as standing near-dups: " +
+        b2.mkString(", "))
+    // anchor: cycle 1 admits the 10 novel docs (coverage < the gate)
+    val a1 = operators.TextAnalysis.qSpanAdmitStore(spark, d4).collect()
+    assert(a1.map(_.getLong(2)).sum == 10)
+    operators.TextAnalysis.appendAnchorStore(spark, d4, novel)
+    spark.catalog.refreshTable(
+      operators.TextAnalysis.anchorStoreTable(d4))
+    val a2 = operators.TextAnalysis.qSpanAdmitStore(spark, d4).collect()
+    assert(a2.map(_.getLong(2)).sum == 0,
+      "appended anchors must push novel-doc coverage to 100% → rejected: " +
+        a2.mkString(", "))
+  }
+
   test("q_span_admit_store census equals q_span_admit") {
     val a = operators.TextAnalysis.qSpanAdmitStore(spark, dir).collect()
     val b = operators.TextAnalysis.qSpanAdmit(spark, dir)

@@ -288,6 +288,16 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(tvf.count() === docs.count() / 10)
   }
 
+  // ann_graph TVF (EAGER: the beam walk runs at analysis time):
+  // reproduces the oracle-gated q_ann_graph top-k over the same view
+  test("sql: ann_graph TVF equals the library beam walk") {
+    views
+    val tvf = spark.sql("SELECT * FROM ann_graph('sql_emb')")
+    val lib = operators.Similarity.qAnnGraph(spark, sf)
+    assert(rows(tvf) === rows(lib))
+    assert(rows(tvf).nonEmpty)
+  }
+
   // dup_clusters TVF (EAGER: the CC loop runs at analysis time):
   // default params reproduce the oracle-gated q_dup_clusters census
   test("sql: dup_clusters TVF equals the library CC census") {
