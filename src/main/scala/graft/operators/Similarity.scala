@@ -614,20 +614,31 @@ object Similarity {
     val probes = (0 until np).map(p => $"bucket".bitwiseXOR(lit(1L << p)))
     val probed = base.select($"vec_id", $"embedding",
       explode(array(($"bucket" +: probes): _*)).as("bucket"))
-    // corpus-grown both sides: merge join, never an AQE broadcast flip
+    // corpus-grown both sides: merge join, never an AQE broadcast flip.
+    // The cosine is computed MAP-SIDE on the joined pair and only
+    // (src, dst, cos) rides the degree-cap shuffle (24 B/row instead
+    // of both 256 B vectors — the difference between a ~3 GB and a
+    // ~65 GB shuffle at sf10); the endpoint vector is re-attached at
+    // the N·M adjacency grain afterwards.
     val cand = probed
       .select($"bucket", $"vec_id".as("src"), $"embedding".as("sv"))
       .join(base.select($"bucket", $"vec_id".as("dst"),
         $"embedding".as("dv")).hint("merge"), Seq("bucket"))
       .filter($"src" =!= $"dst")
-      .select($"src", $"sv", $"dst", $"dv")
-      // a pair can collide via several probes; duplicate rows are
-      // bit-identical, so keep-any is deterministic content
-      .dropDuplicates("src", "dst")
+      .select($"src", $"dst", cosineFast($"sv", $"dv").as("cos"))
+    // a pair can collide via several probes, so the multiset reaches
+    // the window with duplicates: dense_rank over (cos DESC, dst ASC)
+    // ranks the multiset exactly like row_number ranks the distinct
+    // set (duplicates share a full ordering key; distinct dsts never
+    // tie on it), and the post-filter dedup runs at the capped
+    // N·M(+dup) grain instead of the full candidate volume.
     val wM = Window.partitionBy($"src")
-      .orderBy(cosineFast($"sv", $"dv").desc, $"dst".asc)
+      .orderBy($"cos".desc, $"dst".asc)
     cand
-      .withColumn("rk", row_number().over(wM)).filter($"rk" <= GraphM)
+      .withColumn("rk", dense_rank().over(wM)).filter($"rk" <= GraphM)
+      .select($"src", $"dst").dropDuplicates("src", "dst")
+      .join(emb.select($"vec_id".as("dst"), $"embedding".as("dv"))
+        .hint("merge"), Seq("dst"))
       .select($"src", $"dst", $"dv")
   }
 
