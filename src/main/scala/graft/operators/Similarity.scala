@@ -514,6 +514,28 @@ object Similarity {
     tbl
   }
 
+  /** Close the ingest loop on the standing IVF store: assign a new
+    * vector batch to its cells with the SAME pinned centroids the
+    * store was built with, and append. A partitioned-table append
+    * only adds files under the touched cell directories — standing
+    * cells' files are untouched, so probes keep their partition
+    * pruning and immediately see the new vectors in any probed cell.
+    * (Production re-clusters centroids at major compactions; between
+    * them, appending into the frozen cell space is exactly how IVF
+    * serving ingests.) */
+  private[graft] def appendIvfStore(s: SparkSession, d: String,
+                                    vecs: DataFrame): Unit = {
+    import s.implicits._
+    val tbl = ivfStoreTable(d)
+    require(s.catalog.tableExists(tbl),
+      s"IVF store $tbl does not exist — build it with ensureIvfStore")
+    val centroids = pinnedCentroids(s, d)
+    vecs.select($"vec_id", $"embedding",
+        nearestCentroid($"embedding", centroids).as("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell").format("parquet").saveAsTable(tbl)
+  }
+
   /** IVF search against the PERSISTED index store: the query batch
     * (bounded) picks its NProbe best cells, the probed cell SET —
     * ≤ Cells values, a model-sized driver collect like the centroids

@@ -19,6 +19,32 @@ class IvfStoreSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("ivf store ingest cycle: appended vector becomes the top neighbor") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // private corpus dir — this test appends to its store
+    val d2 = "/tmp/graft_ivfstore_cycle"
+    spark.read.parquet(sf + "/embeddings.parquet")
+      .write.mode("overwrite").parquet(d2 + "/embeddings.parquet")
+    val tbl = operators.Similarity.ivfStoreTable(d2)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val before = operators.Similarity.ivfStoreSearch(spark, d2, 2).collect()
+    assert(!before.exists(r => r.getLong(1) == 999999L))
+    // ingest a verbatim clone of query 0's vector under a new id: it
+    // lands in query 0's own best cell (same vector → same argmax),
+    // which is always probed, so the next search must rank it first
+    val clone = spark.read.parquet(d2 + "/embeddings.parquet")
+      .filter($"vec_id" === 0L)
+      .select(lit(999999L).as("vec_id"), $"embedding")
+    operators.Similarity.appendIvfStore(spark, d2, clone)
+    spark.catalog.refreshTable(tbl)
+    val after = operators.Similarity.ivfStoreSearch(spark, d2, 2).collect()
+    val top0 = after.filter(r => r.getLong(0) == 0L && r.getLong(2) == 1L)
+    assert(top0.length == 1 && top0.head.getLong(1) == 999999L,
+      s"query 0's top neighbor must be the appended clone: ${after.mkString(", ")}")
+    assert(top0.head.getDouble(3) == 1.0)
+  }
+
   test("probe scan is partition-pruned to the probed cells") {
     val tbl = operators.Similarity.ivfStoreTable(sf)
     // AQE off for the assertion only: the pruning is STATIC (the probed
