@@ -588,6 +588,19 @@ object Similarity {
   private val GraphBeam = 48   // beam width per query (HNSW's ef knob)
   private val GraphHops = 5    // expansion rounds
   private val GraphEntries = 4 // fixed entry points (vec_id < 4)
+  // Edge-diversity slots (the HNSW/DiskANN pruning idea in its cheapest
+  // deterministic form): on a duplicate-heavy corpus every node's top-M
+  // candidates are its own verbatim clones (cos ≈ 1), the graph
+  // fragments into disjoint clone cliques, and a beam walk can never
+  // leave its entry points' cliques (measured: distance-recall 0.2 on
+  // 100×-replica data — exactly the 4/20 queries whose clique holds an
+  // entry). Reserving [[GraphDivSlots]] extra edges for the best
+  // NON-clone neighbors (cos ≤ [[GraphDivTau]]) restores inter-clique
+  // navigation; on clone-free data the diversity arm is a subset of
+  // the top-M arm, so edges — and every gate-SF oracle result — are
+  // bit-identical to the undiversified build.
+  private val GraphDivTau = 0.999
+  private val GraphDivSlots = 4
 
   /** GRAPH-BASED ANN (the NSW/DiskANN family) — beam search over a
     * bounded-degree neighbor graph, the recall/latency frontier past
@@ -627,11 +640,28 @@ object Similarity {
 
   /** The [[qAnnGraph]] index build as a reusable stage: the
     * bounded-degree adjacency (src, dst, dv) of `emb` — deterministic,
-    * so the in-session and persisted forms are row-identical. */
+    * so the in-session and persisted forms are row-identical.
+    *
+    * The graph lives at the REP grain: vectors are canonicalized to
+    * one representative per DISTINCT embedding (the family's minimum
+    * vec_id — the write-time-DISTINCT discipline the band store uses
+    * for MinHash replica families). Without this, a duplicate-heavy
+    * corpus (the LLM-data reality: verbatim crawl copies) fragments
+    * the graph into clone cliques — every node's best-M candidates are
+    * its own copies at cos 1.0, and a beam walk can never leave its
+    * entry points' families (measured: distance-recall 0.2 on
+    * 100×-replica data, exactly the entry-reachable 4/20 queries).
+    * At the rep grain the graph has one node per distinct vector;
+    * members re-attach at output time ([[graphSearch]]). On
+    * duplicate-free data reps ≡ the corpus and everything below is
+    * bit-identical to an uncanonicalized build. */
   private[graft] def graphEdgesOf(emb: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
-    val np = LshParams.widthForCount(emb.count())
-    val base = emb.select($"vec_id", $"embedding",
+    val reps = emb.groupBy($"embedding").agg(min($"vec_id").as("vec_id"))
+      .select($"vec_id", $"embedding")
+      .transform(graft.functions.Cp.local) // ladder count + bucket base
+    val np = LshParams.widthForCount(reps.count())
+    val base = reps.select($"vec_id", $"embedding",
       signedProjBuckets($"embedding", planesFor(0, np)).as("bucket"))
     val probes = (0 until np).map(p => $"bucket".bitwiseXOR(lit(1L << p)))
     val probed = base.select($"vec_id", $"embedding",
@@ -653,30 +683,49 @@ object Similarity {
     // ranks the multiset exactly like row_number ranks the distinct
     // set (duplicates share a full ordering key; distinct dsts never
     // tie on it), and the post-filter dedup runs at the capped
-    // N·M(+dup) grain instead of the full candidate volume.
-    val wM = Window.partitionBy($"src")
-      .orderBy($"cos".desc, $"dst".asc)
+    // N·M(+dup) grain instead of the full candidate volume. The
+    // diversity arm ranks only non-clone candidates (cos ≤ DivTau;
+    // clones sort as NULLS LAST, so non-null ranks are exactly the
+    // ranks within the filtered set) — both windows share the src
+    // partitioning, so the second arm adds a sort but no exchange.
+    val wAll = Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)
+    val wDiv = Window.partitionBy($"src")
+      .orderBy($"cos_div".desc_nulls_last, $"dst".asc)
     cand
-      .withColumn("rk", dense_rank().over(wM)).filter($"rk" <= GraphM)
+      .withColumn("cos_div", when($"cos" <= GraphDivTau, $"cos"))
+      .withColumn("rk", dense_rank().over(wAll))
+      .withColumn("rk_div", dense_rank().over(wDiv))
+      .filter($"rk" <= GraphM ||
+        ($"cos_div".isNotNull && $"rk_div" <= GraphDivSlots))
       .select($"src", $"dst").dropDuplicates("src", "dst")
       .join(emb.select($"vec_id".as("dst"), $"embedding".as("dv"))
         .hint("merge"), Seq("dst"))
       .select($"src", $"dst", $"dv")
   }
 
-  /** The [[qAnnGraph]] beam walk over a given adjacency table. */
+  /** The [[qAnnGraph]] beam walk over a given rep-grain adjacency
+    * table. Visited rows carry the rep VECTOR so the output expansion
+    * needs no corpus shuffle: the bounded visited-rep set broadcasts
+    * into one corpus scan that re-attaches every family member, and
+    * the final top-k ranks members by (cos DESC, id ASC) — id-exact
+    * against brute force even on replica-heavy corpora. */
   private def graphSearch(emb: DataFrame, edges: DataFrame): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     val q = emb.filter($"vec_id" < NQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    // entry points at the rep grain: a family's rep is its global
+    // minimum id, so any id < GraphEntries whose family min it is
+    // appears as the in-slice minimum too — a BOUNDED dedupe, no
+    // corpus shuffle (an E-row slice), and provably only true reps
     val ent = emb.filter($"vec_id" < GraphEntries)
-      .select($"vec_id", $"embedding".as("dv"))
+      .groupBy($"embedding").agg(min($"vec_id").as("vec_id"))
+      .select($"vec_id", $"embedding".as("rv"))
     val sc = s.sparkContext
     var before = sc.getPersistentRDDs.keySet
     var visited = q.crossJoin(broadcast(ent))
-      .select($"query_id", $"qv", $"vec_id",
-        cosineFast($"qv", $"dv").as("cos"))
+      .select($"query_id", $"qv", $"vec_id", $"rv",
+        cosineFast($"qv", $"rv").as("cos"))
       .transform(graft.functions.Cp.local)
     var gen = sc.getPersistentRDDs.keySet -- before
     for (_ <- 1 to GraphHops) {
@@ -690,7 +739,7 @@ object Similarity {
         .dropDuplicates("query_id", "vec_id")
         .join(visited.select($"query_id", $"vec_id"),
           Seq("query_id", "vec_id"), "left_anti")
-        .select($"query_id", $"qv", $"vec_id",
+        .select($"query_id", $"qv", $"vec_id", $"dv".as("rv"),
           cosineFast($"qv", $"dv").as("cos"))
       before = sc.getPersistentRDDs.keySet
       val next = graft.functions.Cp.local(visited.unionByName(expanded))
@@ -699,11 +748,21 @@ object Similarity {
       gen = newGen
       visited = next
     }
+    // expand visited reps back to ids: the distinct (rep, vector) set
+    // is bounded (≤ entries + hops×beam×degree per query), so it
+    // broadcasts into ONE corpus scan — no shuffle, no standing
+    // membership table needed
+    val repVecs = visited.select($"vec_id".as("rep"), $"rv")
+      .dropDuplicates("rep")
+    val members = emb.join(broadcast(repVecs), $"embedding" === $"rv")
+      .select($"rep", $"vec_id".as("neighbor_id"))
     val wk = Window.partitionBy($"query_id")
-      .orderBy($"cos".desc, $"vec_id".asc)
-    visited.filter($"vec_id" =!= $"query_id")
+      .orderBy($"cos".desc, $"neighbor_id".asc)
+    visited.select($"query_id", $"vec_id".as("rep"), $"cos")
+      .join(members, Seq("rep"))
+      .filter($"neighbor_id" =!= $"query_id")
       .withColumn("rank", row_number().over(wk)).filter($"rank" <= K)
-      .select($"query_id", $"vec_id".as("neighbor_id"),
+      .select($"query_id", $"neighbor_id",
         $"rank".cast("long").as("rank"), round($"cos", 6).as("cos"))
   }
 
@@ -1441,12 +1500,14 @@ object Similarity {
          |  JOIN e t ON t.vec_id = c.vec_id)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |n AS (SELECT COUNT(*) AS cnt FROM e),
+       |reps AS MATERIALIZED (SELECT MIN(vec_id) AS vec_id, v
+       |  FROM e GROUP BY v),
+       |n AS (SELECT COUNT(*) AS cnt FROM reps),
        |p AS (SELECT ${LshParams.ladderSql("cnt")} AS planes FROM n),
        |b AS MATERIALIZED (SELECT vec_id,
        |  (${sqlBucketExpr("v", 0, LshParams.MaxPlanes)}
        |   & ((CAST(1 AS BIGINT) << planes) - 1)) AS bucket
-       |  FROM e CROSS JOIN p),
+       |  FROM reps CROSS JOIN p),
        |pr AS (SELECT vec_id, bucket FROM b
        |  UNION ALL
        |  SELECT b.vec_id, xor(b.bucket, (CAST(1 AS BIGINT) << f.i)) AS bucket
@@ -1458,23 +1519,35 @@ object Similarity {
        |  FROM pr JOIN b t ON t.bucket = pr.bucket AND t.vec_id <> pr.vec_id),
        |edges AS MATERIALIZED (
        |  SELECT src, dst FROM (
-       |    SELECT c.src, c.dst, ROW_NUMBER() OVER (PARTITION BY c.src
-       |      ORDER BY list_cosine_similarity(s.v, t.v) DESC, c.dst ASC) AS rk
-       |    FROM cand c JOIN e s ON s.vec_id = c.src
-       |    JOIN e t ON t.vec_id = c.dst) z
-       |  WHERE rk <= $GraphM),
+       |    SELECT src, dst,
+       |      DENSE_RANK() OVER (PARTITION BY src
+       |        ORDER BY cos DESC, dst ASC) AS rk,
+       |      DENSE_RANK() OVER (PARTITION BY src
+       |        ORDER BY cos_div DESC NULLS LAST, dst ASC) AS rk_div,
+       |      cos_div
+       |    FROM (
+       |      SELECT c.src, c.dst, list_cosine_similarity(s.v, t.v) AS cos,
+       |        CASE WHEN list_cosine_similarity(s.v, t.v) <= $GraphDivTau
+       |          THEN list_cosine_similarity(s.v, t.v) END AS cos_div
+       |      FROM cand c JOIN e s ON s.vec_id = c.src
+       |      JOIN e t ON t.vec_id = c.dst) y) z
+       |  WHERE rk <= $GraphM
+       |    OR (cos_div IS NOT NULL AND rk_div <= $GraphDivSlots)),
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries),
        |v0 AS MATERIALIZED (
        |  SELECT q.query_id, t.vec_id, list_cosine_similarity(q.qv, t.v) AS cos
-       |  FROM q CROSS JOIN (SELECT vec_id, v FROM e
-       |    WHERE vec_id < $GraphEntries) t),
+       |  FROM q CROSS JOIN (SELECT MIN(vec_id) AS vec_id, v FROM e
+       |    WHERE vec_id < $GraphEntries GROUP BY v) t),
        |$rounds
        |SELECT query_id, neighbor_id, rank, cos FROM (
-       |  SELECT query_id, vec_id AS neighbor_id,
-       |    ROW_NUMBER() OVER (PARTITION BY query_id
-       |      ORDER BY cos DESC, vec_id ASC) AS rank,
-       |    ROUND(cos, 6) AS cos
-       |  FROM v$GraphHops WHERE vec_id <> query_id) z
+       |  SELECT x.query_id, m.vec_id AS neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY x.query_id
+       |      ORDER BY x.cos DESC, m.vec_id ASC) AS rank,
+       |    ROUND(x.cos, 6) AS cos
+       |  FROM v$GraphHops x
+       |  JOIN e rv ON rv.vec_id = x.vec_id
+       |  JOIN e m ON m.v = rv.v
+       |  WHERE m.vec_id <> x.query_id) z
        |WHERE rank <= $K""".stripMargin
   }
 

@@ -22,6 +22,30 @@ class AnnGraphSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"graph-ANN recall@5 degraded to $recall")
   }
 
+  test("replica-heavy corpus: rep-grain graph keeps id-exact recall") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 5× verbatim replicas with shifted ids — the duplicate-heavy
+    // corpus shape that fragments an uncanonicalized neighbor graph
+    // into clone cliques (measured distance-recall 0.2 on 100×-replica
+    // data before the rep-grain build; this pins the fix)
+    val d2 = "/tmp/graft_anngraph_replicas"
+    val base = spark.read.parquet(sf + "/embeddings.parquet")
+    val n = base.agg(max($"vec_id")).head.getLong(0) + 1
+    (0 until 5).map(r => base.withColumn("vec_id", $"vec_id" + lit(r * n)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(d2 + "/embeddings.parquet")
+    val g = operators.Similarity.qAnnGraph(spark, d2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = operators.Similarity.qKnnBrute(spark, d2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b.nonEmpty)
+    val recall = (g & b).size.toDouble / b.size
+    assert(recall == 1.0,
+      s"replica corpus must stay id-exact (clone families are found " +
+        s"via their rep and expanded by id), got $recall")
+  }
+
   test("q_ann_graph_store walk equals the in-session walk") {
     val a = operators.Similarity.qAnnGraphStore(spark, sf).collect()
       .map(_.toString).sorted.toSeq
