@@ -800,6 +800,35 @@ object Similarity {
   def qAnnGraphStore(s: SparkSession, d: String): DataFrame =
     graphSearch(Tables.embeddings(s, d), s.table(ensureGraphStore(s, d)))
 
+  /** NEIGHBOR-GRAPH HEALTH CENSUS — the index-observability readout
+    * for the graph-ANN family (what [[graft.operators.Dedup
+    * .qLshBucketStats]] is to the LSH family): per out-degree bucket,
+    * how many rep nodes sit there, how many of their edges are
+    * RECIPROCATED (the navigability signal — a low-reciprocity graph
+    * has one-way funnels the beam can enter but not leave), and a
+    * bit_xor proof over the node ids so the oracle match certifies
+    * every node's degree placement, not just counts. Scale shape:
+    * the edge build (linear, occupancy-pinned) + one N·M-grain
+    * self-semi-join on the reversed key + two bounded aggs; output is
+    * ≤ M + diversity-slots rows. */
+  def qGraphStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = graphEdgesOf(Tables.embeddings(s, d))
+      .select($"src", $"dst")
+      .transform(graft.functions.Cp.local) // three consumers below
+    val recip = edges
+      .join(edges.select($"dst".as("src"), $"src".as("dst")).hint("merge"),
+        Seq("src", "dst"), "left_semi")
+      .groupBy($"src").agg(count(lit(1)).as("n_recip"))
+    edges.groupBy($"src").agg(count(lit(1)).as("degree"))
+      .join(recip.hint("merge"), Seq("src"), "left")
+      .groupBy($"degree")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce($"n_recip", lit(0L))).as("n_recip_edges"),
+        bit_xor(expr("src * 1000003")).as("node_checksum"))
+      .orderBy($"degree".asc)
+  }
+
   /** CLUSTER LABEL-PURITY CENSUS — the embedding-space diagnostic run
     * alongside [[qKnnClassify]]: coarse-quantize the corpus to the
     * scale-parameterized √N cell set (the [[qSemDedup]] assignment,
@@ -1133,7 +1162,8 @@ object Similarity {
     "q_ann_ivf_store" -> (qAnnIvfStore _),
     "q_ann_ivf_trained" -> (qAnnIvfTrained _),
     "q_ann_graph" -> (qAnnGraph _),
-    "q_ann_graph_store" -> (qAnnGraphStore _)
+    "q_ann_graph_store" -> (qAnnGraphStore _),
+    "q_graph_stats" -> (qGraphStats _)
   )
 
   /** Oracle for [[qMmr]]: identical greedy rounds as chained
@@ -1474,32 +1504,28 @@ object Similarity {
     "q_ann_graph" -> annGraphSql,
     // deterministic edge build → the persisted adjacency is row-identical
     // to the in-session one, so one oracle proves both walks
-    "q_ann_graph_store" -> annGraphSql
+    "q_ann_graph_store" -> annGraphSql,
+    // SUM(BIGINT) widens to HUGEINT in DuckDB — cast back (CLAUDE.md)
+    "q_graph_stats" ->
+      s"""WITH $graphEdgeCtes,
+         |recip AS (SELECT a.src, COUNT(*) AS n_recip
+         |  FROM edges a JOIN edges r ON r.src = a.dst AND r.dst = a.src
+         |  GROUP BY a.src),
+         |deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src)
+         |SELECT d.degree, COUNT(*) AS n_nodes,
+         |  CAST(COALESCE(SUM(r.n_recip), 0) AS BIGINT) AS n_recip_edges,
+         |  bit_xor(d.src * 1000003) AS node_checksum
+         |FROM deg d LEFT JOIN recip r ON r.src = d.src
+         |GROUP BY d.degree ORDER BY d.degree ASC""".stripMargin
   )
 
-  /** Oracle for [[qAnnGraph]]: the edge build via the masked
-    * MaxPlanes-bit bucket + ladder width (the ndStatsSql idiom) with
-    * per-plane H1 probes from a lateral generate_series, then each beam
-    * hop unrolled as MATERIALIZED CTEs (the unrolled-rounds rule). */
-  private lazy val annGraphSql: String = {
-    val rounds = (1 to GraphHops).map { r =>
-      s"""b$r AS (SELECT query_id, vec_id FROM (
-         |  SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY cos DESC, vec_id ASC) AS rk FROM v${r - 1}) z
-         |  WHERE rk <= $GraphBeam),
-         |c$r AS (SELECT DISTINCT bm.query_id, ed.dst AS vec_id
-         |  FROM b$r bm JOIN edges ed ON ed.src = bm.vec_id
-         |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} x
-         |    WHERE x.query_id = bm.query_id AND x.vec_id = ed.dst)),
-         |v$r AS MATERIALIZED (
-         |  SELECT * FROM v${r - 1}
-         |  UNION ALL
-         |  SELECT c.query_id, c.vec_id,
-         |    list_cosine_similarity(q.qv, t.v) AS cos
-         |  FROM c$r c JOIN q ON q.query_id = c.query_id
-         |  JOIN e t ON t.vec_id = c.vec_id)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** Shared oracle CTE block for the rep-grain neighbor-graph BUILD
+    * (e → reps → ladder width → masked buckets → H1 probes → candidate
+    * pairs → degree-capped + diversity-slotted edges) — the exact
+    * mirror of [[graphEdgesOf]], reused by [[annGraphSql]] and the
+    * graph-stats census. */
+  private lazy val graphEdgeCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |reps AS MATERIALIZED (SELECT MIN(vec_id) AS vec_id, v
        |  FROM e GROUP BY v),
        |n AS (SELECT COUNT(*) AS cnt FROM reps),
@@ -1532,7 +1558,31 @@ object Similarity {
        |      FROM cand c JOIN e s ON s.vec_id = c.src
        |      JOIN e t ON t.vec_id = c.dst) y) z
        |  WHERE rk <= $GraphM
-       |    OR (cos_div IS NOT NULL AND rk_div <= $GraphDivSlots)),
+       |    OR (cos_div IS NOT NULL AND rk_div <= $GraphDivSlots))""".stripMargin
+
+  /** Oracle for [[qAnnGraph]]: the edge build via the masked
+    * MaxPlanes-bit bucket + ladder width (the ndStatsSql idiom) with
+    * per-plane H1 probes from a lateral generate_series, then each beam
+    * hop unrolled as MATERIALIZED CTEs (the unrolled-rounds rule). */
+  private lazy val annGraphSql: String = {
+    val rounds = (1 to GraphHops).map { r =>
+      s"""b$r AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id ASC) AS rk FROM v${r - 1}) z
+         |  WHERE rk <= $GraphBeam),
+         |c$r AS (SELECT DISTINCT bm.query_id, ed.dst AS vec_id
+         |  FROM b$r bm JOIN edges ed ON ed.src = bm.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} x
+         |    WHERE x.query_id = bm.query_id AND x.vec_id = ed.dst)),
+         |v$r AS MATERIALIZED (
+         |  SELECT * FROM v${r - 1}
+         |  UNION ALL
+         |  SELECT c.query_id, c.vec_id,
+         |    list_cosine_similarity(q.qv, t.v) AS cos
+         |  FROM c$r c JOIN q ON q.query_id = c.query_id
+         |  JOIN e t ON t.vec_id = c.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgeCtes,
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries),
        |v0 AS MATERIALIZED (
        |  SELECT q.query_id, t.vec_id, list_cosine_similarity(q.qv, t.v) AS cos
