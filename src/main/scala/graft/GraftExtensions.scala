@@ -341,6 +341,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.operators.Similarity.annGraphOf(s.table(tbl))
           .queryExecution.logical
       }))
+    // THE STANDING-STORE ADMISSION PATH from SQL text — the
+    // best-scaling variants of the dedup/admission verbs (probe cost
+    // scales with the BATCH, never the corpus) were Scala-only until
+    // now. Each TVF takes the store's CORPUS DIRECTORY (stores are
+    // keyed by dir, not view — they are cross-session standing state)
+    // and expands to the exact library probe plan: batch side
+    // fingerprinted/shingled fresh and shuffled once to the store's
+    // bucket granularity, store side streaming off its bucketed files
+    // merge-hinted (never a broadcast — the hint is already structural
+    // in the library plan, so no parsePlanHinted needed). EAGER store
+    // ensure: a missing store is built at ANALYSIS time (the
+    // dup_clusters/curate job-at-analysis caveat).
+    ext.injectTableFunction((
+      FunctionIdentifier("incremental_admit"),
+      info("incremental_admit"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "incremental_admit(corpusDir) — the standing fingerprint " +
+            "store's corpus directory (string literal)")
+        val d = strArg(args(0), "incremental_admit corpus dir")
+        val s = org.apache.spark.sql.SparkSession.active
+        graft.operators.Dedup.qIncrementalDedupStore(s, d)
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("neardup_admit"),
+      info("neardup_admit"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "neardup_admit(corpusDir) — the standing LSH band store's " +
+            "corpus directory (string literal)")
+        val d = strArg(args(0), "neardup_admit corpus dir")
+        val s = org.apache.spark.sql.SparkSession.active
+        graft.operators.Dedup.qNeardupAdmitStore(s, d)
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("span_admit"),
+      info("span_admit"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "span_admit(corpusDir) — the standing anchor store's " +
+            "corpus directory (string literal)")
+        val d = strArg(args(0), "span_admit corpus dir")
+        val s = org.apache.spark.sql.SparkSession.active
+        graft.operators.TextAnalysis.qSpanAdmitStore(s, d)
+          .queryExecution.logical
+      }))
   }
 
   private def parsePlan(sql: String) =

@@ -132,9 +132,13 @@ object Dedup {
     * exchange; multi-file buckets re-sort per partition (sort
     * metadata applies only to single-file buckets) until the next
     * compaction, which is the standard bucketed-table lifecycle.
-    * Callers append only what they admit — appending an fp that is
-    * already standing is semantically harmless (semi/anti-join
-    * probes ignore multiplicity) but wasted bytes. */
+    * Callers append only what they admit; batch rows whose fp is
+    * ALREADY STANDING are anti-joined away first (probes are
+    * semi/anti-joins on fp, so multiplicity never changes results —
+    * but without the anti-join, repeated ingest cycles grow bucket
+    * occupancy with rows no probe can distinguish). The anti-join is
+    * probe-shaped: batch side shuffles once to the bucket
+    * granularity, store side streams off its files merge-hinted. */
   private[graft] def appendFpStore(s: SparkSession, d: String,
                                    docs: DataFrame): Unit = {
     import s.implicits._
@@ -142,7 +146,9 @@ object Dedup {
     require(s.catalog.tableExists(tbl),
       s"fingerprint store $tbl does not exist — build it with ensureFpStore")
     graft.sources.Sources.writeBucketed(
-      docs.select($"doc_id", $"source", fingerprint($"text").as("fp")),
+      docs.select($"doc_id", $"source", fingerprint($"text").as("fp"))
+        .join(s.table(tbl).select($"fp").hint("merge"),
+          Seq("fp"), "left_anti"),
       tbl, "fp", FpStoreBuckets,
       mode = org.apache.spark.sql.SaveMode.Append)
   }
@@ -210,9 +216,13 @@ object Dedup {
 
   /** Close the ingest loop on the standing band store: append an
     * admitted batch's (bb, sig) band rows — distinct within the batch,
-    * like the store build — so the next cycle's near-dup probe sees
-    * them. Same lifecycle as [[appendFpStore]]: bucketed append keeps
-    * the hash spec, multi-file buckets re-sort until
+    * like the store build, and ANTI-JOINED against the standing rows
+    * (a probe-shaped merge join on bb + a sig equality filter; the
+    * store side never broadcasts) so repeated cycles can't erode the
+    * write-time (bb, sig) DISTINCT invariant that keeps replica
+    * families collapsed and probe fan-out bounded. Same lifecycle as
+    * [[appendFpStore]]: bucketed append keeps the hash spec,
+    * multi-file buckets re-sort until
     * [[graft.sources.Sources.compactBucketed]]. */
   private[graft] def appendBandStore(s: SparkSession, d: String,
                                      docs: DataFrame): Unit = {
@@ -220,10 +230,22 @@ object Dedup {
     val tbl = bandStoreTable(d)
     require(s.catalog.tableExists(tbl),
       s"band store $tbl does not exist — build it with ensureBandStore")
+    val batch = minhashBandedOf(docs)
+      .select(concat_ws("|", $"band", $"bucket").as("bb"), $"sig")
+      .distinct()
+      .transform(graft.functions.Cp.local) // read twice: hits + anti
+    // candidate matches ride the bb merge join (store side streams off
+    // its buckets — a composite (bb, sig) join key would re-shuffle
+    // the standing table by both columns instead); exact sig equality
+    // is verified on the bb-colliding pairs, and the anti-join then
+    // runs batch × batch-sized hits
+    val hits = batch
+      .join(s.table(tbl).withColumnRenamed("sig", "sig_st").hint("merge"),
+        Seq("bb"))
+      .filter($"sig" === $"sig_st")
+      .select($"bb", $"sig")
     graft.sources.Sources.writeBucketed(
-      minhashBandedOf(docs)
-        .select(concat_ws("|", $"band", $"bucket").as("bb"), $"sig")
-        .distinct(),
+      batch.join(hits, Seq("bb", "sig"), "left_anti"),
       tbl, "bb", FpStoreBuckets,
       mode = org.apache.spark.sql.SaveMode.Append)
   }
@@ -1058,11 +1080,17 @@ object Dedup {
     val pr = jaccardPairs(s, d)
       .withColumn("jac_e9", expr("inter * 1000000000 DIV (na + nb - inter)"))
       .withColumn("is_dup", lit(3) * $"inter" > $"na" + $"nb")
-    val sym = pr.select($"doc_a".as("anchor"), $"doc_b".as("nbr"),
-        $"jac_e9", $"is_dup")
-      .unionByName(pr.select($"doc_b".as("anchor"), $"doc_a".as("nbr"),
-        $"jac_e9", $"is_dup"))
-      .transform(graft.functions.Cp.local) // reused by both rank passes
+    // clustered on anchor: BOTH rank windows and the final positive ⋈
+    // negative join re-key on it — one paid shuffle of the symmetrized
+    // pair table replaces three downstream exchanges (window sorts
+    // remain; windows and the join all ride the claimed layout)
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val sym = graft.functions.Cp.localClustered(
+      pr.select($"doc_a".as("anchor"), $"doc_b".as("nbr"),
+          $"jac_e9", $"is_dup")
+        .unionByName(pr.select($"doc_b".as("anchor"), $"doc_a".as("nbr"),
+          $"jac_e9", $"is_dup")),
+      nPart, Seq("anchor"))
     val w = Window.partitionBy($"anchor")
       .orderBy($"jac_e9".desc, $"nbr".asc)
     def top(dup: Boolean) = sym.filter($"is_dup" === dup)
@@ -1284,7 +1312,11 @@ object Dedup {
     val sc = s.sparkContext
     // the edge table is LIVE for every round — it must not join the
     // per-round label generations that get dropped (unlike qKcore,
-    // where edges are replaced each round)
+    // where edges are replaced each round). A clustered+sorted-on-u
+    // claim (the q_pagerank shape) measured NEUTRAL here — 26.5 s both
+    // ways at sf10 isolated (the per-round label side stays under the
+    // broadcast threshold, so the edge side never re-shuffles anyway);
+    // rejected per measure-before-adopt (BASELINE.md wave 4).
     val e = und.select($"doc_a".as("u"), $"doc_b".as("v"))
       .union(und.select($"doc_b".as("u"), $"doc_a".as("v")))
       .transform(graft.functions.Cp.local)

@@ -497,11 +497,19 @@ object Similarity {
     * standing 100 TB corpus (a bucketed layout would still scan every
     * file and only save the shuffle). Assignment runs ONCE at
     * ingest; queries never re-quantize corpus vectors. */
-  private[graft] def ensureIvfStore(s: SparkSession, d: String): String = {
+  private[graft] def ensureIvfStore(s: SparkSession, d: String): String =
+    ensureIvfStore(s, d, null)
+
+  /** [[ensureIvfStore]] with the centroid model supplied by the caller
+    * (ivfStoreSearch already collected it for the query-cell argmax —
+    * one model collect per probe, not two); `centroids` may be null,
+    * in which case they are collected only if the store is absent. */
+  private[graft] def ensureIvfStore(s: SparkSession, d: String,
+                                    cents: Array[Array[Float]]): String = {
     import s.implicits._
     val tbl = ivfStoreTable(d)
     if (!s.catalog.tableExists(tbl)) {
-      val centroids = pinnedCentroids(s, d)
+      val centroids = if (cents != null) cents else pinnedCentroids(s, d)
       Tables.embeddings(s, d)
         .select($"vec_id", $"embedding",
           nearestCentroid($"embedding", centroids).as("cell"))
@@ -563,7 +571,7 @@ object Similarity {
     // carries it as a partition filter, no lookup-join planning needed
     val probed = queryCells.select($"cell").distinct()
       .collect().map(r => Int.box(r.getInt(0))).toSeq
-    val store = s.table(ensureIvfStore(s, d))
+    val store = s.table(ensureIvfStore(s, d, centroids))
       .filter($"cell".isin(probed: _*))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
     broadcast(queryCells)
@@ -655,11 +663,25 @@ object Similarity {
     * members re-attach at output time ([[graphSearch]]). On
     * duplicate-free data reps ≡ the corpus and everything below is
     * bit-identical to an uncanonicalized build. */
-  private[graft] def graphEdgesOf(emb: DataFrame): DataFrame = {
+  private[graft] def graphEdgesOf(emb: DataFrame): DataFrame =
+    graphEdgesFromReps(emb,
+      graphRepsOf(emb)
+        .transform(graft.functions.Cp.local)) // ladder count + bucket base
+
+  /** The rep-grain NODE set of the neighbor graph: one representative
+    * per DISTINCT embedding, the family's minimum vec_id. */
+  private[graft] def graphRepsOf(emb: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
-    val reps = emb.groupBy($"embedding").agg(min($"vec_id").as("vec_id"))
+    emb.groupBy($"embedding").agg(min($"vec_id").as("vec_id"))
       .select($"vec_id", $"embedding")
-      .transform(graft.functions.Cp.local) // ladder count + bucket base
+  }
+
+  /** [[graphEdgesOf]] with the rep set supplied (already checkpointed)
+    * so store builds can persist the SAME rep frame as the node table
+    * without recomputing the corpus groupBy. */
+  private[graft] def graphEdgesFromReps(emb: DataFrame,
+                                        reps: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
     val np = LshParams.widthForCount(reps.count())
     val base = reps.select($"vec_id", $"embedding",
       signedProjBuckets($"embedding", planesFor(0, np)).as("bucket"))
@@ -704,12 +726,14 @@ object Similarity {
   }
 
   /** The [[qAnnGraph]] beam walk over a given rep-grain adjacency
-    * table. Visited rows carry the rep VECTOR so the output expansion
-    * needs no corpus shuffle: the bounded visited-rep set broadcasts
-    * into one corpus scan that re-attaches every family member, and
-    * the final top-k ranks members by (cos DESC, id ASC) — id-exact
-    * against brute force even on replica-heavy corpora. */
-  private def graphSearch(emb: DataFrame, edges: DataFrame): DataFrame = {
+    * table. The visited set stays NARROW (see [[beamWalk]]); the
+    * bounded visited-rep id set broadcasts into one corpus scan to
+    * recover rep vectors, whose bounded set broadcasts into a second
+    * scan that re-attaches every family member — the final top-k
+    * ranks members by (cos DESC, id ASC), id-exact against brute
+    * force even on replica-heavy corpora. */
+  private[graft] def graphSearch(emb: DataFrame, edges: DataFrame,
+                                 pushFrontier: Boolean = false): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     val q = emb.filter($"vec_id" < NQueries)
@@ -721,33 +745,8 @@ object Similarity {
     val ent = emb.filter($"vec_id" < GraphEntries)
       .groupBy($"embedding").agg(min($"vec_id").as("vec_id"))
       .select($"vec_id", $"embedding".as("rv"))
-    val sc = s.sparkContext
-    var before = sc.getPersistentRDDs.keySet
-    var visited = q.crossJoin(broadcast(ent))
-      .select($"query_id", $"qv", $"vec_id", $"rv",
-        cosineFast($"qv", $"rv").as("cos"))
-      .transform(graft.functions.Cp.local)
-    var gen = sc.getPersistentRDDs.keySet -- before
-    for (_ <- 1 to GraphHops) {
-      val wb = Window.partitionBy($"query_id")
-        .orderBy($"cos".desc, $"vec_id".asc)
-      val beam = visited
-        .withColumn("rk", row_number().over(wb)).filter($"rk" <= GraphBeam)
-        .select($"query_id", $"qv", $"vec_id".as("src"))
-      val expanded = broadcast(beam).join(edges, Seq("src"))
-        .select($"query_id", $"qv", $"dst".as("vec_id"), $"dv")
-        .dropDuplicates("query_id", "vec_id")
-        .join(visited.select($"query_id", $"vec_id"),
-          Seq("query_id", "vec_id"), "left_anti")
-        .select($"query_id", $"qv", $"vec_id", $"dv".as("rv"),
-          cosineFast($"qv", $"dv").as("cos"))
-      before = sc.getPersistentRDDs.keySet
-      val next = graft.functions.Cp.local(visited.unionByName(expanded))
-      val newGen = sc.getPersistentRDDs.keySet -- before
-      graft.functions.Cp.dropGeneration(s, gen) // superseded generation
-      gen = newGen
-      visited = next
-    }
+    val visited = beamWalk(q, ent, edges, pushFrontier,
+      broadcastBeam = true, carryVectors = true)
     // expand visited reps back to ids: the distinct (rep, vector) set
     // is bounded (≤ entries + hops×beam×degree per query), so it
     // broadcasts into ONE corpus scan — no shuffle, no standing
@@ -766,6 +765,104 @@ object Similarity {
         $"rank".cast("long").as("rank"), round($"cos", 6).as("cos"))
   }
 
+  /** The [[GraphHops]]-round expand-score-reselect kernel shared by
+    * [[graphSearch]] (serving) and [[appendGraphStore]] (DiskANN-style
+    * insertion, which IS a search): from the bounded entry set, each
+    * round the per-query beam expands through `edges`, new candidates
+    * anti-join the visited set, and the beam re-selects.
+    *
+    * `carryVectors` trades per-hop job count against per-row payload,
+    * and the right side depends on the WALK'S query scale (measured
+    * both ways at sf10):
+    * - SERVING (bounded query set, tens of rows): carry qv/rv on the
+    *   visited rows. The visited volume is tiny, and the narrow form's
+    *   extra work per hop (broadcast re-attach of qv, a second member
+    *   scan at the end) doubled q_ann_graph_store (6.6 → 12.9 s).
+    * - INSERT (corpus-scale batch): NARROW (query_id, vec_id, cos).
+    *   The visited multiset is CANDIDATE-volume (batch × hops × beam ×
+    *   degree rows), and a 256 B vector riding it is the round-14
+    *   payload-on-candidate-shuffle class (~124 GB vs ~5.5 GB per
+    *   checkpoint generation at a 60k-rep sf10 batch). qv re-attaches
+    *   per hop from the bounded query frame (broadcast — callers chunk
+    *   truly huge batches); cosines are computed map-side from the
+    *   edge's co-located dv before anything shuffles.
+    * `broadcastBeam` picks the frontier join strategy: broadcast for
+    * bounded serving query sets, merge join (beam shuffles to the
+    * store's bucket granularity, store side streams off its files)
+    * for insert batches. */
+  private def beamWalk(q: DataFrame, ent: DataFrame, edges: DataFrame,
+                       pushFrontier: Boolean, broadcastBeam: Boolean,
+                       carryVectors: Boolean): DataFrame = {
+    val s = q.sparkSession
+    import s.implicits._
+    val sc = s.sparkContext
+    var before = sc.getPersistentRDDs.keySet
+    val v0 = q.crossJoin(broadcast(ent))
+    var visited = (
+      if (carryVectors)
+        v0.select($"query_id", $"qv", $"vec_id", $"rv",
+          cosineFast($"qv", $"rv").as("cos"))
+      else
+        v0.select($"query_id", $"vec_id",
+          cosineFast($"qv", $"rv").as("cos"))
+    ).transform(graft.functions.Cp.local)
+    var gen = sc.getPersistentRDDs.keySet -- before
+    for (_ <- 1 to GraphHops) {
+      val wb = Window.partitionBy($"query_id")
+        .orderBy($"cos".desc, $"vec_id".asc)
+      val beamTop = visited
+        .withColumn("rk", row_number().over(wb)).filter($"rk" <= GraphBeam)
+      val beam =
+        if (carryVectors)
+          beamTop.select($"query_id", $"qv", $"vec_id".as("src"))
+        else
+          beamTop.select($"query_id", $"vec_id".as("src"))
+            .join(broadcast(q), Seq("query_id"))
+            .select($"query_id", $"qv", $"src")
+      // pushFrontier: collect the bounded frontier src set (≤ queries
+      // × beam) and push it into the adjacency SCAN as a filter —
+      // per-hop READ I/O becomes the frontier's buckets/row-groups
+      // instead of a full store scan (the broadcast join alone bounds
+      // shuffle volume, not read volume). Results are identical either
+      // way. This pays only when the standing store dwarfs the page
+      // cache (the 100 TB serving shape): at bench scale the per-hop
+      // collect job + fresh filtered scan MORE than doubled the walk
+      // (6.6 → 16.6 s sf10 — BASELINE.md wave 4), so the shipped
+      // queries keep it OFF and deployments flip it at store scale.
+      val edgesHop = if (pushFrontier) {
+        val srcs = beam.select($"src").distinct().collect()
+          .map(r => Long.box(r.getLong(0))).toSeq
+        edges.filter($"src".isin(srcs: _*))
+      } else edges
+      val joined =
+        if (broadcastBeam) broadcast(beam).join(edgesHop, Seq("src"))
+        else beam.join(edgesHop.hint("merge"), Seq("src"))
+      // score MAP-SIDE on the joined pair; in narrow mode only the
+      // 24 B scalar rows shuffle (duplicate (query, dst) collisions
+      // share qv/dv, so the post-score dedup keeps a deterministic cos)
+      val expanded = (
+        if (carryVectors)
+          joined.select($"query_id", $"qv", $"dst".as("vec_id"), $"dv")
+            .dropDuplicates("query_id", "vec_id")
+            .select($"query_id", $"qv", $"vec_id", $"dv".as("rv"),
+              cosineFast($"qv", $"dv").as("cos"))
+        else
+          joined.select($"query_id", $"dst".as("vec_id"),
+            cosineFast($"qv", $"dv").as("cos"))
+            .dropDuplicates("query_id", "vec_id")
+      )
+        .join(visited.select($"query_id", $"vec_id"),
+          Seq("query_id", "vec_id"), "left_anti")
+      before = sc.getPersistentRDDs.keySet
+      val next = graft.functions.Cp.local(visited.unionByName(expanded))
+      val newGen = sc.getPersistentRDDs.keySet -- before
+      graft.functions.Cp.dropGeneration(s, gen) // superseded generation
+      gen = newGen
+      visited = next
+    }
+    visited
+  }
+
   /** Deterministic graph-store table name per corpus dir (the
     * [[graft.operators.Dedup.fpStoreTable]] convention). */
   private[graft] def graphStoreTable(d: String): String = {
@@ -782,23 +879,190 @@ object Similarity {
     * corpus-sized work in the family) runs ONCE at ingest, and every
     * later query session walks the standing adjacency with bounded
     * per-hop reads — no rebuild, no corpus scan, ever. */
-  private[graft] def ensureGraphStore(s: SparkSession, d: String): String = {
-    val tbl = graphStoreTable(d)
+  private[graft] def ensureGraphStore(s: SparkSession, d: String): String =
+    ensureGraphStoreOver(s, Tables.embeddings(s, d), graphStoreTable(d))
+
+  /** The graph store's companion NODE table name: `<edges>n`. */
+  private[graft] def graphNodesTable(tbl: String): String = tbl + "n"
+
+  /** [[ensureGraphStore]] over an arbitrary (vec_id, embedding) frame
+    * and explicit table name. Persists TWO tables: the adjacency
+    * (src, dst, dv) bucketed+sorted by src, and the rep-grain NODE
+    * table (eh, vec_id, embedding) bucketed by eh = xxhash64 of the
+    * vector — a physical routing key only (novelty checks verify full
+    * vector equality after the eh merge join; eh never reaches an
+    * oracle). The node table is what makes the store APPENDABLE: an
+    * insert must know which batch vectors are genuinely new without
+    * re-scanning corpus text/vectors. */
+  private[graft] def ensureGraphStoreOver(s: SparkSession, emb: DataFrame,
+                                          tbl: String): String = {
+    import s.implicits._
     if (!s.catalog.tableExists(tbl)) {
+      val reps = graphRepsOf(emb).transform(graft.functions.Cp.local)
       graft.sources.Sources.writeBucketed(
-        graphEdgesOf(Tables.embeddings(s, d)), tbl, "src",
+        graphEdgesFromReps(emb, reps), tbl, "src",
         graft.operators.Dedup.FpStoreBuckets,
         path = Some(s"/tmp/graft_fpstore/$tbl"))
+      graft.sources.Sources.writeBucketed(
+        reps.select(xxhash64($"embedding").as("eh"), $"vec_id", $"embedding"),
+        graphNodesTable(tbl), "eh", graft.operators.Dedup.FpStoreBuckets,
+        path = Some(s"/tmp/graft_fpstore/${graphNodesTable(tbl)}"))
     }
     tbl
   }
+
+  /** DiskANN-style INCREMENTAL MAINTENANCE of a standing graph store —
+    * the production verb the build-once form lacks (an appended batch
+    * must not force a full O(corpus) edge rebuild). Insertion IS a
+    * search: the batch's genuinely-new rep vectors (novelty = an eh
+    * merge join against the node table + exact vector equality; batch
+    * vectors equal to a standing node are its family members and
+    * re-attach at probe time for free) beam-walk the CURRENT adjacency
+    * from the store's pinned entry points, each new rep keeps its best
+    * [[GraphM]] + [[GraphDivSlots]] visited nodes as FORWARD edges
+    * (the build's exact degree rule), and each chosen node gets a BACK
+    * edge to the new rep so the walk can reach it. Both directions
+    * append bucketed; affected standing nodes temporarily exceed the
+    * degree cap (extra edges only widen the beam's candidate set) until
+    * [[compactGraphStore]] re-applies the cap — the same
+    * append-then-compact lifecycle as the other standing stores. Cost
+    * scales with the BATCH (new-rep count × beam × degree), never the
+    * corpus. Re-appending an ingested batch is a no-op (novelty
+    * anti-join). */
+  private[graft] def appendGraphStore(s: SparkSession, tbl: String,
+                                      vecs: DataFrame): Unit = {
+    import s.implicits._
+    val tbln = graphNodesTable(tbl)
+    require(s.catalog.tableExists(tbl) && s.catalog.tableExists(tbln),
+      s"graph store $tbl/$tbln does not exist — build it with ensureGraphStore")
+    val batchReps = graphRepsOf(vecs)
+      .select(xxhash64($"embedding").as("eh"), $"vec_id", $"embedding")
+      .transform(graft.functions.Cp.local) // read twice: hits + anti
+    // novelty: candidate matches ride the eh merge join (store side
+    // streams off its buckets, zero corpus-side exchange), exact
+    // vector equality verified on the eh-colliding pairs only
+    val hits = batchReps.select($"eh", $"embedding")
+      .join(s.table(tbln).select($"eh", $"embedding".as("emb_st"))
+        .hint("merge"), Seq("eh"))
+      .filter($"embedding" === $"emb_st")
+      .select($"eh", $"embedding")
+    val newReps = batchReps
+      .join(hits, Seq("eh", "embedding"), "left_anti")
+      .transform(graft.functions.Cp.local) // walk + edges + node append
+    // all batch vectors already standing (pure replica batch): their
+    // members re-attach at probe time via the existing nodes — no
+    // graph change, skip the walk and the two appends entirely
+    if (newReps.limit(1).count() == 0) return
+    val q = newReps.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val ent = s.table(tbln).filter($"vec_id" < GraphEntries)
+      .select($"vec_id", $"embedding".as("rv"))
+    // merge-join frontier: the insert batch is corpus-scale in the
+    // worst case, so the beam must never broadcast (and the frontier
+    // src set is batch-sized — too wide for a useful scan filter)
+    val visited = beamWalk(q, ent, s.table(tbl),
+      pushFrontier = false, broadcastBeam = false, carryVectors = false)
+    val wA = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    val wD = Window.partitionBy($"query_id")
+      .orderBy($"cos_div".desc_nulls_last, $"vec_id".asc)
+    val fwd = visited
+      .withColumn("cos_div", when($"cos" <= GraphDivTau, $"cos"))
+      .withColumn("rk", row_number().over(wA))
+      .withColumn("rk_div", row_number().over(wD))
+      .filter($"rk" <= GraphM ||
+        ($"cos_div".isNotNull && $"rk_div" <= GraphDivSlots))
+      .select($"query_id".as("src"), $"vec_id".as("dst"))
+      .transform(graft.functions.Cp.local) // forward + back read
+    // vectors re-attach at the CAPPED edge grain (≤ new reps ×
+    // (M + slots)), never on the walk volume: forward edges carry the
+    // dst node's vector (DiskANN co-location) from the node table,
+    // back edges the new rep's vector from the bounded batch frame
+    val forward = fwd
+      .join(s.table(tbln).select($"vec_id".as("dst"), $"embedding".as("dv")),
+        Seq("dst"))
+      .select($"src", $"dst", $"dv")
+    val back = fwd
+      .join(broadcast(newReps.select($"vec_id".as("src"),
+        $"embedding".as("nv"))), Seq("src"))
+      .select($"dst".as("src"), $"src".as("dst"), $"nv".as("dv"))
+    graft.sources.Sources.writeBucketed(
+      forward.unionByName(back),
+      tbl, "src", graft.operators.Dedup.FpStoreBuckets,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    graft.sources.Sources.writeBucketed(
+      newReps.select($"eh", $"vec_id", $"embedding"),
+      tbln, "eh", graft.operators.Dedup.FpStoreBuckets,
+      mode = org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** Close the graph store's maintenance loop: re-apply the build's
+    * degree rule (top-[[GraphM]] by cos + [[GraphDivSlots]] diversity
+    * slots, recomputed from the node vectors) over the appended
+    * adjacency, and rewrite both tables back to one sorted file per
+    * bucket. Heavy by design — this is the periodic maintenance op;
+    * probes between compactions just read a slightly-overfull
+    * adjacency. */
+  private[graft] def compactGraphStore(s: SparkSession, tbl: String): Unit = {
+    import s.implicits._
+    val srcVecs = s.table(graphNodesTable(tbl))
+      .select($"vec_id".as("src"), $"embedding".as("sv"))
+    graft.sources.Sources.rewriteBucketed(s, tbl, "src",
+      graft.operators.Dedup.FpStoreBuckets, raw =>
+        raw.dropDuplicates("src", "dst")
+          .join(srcVecs, Seq("src"))
+          .withColumn("cos", cosineFast($"sv", $"dv"))
+          .withColumn("cos_div", when($"cos" <= GraphDivTau, $"cos"))
+          .withColumn("rk", row_number().over(Window.partitionBy($"src")
+            .orderBy($"cos".desc, $"dst".asc)))
+          .withColumn("rk_div", row_number().over(Window.partitionBy($"src")
+            .orderBy($"cos_div".desc_nulls_last, $"dst".asc)))
+          .filter($"rk" <= GraphM ||
+            ($"cos_div".isNotNull && $"rk_div" <= GraphDivSlots))
+          .select($"src", $"dst", $"dv"))
+    graft.sources.Sources.compactBucketed(s, graphNodesTable(tbl), "eh",
+      graft.operators.Dedup.FpStoreBuckets)
+  }
+
+  // the incoming-batch split for the ingest demo (the
+  // graft.operators.Dedup.BatchMod convention at the embedding grain)
+  private val IngestMod = 10
+  private val IngestRem = 3
+
+  /** Build-once the INGESTED graph store for corpus dir `d`: the base
+    * graph over the standing slice (vec_id % [[IngestMod]] ≠
+    * [[IngestRem]]), then ONE [[appendGraphStore]] cycle inserting the
+    * batch slice. Every step is deterministic, so the final adjacency
+    * is a pure function of the corpus — the DuckDB oracle mirrors
+    * base build + insertion walk + degree rule edge-for-edge. */
+  private[graft] def ensureIngestGraphStore(s: SparkSession,
+                                            d: String): String = {
+    import s.implicits._
+    val tbl = graphStoreTable(d + "!ingest")
+    if (!s.catalog.tableExists(tbl)) {
+      val emb = Tables.embeddings(s, d)
+      ensureGraphStoreOver(s,
+        emb.filter(pmod($"vec_id", lit(IngestMod)) =!= IngestRem), tbl)
+      appendGraphStore(s, tbl,
+        emb.filter(pmod($"vec_id", lit(IngestMod)) === IngestRem))
+    }
+    tbl
+  }
+
+  /** Graph ANN over the INCREMENTALLY MAINTAINED adjacency — the walk
+    * serves from base + inserted edges as one store; queries and
+    * member re-attachment see the full corpus. The oracle proves the
+    * whole maintenance path: every inserted edge, every hop. */
+  def qAnnGraphIngest(s: SparkSession, d: String): DataFrame =
+    graphSearch(Tables.embeddings(s, d),
+      s.table(ensureIngestGraphStore(s, d)), pushFrontier = false)
 
   /** Graph ANN against the STANDING adjacency store — same walk, same
     * results, same oracle as [[qAnnGraph]] (the edge build is
     * deterministic, so the persisted rows are identical); the index
     * build cost moves to ingest time where it belongs. */
   def qAnnGraphStore(s: SparkSession, d: String): DataFrame =
-    graphSearch(Tables.embeddings(s, d), s.table(ensureGraphStore(s, d)))
+    graphSearch(Tables.embeddings(s, d), s.table(ensureGraphStore(s, d)),
+      pushFrontier = false)
 
   /** NEIGHBOR-GRAPH HEALTH CENSUS — the index-observability readout
     * for the graph-ANN family (what [[graft.operators.Dedup
@@ -1163,6 +1427,7 @@ object Similarity {
     "q_ann_ivf_trained" -> (qAnnIvfTrained _),
     "q_ann_graph" -> (qAnnGraph _),
     "q_ann_graph_store" -> (qAnnGraphStore _),
+    "q_ann_graph_ingest" -> (qAnnGraphIngest _),
     "q_graph_stats" -> (qGraphStats _)
   )
 
@@ -1505,6 +1770,7 @@ object Similarity {
     // deterministic edge build → the persisted adjacency is row-identical
     // to the in-session one, so one oracle proves both walks
     "q_ann_graph_store" -> annGraphSql,
+    "q_ann_graph_ingest" -> annGraphIngestSql,
     // SUM(BIGINT) widens to HUGEINT in DuckDB — cast back (CLAUDE.md)
     "q_graph_stats" ->
       s"""WITH $graphEdgeCtes,
@@ -1524,8 +1790,13 @@ object Similarity {
     * pairs → degree-capped + diversity-slotted edges) — the exact
     * mirror of [[graphEdgesOf]], reused by [[annGraphSql]] and the
     * graph-stats census. */
-  private lazy val graphEdgeCtes: String =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  private lazy val graphEdgeCtes: String = graphEdgeCtesOver("embeddings")
+
+  /** [[graphEdgeCtes]] with the vector source parameterized (a table
+    * name or derived-table subquery) so the ingest oracle can build
+    * the BASE graph over the standing corpus slice. */
+  private def graphEdgeCtesOver(embSrc: String): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $embSrc),
        |reps AS MATERIALIZED (SELECT MIN(vec_id) AS vec_id, v
        |  FROM e GROUP BY v),
        |n AS (SELECT COUNT(*) AS cnt FROM reps),
@@ -1565,23 +1836,7 @@ object Similarity {
     * per-plane H1 probes from a lateral generate_series, then each beam
     * hop unrolled as MATERIALIZED CTEs (the unrolled-rounds rule). */
   private lazy val annGraphSql: String = {
-    val rounds = (1 to GraphHops).map { r =>
-      s"""b$r AS (SELECT query_id, vec_id FROM (
-         |  SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY cos DESC, vec_id ASC) AS rk FROM v${r - 1}) z
-         |  WHERE rk <= $GraphBeam),
-         |c$r AS (SELECT DISTINCT bm.query_id, ed.dst AS vec_id
-         |  FROM b$r bm JOIN edges ed ON ed.src = bm.vec_id
-         |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} x
-         |    WHERE x.query_id = bm.query_id AND x.vec_id = ed.dst)),
-         |v$r AS MATERIALIZED (
-         |  SELECT * FROM v${r - 1}
-         |  UNION ALL
-         |  SELECT c.query_id, c.vec_id,
-         |    list_cosine_similarity(q.qv, t.v) AS cos
-         |  FROM c$r c JOIN q ON q.query_id = c.query_id
-         |  JOIN e t ON t.vec_id = c.vec_id)""".stripMargin
-    }.mkString(",\n")
+    val rounds = walkRoundsSql("", "edges", "e", "q")
     s"""WITH $graphEdgeCtes,
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NQueries),
        |v0 AS MATERIALIZED (
@@ -1597,6 +1852,95 @@ object Similarity {
        |  FROM v$GraphHops x
        |  JOIN e rv ON rv.vec_id = x.vec_id
        |  JOIN e m ON m.v = rv.v
+       |  WHERE m.vec_id <> x.query_id) z
+       |WHERE rank <= $K""".stripMargin
+  }
+
+  /** The unrolled beam-walk rounds (the [[annGraphSql]] hop pattern)
+    * parameterized over CTE names so one builder serves the plain
+    * walk, the ingest oracle's INSERTION walk, and its final probe
+    * walk: `pre` prefixes the per-round CTE names (b/c/v), `edgesCte`
+    * is the adjacency, `vecCte` resolves candidate ids to vectors
+    * (always a corpus-id-keyed frame — every reachable id is a corpus
+    * id), `qCte` the (query_id, qv) set. Round 0 (the pre-prefixed v0
+    * CTE) is supplied by the caller. */
+  private def walkRoundsSql(pre: String, edgesCte: String, vecCte: String,
+                            qCte: String): String =
+    (1 to GraphHops).map { r =>
+      s"""${pre}b$r AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id ASC) AS rk FROM ${pre}v${r - 1}) z
+         |  WHERE rk <= $GraphBeam),
+         |${pre}c$r AS (SELECT DISTINCT bm.query_id, ed.dst AS vec_id
+         |  FROM ${pre}b$r bm JOIN $edgesCte ed ON ed.src = bm.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM ${pre}v${r - 1} x
+         |    WHERE x.query_id = bm.query_id AND x.vec_id = ed.dst)),
+         |${pre}v$r AS MATERIALIZED (
+         |  SELECT * FROM ${pre}v${r - 1}
+         |  UNION ALL
+         |  SELECT c.query_id, c.vec_id,
+         |    list_cosine_similarity(q.qv, t.v) AS cos
+         |  FROM ${pre}c$r c JOIN $qCte q ON q.query_id = c.query_id
+         |  JOIN $vecCte t ON t.vec_id = c.vec_id)""".stripMargin
+    }.mkString(",\n")
+
+  /** Oracle for [[qAnnGraphIngest]] — the full incremental-maintenance
+    * path mirrored: base edges over the standing slice
+    * ([[graphEdgeCtesOver]]), batch new reps (distinct batch vectors
+    * absent from the slice's rep set), the INSERTION beam walk over
+    * the base graph (i-prefixed rounds), the build's degree rule
+    * selecting forward edges, symmetric back edges, then the PROBE
+    * walk over base ∪ inserted edges with full-corpus queries and
+    * member re-attachment — identical output shape to [[annGraphSql]].
+    * Every hop of both walks is a MATERIALIZED CTE (the
+    * unrolled-rounds rule). */
+  private lazy val annGraphIngestSql: String = {
+    val insertRounds = walkRoundsSql("i", "edges", "e", "iq")
+    val probeRounds = walkRoundsSql("", "edges2", "ef", "q")
+    s"""WITH ${graphEdgeCtesOver(
+           s"(SELECT * FROM embeddings WHERE vec_id % $IngestMod <> $IngestRem)")},
+       |ef AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nreps AS MATERIALIZED (
+       |  SELECT MIN(b.vec_id) AS vec_id, b.v FROM ef b
+       |  WHERE b.vec_id % $IngestMod = $IngestRem
+       |    AND NOT EXISTS (SELECT 1 FROM reps n WHERE n.v = b.v)
+       |  GROUP BY b.v),
+       |iq AS (SELECT vec_id AS query_id, v AS qv FROM nreps),
+       |iv0 AS MATERIALIZED (
+       |  SELECT iq.query_id, t.vec_id, list_cosine_similarity(iq.qv, t.v) AS cos
+       |  FROM iq CROSS JOIN (SELECT vec_id, v FROM reps
+       |    WHERE vec_id < $GraphEntries) t),
+       |$insertRounds,
+       |fwd AS MATERIALIZED (SELECT query_id AS src, vec_id AS dst FROM (
+       |  SELECT query_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id ASC) AS rk,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY (CASE WHEN cos <= $GraphDivTau THEN cos END)
+       |        DESC NULLS LAST, vec_id ASC) AS rk_div,
+       |    CASE WHEN cos <= $GraphDivTau THEN cos END AS cos_div
+       |  FROM iv$GraphHops) z
+       |  WHERE rk <= $GraphM
+       |    OR (cos_div IS NOT NULL AND rk_div <= $GraphDivSlots)),
+       |edges2 AS MATERIALIZED (
+       |  SELECT src, dst FROM edges
+       |  UNION ALL SELECT src, dst FROM fwd
+       |  UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM ef
+       |  WHERE vec_id < $NQueries),
+       |v0 AS MATERIALIZED (
+       |  SELECT q.query_id, t.vec_id, list_cosine_similarity(q.qv, t.v) AS cos
+       |  FROM q CROSS JOIN (SELECT MIN(vec_id) AS vec_id, v FROM ef
+       |    WHERE vec_id < $GraphEntries GROUP BY v) t),
+       |$probeRounds
+       |SELECT query_id, neighbor_id, rank, cos FROM (
+       |  SELECT x.query_id, m.vec_id AS neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY x.query_id
+       |      ORDER BY x.cos DESC, m.vec_id ASC) AS rank,
+       |    ROUND(x.cos, 6) AS cos
+       |  FROM v$GraphHops x
+       |  JOIN ef rv ON rv.vec_id = x.vec_id
+       |  JOIN ef m ON m.v = rv.v
        |  WHERE m.vec_id <> x.query_id) z
        |WHERE rank <= $K""".stripMargin
   }

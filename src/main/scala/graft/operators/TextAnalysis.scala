@@ -465,9 +465,14 @@ object TextAnalysis {
 
   /** Close the ingest loop on the standing anchor store: append an
     * admitted batch's distinct [[SpanK]]-token window hashes so the
-    * next cycle's span probe counts them as standing coverage. Same
-    * lifecycle as [[graft.operators.Dedup.appendFpStore]]: bucketed
-    * append keeps the hash spec, multi-file buckets re-sort until
+    * next cycle's span probe counts them as standing coverage. The
+    * batch rows ANTI-JOIN the standing table first (a probe-shaped
+    * merge join on the bucket key — the store side never broadcasts),
+    * so repeated ingest cycles can't erode the store's write-time
+    * DISTINCT invariant: without it, every re-appended hash grows
+    * bucket occupancy and probe fan-out unboundedly. Same lifecycle as
+    * [[graft.operators.Dedup.appendFpStore]]: bucketed append keeps
+    * the hash spec, multi-file buckets re-sort until
     * [[graft.sources.Sources.compactBucketed]]. */
   private[graft] def appendAnchorStore(s: SparkSession, d: String,
                                        docs: DataFrame): Unit = {
@@ -481,7 +486,8 @@ object TextAnalysis {
       i => concat_ws(" ", slice(toks, i, lit(SpanK))))
     graft.sources.Sources.writeBucketed(
       docs.select(explode(spans).as("span"))
-        .select(md5Prefix60($"span").as("h")).distinct(),
+        .select(md5Prefix60($"span").as("h")).distinct()
+        .join(s.table(tbl).hint("merge"), Seq("h"), "left_anti"),
       tbl, "h", graft.operators.Dedup.FpStoreBuckets,
       mode = org.apache.spark.sql.SaveMode.Append)
   }
@@ -814,7 +820,10 @@ object TextAnalysis {
       graft.functions.MinHash.shingleHash60(tokens($"text"), DecontamN))
     // materialized once: the shingle-array scan feeds the bench set,
     // the probe explode AND the final per-source rollup — three full
-    // scan+md5 passes without it
+    // scan+md5 passes without it. (A clustered+sorted-on-doc_id claim
+    // — the 1-keyed-consumer class — measured a 5% LOSS at sf10
+    // isolated: the upfront shs-payload shuffle outweighs the one
+    // merge-join exchange it saves. Rejected, BASELINE.md wave 4.)
     val docs = Tables.documents(s, d)
       .select($"doc_id", $"source", sh.as("shs"))
       .transform(graft.functions.Cp.local)
@@ -1112,6 +1121,13 @@ object TextAnalysis {
     * corpus-grown sides never are. */
   def qBigramLm(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // A bigram-clustered build (repartition the raw occurrence stream
+    // by bigram, claim the layout for the two downstream bigram
+    // re-keys — the q_source_overlap idiom) measured a 9% LOSS here
+    // (21.5 → 23.3 s sf10 isolated): unlike the distinct-stream case,
+    // the (doc_id, bigram) partial agg compresses the occurrence
+    // stream BEFORE its exchange, and the raw-stream repartition
+    // forfeits that map-side combine. Rejected (BASELINE.md wave 4).
     val occ = Tables.documents(s, d)
       .select($"doc_id", tokens($"text").as("t")).filter(size($"t") >= 2)
       .select($"doc_id", explode(wordGrams($"t", 2)).as("bigram"))

@@ -499,21 +499,39 @@ object Sources {
     * the same murmur3-pmod hash the bucket spec uses, so each writer
     * task holds exactly its own bucket and emits one file — then
     * stage-and-swap: write the compacted copy as a stage table at a
-    * sibling path (alternating `.c` suffix), swap catalog names, delete
-    * the superseded files. The catalog swap is the commit point; a
-    * failed compaction leaves the live table untouched. (The two-DDL
-    * swap is single-writer; a multi-writer deployment would route it
-    * through [[ManifestTable]]'s CAS commit.) */
+    * sibling path (alternating `.c` suffix), then rotate catalog names
+    * live → live_old, stage → live, drop live_old — every crash point
+    * leaves a registered table over intact data (before the rotation:
+    * the live table; between the two renames: live_old, recoverable by
+    * renaming it back; after: the compacted live table). Superseded
+    * files are deleted only after the rotation completes. (The rename
+    * rotation is single-writer; a multi-writer deployment would route
+    * it through [[ManifestTable]]'s CAS commit.) */
   def compactBucketed(s: SparkSession, table: String, bucketCol: String,
-                      nBuckets: Int): Unit = {
+                      nBuckets: Int): Unit =
+    rewriteBucketed(s, table, bucketCol, nBuckets, identity)
+
+  /** [[compactBucketed]] with a content transform: rewrite a bucketed
+    * table in place (stage-and-rotate, same crash-safety) as
+    * `transform(raw files read)`, re-bucketed to one sorted file per
+    * bucket. This is how maintenance ops that must REMOVE rows (e.g.
+    * the graph store's degree re-prune) fit the append-only bucketed
+    * lifecycle: appends stack rows, the periodic rewrite restores the
+    * invariant. */
+  def rewriteBucketed(s: SparkSession, table: String, bucketCol: String,
+                      nBuckets: Int,
+                      transform: DataFrame => DataFrame): Unit = {
     import org.apache.spark.sql.functions.col
     val loc = s.sql(s"DESCRIBE TABLE EXTENDED $table")
       .filter(col("col_name") === "Location")
       .head.getString(1)
     val newLoc =
       if (loc.endsWith(".c")) loc.stripSuffix(".c") else loc + ".c"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
+    // resolve the filesystem OF THE TABLE LOCATION, not the default
+    // scheme — on deployments where store paths live off the default
+    // filesystem, FileSystem.get(conf) would delete the wrong paths
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(newLoc), true)
     val stage = table + "_cstage"
     s.sql(s"DROP TABLE IF EXISTS $stage")
@@ -525,10 +543,16 @@ object Sources {
     // path read has no partitioning to satisfy anything, so the
     // repartition survives and each bucket lands in exactly one task →
     // exactly one file.
-    writeBucketed(s.read.parquet(loc).repartition(nBuckets, col(bucketCol)),
+    writeBucketed(transform(s.read.parquet(loc))
+        .repartition(nBuckets, col(bucketCol)),
       stage, bucketCol, nBuckets, path = Some(newLoc))
-    s.sql(s"DROP TABLE $table")
+    // rename rotation (external tables: renames move only catalog
+    // entries, never files) — no crash window without a live table
+    val old = table + "_cold"
+    s.sql(s"DROP TABLE IF EXISTS $old")
+    s.sql(s"ALTER TABLE $table RENAME TO $old")
     s.sql(s"ALTER TABLE $stage RENAME TO $table")
+    s.sql(s"DROP TABLE $old")
     fs.delete(new org.apache.hadoop.fs.Path(loc), true)
     s.catalog.refreshTable(table)
   }

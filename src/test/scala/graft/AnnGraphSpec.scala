@@ -54,6 +54,78 @@ class AnnGraphSpec extends AnyFunSuite {
     assert(a === b && a.nonEmpty)
   }
 
+  test("incremental ingest matches a from-scratch rebuild after 2 append cycles") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // corpus shape: base slice + cycle-1 batch of VERBATIM replicas
+    // (zero new reps — pure member growth, the no-op insert path) +
+    // cycle-2 batch of 20 NOVEL near-duplicates of the query vectors
+    // (cos ≈ 1 but distinct — each becomes its query's true #1
+    // neighbor, findable ONLY through the inserted edges)
+    val d = "/tmp/graft_anngraph_ingest"
+    // keep the FULL embeddings schema (Tables.embeddings validates it)
+    val base = spark.read.parquet(sf + "/embeddings.parquet")
+    val n = base.agg(max($"vec_id")).head.getLong(0) + 1
+    val b1 = base.withColumn("vec_id", $"vec_id" + lit(n))
+    val b2 = base.filter($"vec_id" < 20)
+      .withColumn("vec_id", $"vec_id" + lit(2 * n))
+      .withColumn("embedding",
+        transform($"embedding", (x, i) =>
+          when(i === 0, (x + lit(0.001f)).cast("float"))
+            .otherwise(x)))
+    val full = base.unionByName(b1).unionByName(b2)
+    full.write.mode("overwrite").parquet(d + "/embeddings.parquet")
+    val emb = spark.read.parquet(d + "/embeddings.parquet")
+    val inc = operators.Similarity.graphStoreTable(d + "!spec_inc")
+    val reb = operators.Similarity.graphStoreTable(d + "!spec_reb")
+    for (t <- Seq(inc, reb)) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}n")
+    }
+    operators.Similarity.ensureGraphStoreOver(spark, base, inc)
+    operators.Similarity.appendGraphStore(spark, inc, b1)
+    operators.Similarity.appendGraphStore(spark, inc, b2)
+    operators.Similarity.ensureGraphStoreOver(spark, emb, reb)
+    def recall(tbl: String): Double = {
+      val g = operators.Similarity
+        .graphSearch(emb, spark.table(tbl), pushFrontier = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = operators.Similarity.qKnnBrute(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(b.nonEmpty)
+      (g & b).size.toDouble / b.size
+    }
+    val rReb = recall(reb)
+    val rInc = recall(inc)
+    assert(rReb >= 0.9, s"rebuild recall degraded to $rReb")
+    assert(rInc >= rReb,
+      s"incremental ingest recall $rInc must match the rebuild $rReb " +
+        "(the planted near-dups are reachable only via inserted edges)")
+    // re-appending an ingested batch is a no-op (novelty anti-join)
+    val edgesBefore = spark.table(inc).count()
+    operators.Similarity.appendGraphStore(spark, inc, b2)
+    spark.catalog.refreshTable(inc)
+    assert(spark.table(inc).count() === edgesBefore,
+      "re-appending an already-ingested batch must add zero edges")
+    // compaction re-applies the degree cap and keeps the recall
+    operators.Similarity.compactGraphStore(spark, inc)
+    val maxDeg = spark.table(inc).groupBy($"src").count()
+      .agg(max($"count")).head.getLong(0)
+    assert(maxDeg <= 16, // GraphM + GraphDivSlots
+      s"post-compaction out-degree $maxDeg must respect the cap")
+    assert(recall(inc) >= rReb, "compaction must not lose the planted recall")
+  }
+
+  test("q_ann_graph_ingest walks the appended store with full-corpus members") {
+    val rows = operators.Similarity.qAnnGraphIngest(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 20)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to 5L),
+        s"query $q ranks must be 1..5")
+    }
+  }
+
   test("each query returns exactly K ranked neighbors") {
     val rows = operators.Similarity.qAnnGraph(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))

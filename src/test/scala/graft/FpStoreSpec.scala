@@ -174,6 +174,37 @@ class FpStoreSpec extends AnyFunSuite {
         a2.mkString(", "))
   }
 
+  test("appends are idempotent: re-appending an ingested batch adds zero rows") {
+    import spark.implicits._
+    // private corpus dir — this test mutates all three of its stores
+    val d5 = "/tmp/graft_fpstore_idem"
+    spark.read.parquet(dir + "/documents.parquet")
+      .write.mode("overwrite").parquet(d5 + "/documents.parquet")
+    val novel = spark.read.parquet(d5 + "/documents.parquet")
+      .filter(pmod($"doc_id", lit(10)) === 3)
+      .filter($"text".startsWith("novel"))
+    for ((tbl, ensure, append) <- Seq[(String, () => String, () => Unit)](
+      (operators.Dedup.fpStoreTable(d5),
+        () => operators.Dedup.ensureFpStore(spark, d5),
+        () => operators.Dedup.appendFpStore(spark, d5, novel)),
+      (operators.Dedup.bandStoreTable(d5),
+        () => operators.Dedup.ensureBandStore(spark, d5),
+        () => operators.Dedup.appendBandStore(spark, d5, novel)),
+      (operators.TextAnalysis.anchorStoreTable(d5),
+        () => operators.TextAnalysis.ensureAnchorStore(spark, d5),
+        () => operators.TextAnalysis.appendAnchorStore(spark, d5, novel)))) {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      ensure()
+      append()
+      spark.catalog.refreshTable(tbl)
+      val afterFirst = spark.table(tbl).count()
+      append() // second ingest of the SAME batch: anti-join drops it all
+      spark.catalog.refreshTable(tbl)
+      assert(spark.table(tbl).count() === afterFirst,
+        s"$tbl: re-appending an already-ingested batch must add zero rows")
+    }
+  }
+
   test("q_span_admit_store census equals q_span_admit") {
     val a = operators.TextAnalysis.qSpanAdmitStore(spark, dir).collect()
     val b = operators.TextAnalysis.qSpanAdmit(spark, dir)

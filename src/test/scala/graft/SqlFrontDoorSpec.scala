@@ -316,6 +316,55 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(loose >= strict)
   }
 
+  // standing-store admission TVFs (EAGER store ensure): the
+  // production admission path — probe cost scales with the batch,
+  // never the corpus — reachable from pure SQL text, equal to the
+  // oracle-gated Scala entries, with the store side never broadcast
+  // and still read as a bucketed scan (zero corpus-side exchange).
+  // Plan-shape assertions need a corpus with PLANTED duplicates (the
+  // FpStoreSpec fixture shape): on the shipped small SFs the probe
+  // finds nothing and AQE's empty-relation propagation ERASES the
+  // store branch from the final plan entirely.
+  private lazy val storeDir: String = {
+    val d = "/tmp/graft_sqlfd_store"
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(pmod($"doc_id", lit(10)) =!= 3)
+    val donors = base.filter(size(split($"text", " ")) >= 60)
+      .orderBy($"doc_id").limit(10).select($"text").as[String].collect()
+    val batch = (0 until 20).map { i =>
+      val id = 100000L + i * 10 + 3
+      val text = if (i < 10) donors(i) + "!!" else s"novel text $i only here"
+      (id, text, "en", if (i % 2 == 0) "web" else "books", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    base.unionByName(batch).write.mode("overwrite")
+      .parquet(d + "/documents.parquet")
+    d
+  }
+
+  test("sql: store-admit TVFs equal the library probes, store never broadcasts") {
+    val sd = storeDir
+    for ((sql, key, lib) <- Seq[(String, String, DataFrame)](
+      (s"SELECT * FROM incremental_admit('$sd')", "fp",
+        operators.Dedup.qIncrementalDedupStore(spark, sd)),
+      (s"SELECT * FROM neardup_admit('$sd')", "bb",
+        operators.Dedup.qNeardupAdmitStore(spark, sd)),
+      (s"SELECT * FROM span_admit('$sd')", "h",
+        operators.TextAnalysis.qSpanAdmitStore(spark, sd)))) {
+      val tvf = spark.sql(sql)
+      assert(rows(tvf) === rows(lib), sql)
+      assert(rows(tvf).nonEmpty, sql)
+      val p = tvf.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("SelectedBucketsCount"),
+        s"$sql must read the store as a bucketed scan:\n$p")
+      val probe = s"Exchange hashpartitioning($key"
+      assert(p.sliding(probe.length).count(_ == probe) == 1,
+        s"$sql: only the batch side may shuffle on $key:\n$p")
+      assert(p.contains("SortMergeJoin"),
+        s"$sql: the store probe must be the merge join:\n$p")
+    }
+  }
+
   // curate TVF (EAGER): the full six-stage composition from SQL text
   // equals the oracle-gated q_curate_full census bit-for-bit
   test("sql: curate TVF equals the full curation composition") {

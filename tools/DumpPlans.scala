@@ -40,7 +40,7 @@ object DumpPlans {
     "q_unigram_em", "q_fuzzy_phonetic", "q_span_trim", "q_span_admit",
     "q_semdedup", "q_curate_funnel",
     "q_incremental_store", "q_span_admit_store", "q_neardup_admit_store",
-    "q_ann_ivf_store", "q_ann_graph",
+    "q_ann_ivf_store", "q_ann_graph", "q_ann_graph_ingest",
     "q_dsir", "q_containment", "q_rouge", "q_mmr", "q_split_leakage",
     "q_triplets", "q_path_census", "q_winnow")
 
