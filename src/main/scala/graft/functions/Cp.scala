@@ -111,6 +111,25 @@ object Cp {
     org.apache.spark.sql.graft.Bridge.claimClustered(
       local(df), nPart, cols, sorted)
 
+  /** One-shot checkpoint hygiene for SIDE-EFFECTING verbs (the
+    * append/ensure store maintenance family): run `body`, then drop
+    * every localCheckpoint block it created. The append verbs
+    * checkpoint intermediate frames (batch reps, novelty hits, capped
+    * edges) that are fully consumed by their eager writes — but the
+    * blocks themselves survive the call (MEMORY_AND_DISK_SER, reaped
+    * only on a driver GC), so a multi-cycle ingest/soak driver
+    * accumulates a generation per cycle until the heap forces the
+    * collection — the same checkpoint-retention OOM class
+    * [[dropGeneration]] exists for, one call-shape out. ONLY safe when
+    * `body`'s RESULT does not reference the checkpoints (Unit-returning
+    * appends, ensure* returning a table name); a verb returning a lazy
+    * DataFrame over its checkpoint must keep the generation alive. */
+  def scoped[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    try body
+    finally dropGeneration(s, s.sparkContext.getPersistentRDDs.keySet -- before)
+  }
+
   /** Iterative-round checkpoint hygiene: drop a DEAD generation's
     * localCheckpoint blocks by RDD id. Eager localCheckpoints truncate
     * lineage, so dropped blocks are unrecoverable — callers must only

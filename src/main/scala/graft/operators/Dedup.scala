@@ -114,6 +114,7 @@ object Dedup {
   private[graft] def ensureFpStore(s: SparkSession, d: String): String = {
     import s.implicits._
     val tbl = fpStoreTable(d)
+    graft.sources.Sources.recoverRotation(s, tbl)
     if (!s.catalog.tableExists(tbl)) {
       val corpus = Tables.documents(s, d)
         .filter(pmod($"doc_id", lit(BatchMod)) =!= BatchRem)
@@ -143,6 +144,7 @@ object Dedup {
                                    docs: DataFrame): Unit = {
     import s.implicits._
     val tbl = fpStoreTable(d)
+    graft.sources.Sources.recoverRotation(s, tbl)
     require(s.catalog.tableExists(tbl),
       s"fingerprint store $tbl does not exist — build it with ensureFpStore")
     graft.sources.Sources.writeBucketed(
@@ -163,11 +165,19 @@ object Dedup {
     * the merge semi-join (merge-hinted — the corpus-grown side must
     * never ride an AQE broadcast). At 100 TB this removes the whole
     * corpus scan+hash+shuffle from every ingest cycle. */
-  def qIncrementalDedupStore(s: SparkSession, d: String): DataFrame = {
+  def qIncrementalDedupStore(s: SparkSession, d: String): DataFrame =
+    incrementalDedupStoreOver(s, d, Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(BatchMod)) === BatchRem))
+
+  /** [[qIncrementalDedupStore]] over an ARBITRARY incoming batch —
+    * the ingest-session entry point ([[graft.IngestBench]] drives it
+    * with mixed dup/novel batches); the oracle-gated query is the
+    * fixed-slice instance of this exact plan. */
+  private[graft] def incrementalDedupStoreOver(s: SparkSession, d: String,
+                                               docs: DataFrame): DataFrame = {
     import s.implicits._
     val store = s.table(ensureFpStore(s, d)).select($"fp")
-    val batch = Tables.documents(s, d)
-      .filter(pmod($"doc_id", lit(BatchMod)) === BatchRem)
+    val batch = docs
       .select($"doc_id", $"source", fingerprint($"text").as("fp"))
       .transform(graft.functions.Cp.local) // read twice: counts + probe
     val batchCounts = batch.groupBy($"source")
@@ -202,6 +212,7 @@ object Dedup {
   private[graft] def ensureBandStore(s: SparkSession, d: String): String = {
     import s.implicits._
     val tbl = bandStoreTable(d)
+    graft.sources.Sources.recoverRotation(s, tbl)
     if (!s.catalog.tableExists(tbl)) {
       val corpus = minhashBandedOf(
         Tables.documents(s, d)
@@ -225,9 +236,11 @@ object Dedup {
     * multi-file buckets re-sort until
     * [[graft.sources.Sources.compactBucketed]]. */
   private[graft] def appendBandStore(s: SparkSession, d: String,
-                                     docs: DataFrame): Unit = {
+                                     docs: DataFrame): Unit =
+      graft.functions.Cp.scoped(s) {
     import s.implicits._
     val tbl = bandStoreTable(d)
+    graft.sources.Sources.recoverRotation(s, tbl)
     require(s.catalog.tableExists(tbl),
       s"band store $tbl does not exist — build it with ensureBandStore")
     val batch = minhashBandedOf(docs)
@@ -264,12 +277,17 @@ object Dedup {
     * broadcast). Per source: batch size, flagged count, and a
     * bit_xor proof over the ADMITTED doc_ids, so the oracle match
     * certifies every admission decision. */
-  def qNeardupAdmitStore(s: SparkSession, d: String): DataFrame = {
+  def qNeardupAdmitStore(s: SparkSession, d: String): DataFrame =
+    neardupAdmitStoreOver(s, d, Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(BatchMod)) === BatchRem))
+
+  /** [[qNeardupAdmitStore]] over an ARBITRARY incoming batch (the
+    * [[incrementalDedupStoreOver]] convention). */
+  private[graft] def neardupAdmitStoreOver(s: SparkSession, d: String,
+                                           batchDocs: DataFrame): DataFrame = {
     import s.implicits._
     val store = s.table(ensureBandStore(s, d))
       .withColumnRenamed("sig", "sig_c")
-    val batchDocs = Tables.documents(s, d)
-      .filter(pmod($"doc_id", lit(BatchMod)) === BatchRem)
     val best = minhashBandedOf(batchDocs)
       .select($"doc_id", concat_ws("|", $"band", $"bucket").as("bb"), $"sig")
       .join(store.hint("merge"), Seq("bb"))

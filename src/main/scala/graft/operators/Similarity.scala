@@ -508,6 +508,7 @@ object Similarity {
                                     cents: Array[Array[Float]]): String = {
     import s.implicits._
     val tbl = ivfStoreTable(d)
+    graft.sources.Sources.recoverRotation(s, tbl)
     if (!s.catalog.tableExists(tbl)) {
       val centroids = if (cents != null) cents else pinnedCentroids(s, d)
       Tables.embeddings(s, d)
@@ -535,6 +536,7 @@ object Similarity {
                                     vecs: DataFrame): Unit = {
     import s.implicits._
     val tbl = ivfStoreTable(d)
+    graft.sources.Sources.recoverRotation(s, tbl)
     require(s.catalog.tableExists(tbl),
       s"IVF store $tbl does not exist — build it with ensureIvfStore")
     val centroids = pinnedCentroids(s, d)
@@ -543,6 +545,17 @@ object Similarity {
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("cell").format("parquet").saveAsTable(tbl)
   }
+
+  /** Close the IVF store's maintenance loop: collapse each cell
+    * directory back to one file ([[graft.sources.Sources
+    * .compactPartitioned]] — appends stack a file per touched cell
+    * per batch; the cell-directory index and its partition pruning
+    * are unchanged, only the per-cell file count drops). The
+    * partitioned-table twin of [[compactGraphStore]] / [[graft
+    * .sources.Sources.compactBucketed]], same append-then-compact
+    * lifecycle. */
+  private[graft] def compactIvfStore(s: SparkSession, d: String): Unit =
+    graft.sources.Sources.compactPartitioned(s, ivfStoreTable(d), "cell")
 
   /** IVF search against the PERSISTED index store: the query batch
     * (bounded) picks its NProbe best cells, the probed cell SET —
@@ -609,6 +622,8 @@ object Similarity {
   // bit-identical to the undiversified build.
   private val GraphDivTau = 0.999
   private val GraphDivSlots = 4
+  // the degree invariant compaction restores (soak/spec gate)
+  private[graft] val GraphMaxDegree = GraphM + GraphDivSlots
 
   /** GRAPH-BASED ANN (the NSW/DiskANN family) — beam search over a
     * bounded-degree neighbor graph, the recall/latency frontier past
@@ -897,7 +912,9 @@ object Similarity {
   private[graft] def ensureGraphStoreOver(s: SparkSession, emb: DataFrame,
                                           tbl: String): String = {
     import s.implicits._
-    if (!s.catalog.tableExists(tbl)) {
+    graft.sources.Sources.recoverRotation(s, tbl)
+    graft.sources.Sources.recoverRotation(s, graphNodesTable(tbl))
+    if (!s.catalog.tableExists(tbl)) graft.functions.Cp.scoped(s) {
       val reps = graphRepsOf(emb).transform(graft.functions.Cp.local)
       graft.sources.Sources.writeBucketed(
         graphEdgesFromReps(emb, reps), tbl, "src",
@@ -930,9 +947,12 @@ object Similarity {
     * corpus. Re-appending an ingested batch is a no-op (novelty
     * anti-join). */
   private[graft] def appendGraphStore(s: SparkSession, tbl: String,
-                                      vecs: DataFrame): Unit = {
+                                      vecs: DataFrame): Unit =
+      graft.functions.Cp.scoped(s) {
     import s.implicits._
     val tbln = graphNodesTable(tbl)
+    graft.sources.Sources.recoverRotation(s, tbl)
+    graft.sources.Sources.recoverRotation(s, tbln)
     require(s.catalog.tableExists(tbl) && s.catalog.tableExists(tbln),
       s"graph store $tbl/$tbln does not exist — build it with ensureGraphStore")
     val batchReps = graphRepsOf(vecs)
@@ -951,8 +971,45 @@ object Similarity {
       .transform(graft.functions.Cp.local) // walk + edges + node append
     // all batch vectors already standing (pure replica batch): their
     // members re-attach at probe time via the existing nodes — no
-    // graph change, skip the walk and the two appends entirely
-    if (newReps.limit(1).count() == 0) return
+    // graph change, skip the walk and the two appends entirely.
+    // Otherwise split the new reps into BROADCAST-BUDGET chunks: the
+    // narrow walk re-attaches qv per hop from a broadcast of the query
+    // frame (and the back edges broadcast it once more), so an
+    // unchunked corpus-scale batch would broadcast an unbounded frame
+    // — [[GraphInsertChunk]] reps × ~(8 B id + vector) stays a few
+    // hundred MB in the hash relation, a bounded driver cost. Chunks
+    // are pmod slices (deterministic order); each later chunk walks
+    // the adjacency INCLUDING earlier chunks' edges — the same
+    // sequential-insert semantics DiskANN maintenance has, and at the
+    // gate SFs every batch is single-chunk so oracles see the
+    // one-walk plan unchanged.
+    val nNew = newReps.count()
+    val nChunks = ((nNew + GraphInsertChunk - 1) / GraphInsertChunk).toInt
+    for (i <- 0 until nChunks) graft.functions.Cp.scoped(s) {
+      val reps =
+        if (nChunks == 1) newReps
+        else newReps.filter(pmod($"vec_id", lit(nChunks.toLong)) === i)
+          .transform(graft.functions.Cp.local)
+      insertGraphReps(s, tbl, tbln, reps)
+      if (nChunks > 1) {
+        s.catalog.refreshTable(tbl); s.catalog.refreshTable(tbln)
+      }
+    }
+  }
+
+  /** Broadcast budget per insertion walk (reps per chunk): the chunk's
+    * query frame rides two broadcasts (per-hop qv re-attach + back
+    * edges), so this bounds driver/executor hash-relation memory at
+    * ~a few hundred MB for 64-dim float vectors. */
+  private val GraphInsertChunk = 262144L
+
+  /** One insertion walk over the CURRENT adjacency for a bounded rep
+    * chunk — the body [[appendGraphStore]] runs per broadcast-budget
+    * chunk: beam-walk, degree-rule forward edges, symmetric back
+    * edges, bucketed appends to both store tables. */
+  private def insertGraphReps(s: SparkSession, tbl: String, tbln: String,
+                              newReps: DataFrame): Unit = {
+    import s.implicits._
     val q = newReps.select($"vec_id".as("query_id"), $"embedding".as("qv"))
     val ent = s.table(tbln).filter($"vec_id" < GraphEntries)
       .select($"vec_id", $"embedding".as("rv"))

@@ -446,6 +446,7 @@ object TextAnalysis {
   private[graft] def ensureAnchorStore(s: SparkSession, d: String): String = {
     import s.implicits._
     val tbl = anchorStoreTable(d)
+    graft.sources.Sources.recoverRotation(s, tbl)
     if (!s.catalog.tableExists(tbl)) {
       val toks = tokens($"text")
       val spans = transform(
@@ -478,6 +479,7 @@ object TextAnalysis {
                                        docs: DataFrame): Unit = {
     import s.implicits._
     val tbl = anchorStoreTable(d)
+    graft.sources.Sources.recoverRotation(s, tbl)
     require(s.catalog.tableExists(tbl),
       s"anchor store $tbl does not exist — build it with ensureAnchorStore")
     val toks = tokens($"text")
@@ -502,15 +504,22 @@ object TextAnalysis {
     * files into the merge semi-join (merge-hinted — corpus-grown
     * sides never broadcast). FpStoreSpec asserts the zero-exchange
     * store scan; the DuckDB oracle proves every admit decision. */
-  def qSpanAdmitStore(s: SparkSession, d: String): DataFrame = {
+  def qSpanAdmitStore(s: SparkSession, d: String): DataFrame =
+    spanAdmitStoreOver(s, d, Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(AdmitMod)) === AdmitRem))
+
+  /** [[qSpanAdmitStore]] over an ARBITRARY incoming batch (the
+    * [[graft.operators.Dedup.incrementalDedupStoreOver]] convention —
+    * the ingest-session entry point). */
+  private[graft] def spanAdmitStoreOver(s: SparkSession, d: String,
+                                        docs: DataFrame): DataFrame = {
     import s.implicits._
     val toks = tokens($"text")
     val spans = transform(
       sequence(lit(1), greatest(size(toks) - (SpanK - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(SpanK))))
     val corpus = s.table(ensureAnchorStore(s, d))
-    val batch = Tables.documents(s, d)
-      .filter(pmod($"doc_id", lit(AdmitMod)) === AdmitRem)
+    val batch = docs
       .select($"doc_id", $"source", explode(spans).as("span"))
       .select($"doc_id", $"source", md5Prefix60($"span").as("h"))
       .transform(graft.functions.Cp.local) // read twice: spans + hits

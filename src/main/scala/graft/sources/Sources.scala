@@ -518,10 +518,70 @@ object Sources {
     * the graph store's degree re-prune) fit the append-only bucketed
     * lifecycle: appends stack rows, the periodic rewrite restores the
     * invariant. */
+  /** Roll back a crashed [[rewriteBucketed]] rename rotation: the only
+    * window with no table registered under the live name is between
+    * the two renames (live → _cold, _cstage → live) — a crash there
+    * leaves `<table>_cold` holding the intact pre-rewrite data while
+    * `tableExists(table)` is false, and a later ensure* would then
+    * silently REBUILD the store from the corpus split at the original
+    * path, discarding every batch appended since the initial build.
+    * Renaming _cold back to the live name restores the pre-rewrite
+    * store (the staged rewrite is a pure function of it — nothing is
+    * lost by discarding the stage). Every ensure/append/rewrite store
+    * entry point calls this first, so the silent-rebuild data-loss
+    * path cannot trigger. A lingering _cold WITH a live table (crash
+    * after the second rename, before the drop) is just garbage; the
+    * next rewrite's DROP IF EXISTS clears it. */
+  def recoverRotation(s: SparkSession, table: String): Unit = {
+    val old = table + "_cold"
+    if (!s.catalog.tableExists(table) && s.catalog.tableExists(old)) {
+      s.sql(s"ALTER TABLE $old RENAME TO $table")
+      s.catalog.refreshTable(table)
+    }
+  }
+
+  /** The [[rewriteBucketed]] stage-and-rotate lifecycle for
+    * PARTITIONED tables: compact a partitionBy(partCol) parquet table
+    * back to ONE file per partition value (appends stack a file per
+    * touched partition per batch; the directory layout — the index —
+    * is unchanged, so partition pruning is identical before and
+    * after, compaction only collapses the per-partition file count).
+    * `repartition(col)` hash-places each partition value in exactly
+    * one task, so the partitioned write emits exactly one file per
+    * value; same crash-safety story as [[rewriteBucketed]] (every
+    * crash point leaves a registered or [[recoverRotation]]-able
+    * table over intact data). */
+  def compactPartitioned(s: SparkSession, table: String,
+                         partCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    recoverRotation(s, table)
+    val loc = s.sql(s"DESCRIBE TABLE EXTENDED $table")
+      .filter(col("col_name") === "Location")
+      .head.getString(1)
+    val newLoc =
+      if (loc.endsWith(".c")) loc.stripSuffix(".c") else loc + ".c"
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(newLoc), true)
+    val stage = table + "_cstage"
+    s.sql(s"DROP TABLE IF EXISTS $stage")
+    s.read.parquet(loc).repartition(col(partCol))
+      .write.partitionBy(partCol).format("parquet")
+      .option("path", newLoc).saveAsTable(stage)
+    val old = table + "_cold"
+    s.sql(s"DROP TABLE IF EXISTS $old")
+    s.sql(s"ALTER TABLE $table RENAME TO $old")
+    s.sql(s"ALTER TABLE $stage RENAME TO $table")
+    s.sql(s"DROP TABLE $old")
+    fs.delete(new org.apache.hadoop.fs.Path(loc), true)
+    s.catalog.refreshTable(table)
+  }
+
   def rewriteBucketed(s: SparkSession, table: String, bucketCol: String,
                       nBuckets: Int,
                       transform: DataFrame => DataFrame): Unit = {
     import org.apache.spark.sql.functions.col
+    recoverRotation(s, table)
     val loc = s.sql(s"DESCRIBE TABLE EXTENDED $table")
       .filter(col("col_name") === "Location")
       .head.getString(1)

@@ -22,9 +22,13 @@ class StoreSoakSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     val batch = spark.read.parquet(d + "/documents.parquet")
       .filter(pmod($"doc_id", lit(10)) === 3)
+    // cycle token prepended unconditionally (not just between words):
+    // a tokenless doc would otherwise be byte-identical — not novel —
+    // every cycle, flaking the monotone-growth assertion below
     def novel(c: Int) = batch
       .withColumn("doc_id", $"doc_id" + lit(c * 1000000000L))
-      .withColumn("text", regexp_replace($"text", " ", s" soak$c "))
+      .withColumn("text", concat(lit(s"soak$c "),
+        regexp_replace($"text", " ", s" soak$c ")))
     def census(): Seq[String] =
       operators.Dedup.qIncrementalDedupStore(spark, d)
         .collect().map(_.toString).sorted.toSeq
