@@ -533,15 +533,32 @@ object Similarity {
     * them, appending into the frozen cell space is exactly how IVF
     * serving ingests.) */
   private[graft] def appendIvfStore(s: SparkSession, d: String,
-                                    vecs: DataFrame): Unit = {
+                                    vecs: DataFrame): Unit =
+      graft.functions.Cp.scoped(s) {
     import s.implicits._
     val tbl = ivfStoreTable(d)
     graft.sources.Sources.recoverRotation(s, tbl)
     require(s.catalog.tableExists(tbl),
       s"IVF store $tbl does not exist — build it with ensureIvfStore")
     val centroids = pinnedCentroids(s, d)
-    vecs.select($"vec_id", $"embedding",
-        nearestCentroid($"embedding", centroids).as("cell"))
+    val batch = graft.functions.Cp.local(
+      vecs.select($"vec_id", $"embedding",
+        nearestCentroid($"embedding", centroids).as("cell")))
+    // Append idempotency WITHOUT a store-side exchange (the
+    // bounded-hits pattern at the IVF grain): the batch's cells are a
+    // static partition filter, the pruned standing rows map-side
+    // semi-join the BROADCAST batch ids (hits are batch-bounded, the
+    // store never shuffles or broadcasts), and the batch anti-joins
+    // the hits — a crash-replayed or re-ingested batch appends
+    // NOTHING instead of eroding bucket occupancy with rows no probe
+    // distinguishes (StoreIngestStreamSpec replays one verbatim; the
+    // other four families already had this property).
+    val cells = batch.select($"cell").distinct().as[Int].collect()
+    val hits = s.table(tbl)
+      .filter($"cell".isin(cells.map(Int.box): _*))
+      .join(broadcast(batch.select($"vec_id")), Seq("vec_id"), "left_semi")
+      .select($"vec_id").distinct()
+    batch.join(broadcast(hits), Seq("vec_id"), "left_anti")
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("cell").format("parquet").saveAsTable(tbl)
   }
