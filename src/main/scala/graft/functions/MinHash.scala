@@ -81,6 +81,54 @@ object MinHash {
     new GenericArrayData(mins)
   }
 
+  /** Word-n-gram shingle STRINGS in one pass: element i is tokens
+    * i..i+n-1 joined by a single space — exactly
+    * `transform(sequence(1, greatest(size(toks) - n + 1, 1)),
+    * i -> concat_ws(' ', slice(toks, i, n)))` including the short-doc
+    * clip (one element covering the whole array when len < n), without
+    * the interpreted HigherOrderFunction chain: transform/slice are
+    * CodegenFallback, so the lambda interpreter plus a fresh
+    * slice-copy + concat per position dominate the scan at corpus
+    * scale. UTF8String.concatWs skips nulls exactly like concat_ws. */
+  def shingleStrings(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    val count = math.max(len - n + 1, 1)
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](count)
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + n, len)
+      val parts =
+        new Array[org.apache.spark.unsafe.types.UTF8String](end - i)
+      var j = i
+      while (j < end) { parts(j - i) = arr.getUTF8String(j); j += 1 }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** tokens → Array[String] of word-n-gram shingle strings. */
+  case class Shingles(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "shingles"
+
+    override protected def nullSafeEval(a: Any): Any =
+      shingleStrings(a.asInstanceOf[ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.MinHash.shingleStrings($c, $n);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def shingles(toks: Column, n: Int): Column =
+    Bridge.column(Shingles(Bridge.expression(toks), n))
+
   /** tokens → Array[Long] of 60-bit word-shingle hashes. */
   case class ShingleHash60(child: Expression, n: Int)
       extends UnaryExpression with ExpectsInputTypes {

@@ -1044,10 +1044,12 @@ object Dedup {
       .select($"doc_id", $"source",
         greatest(size($"t") - (WinnowK - 1), lit(1)).cast("long")
           .as("npos"),
-        posexplode(TextAnalysis.wordGrams($"t", WinnowK))
-          .as(Seq("p0", "g")))
+        // fused hash pass — identical value to md5Prefix60 over the
+        // space-joined gram, no intermediate gram strings (r16)
+        posexplode(graft.functions.MinHash.shingleHash60($"t", WinnowK))
+          .as(Seq("p0", "h")))
       .select($"doc_id", $"source", $"npos",
-        ($"p0" + 1).cast("long").as("pos"), md5Prefix60($"g").as("h"))
+        ($"p0" + 1).cast("long").as("pos"), $"h")
       .transform(graft.functions.Cp.local) // reused: windows + doc census
     val sel = an
       .select($"doc_id", $"source", $"pos", $"h",

@@ -159,10 +159,9 @@ object TextAnalysis {
     * pass joins against to cut repeated text. */
   def qSubstringDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val toks = tokens($"text")
-    val spans = transform(
-      sequence(lit(1), greatest(size(toks) - (SpanK - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(SpanK))))
+    // fused shingle build (one codegen pass) — the interpreted
+    // transform/slice/concat_ws chain was the scan's hot path (r16)
+    val spans = graft.functions.MinHash.shingles(tokens($"text"), SpanK)
     // two-level agg instead of count+countDistinct in one: the mixed
     // form plans an Expand that doubles the exploded span volume; the
     // (h, doc_id)-grain partial agg combines map-side and feeds the
@@ -194,18 +193,16 @@ object TextAnalysis {
     * idiom; report is bounded top-k. */
   def qDupSpanCoverage(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val toks = tokens($"text")
-    val spans = transform(
-      sequence(lit(1), greatest(size(toks) - (SpanK - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(SpanK))))
     // materialized once (house idiom, see Dedup.jaccardPairsOf): the
     // span posting table feeds both the dup-index agg and the join
     // probe side; without the checkpoint each side re-runs the
-    // explode + per-span md5 pass.
+    // explode + per-span md5 pass. Hash-only consumers never build
+    // span strings: ShingleHash60 emits the identical 60-bit value
+    // (md5 of the space-joined window) in one fused pass (r16).
     val spanOcc = graft.functions.Cp.localClustered(
       Tables.documents(s, d)
-        .select($"doc_id", explode(spans).as("span"))
-        .select($"doc_id", md5Prefix60($"span").as("h")),
+        .select($"doc_id", explode(graft.functions.MinHash
+          .shingleHash60(tokens($"text"), SpanK)).as("h")),
       s.conf.get("spark.sql.shuffle.partitions").toInt, Seq("h"))
     val dupIndex = spanOcc.groupBy($"h")
       .agg(countDistinct($"doc_id").as("nd"))
@@ -258,19 +255,19 @@ object TextAnalysis {
     * length-gated survivor slice, not the raw table). */
   private[operators] def pairSpansOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val toks = tokens($"text")
-    val spans = transform(
-      sequence(lit(1), greatest(size(toks) - (SpanK - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(SpanK))))
     // clustered by the anchor hash (the Dedup.jaccardPairsOf layout
     // discipline): the df/occ agg, the semi-join and both self-join
-    // sides all key on h — one build shuffle serves every consumer
+    // sides all key on h — one build shuffle serves every consumer.
+    // Anchors hash in ONE fused pass (ShingleHash60 — bit-identical
+    // to md5Prefix60 over the space-joined window); no intermediate
+    // span strings are ever built (r16).
     val nPart = docs.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
     val anchors = graft.functions.Cp.localClustered(docs
-      .select($"doc_id", posexplode(spans))
+      .select($"doc_id", posexplode(graft.functions.MinHash
+        .shingleHash60(tokens($"text"), SpanK)))
       .select($"doc_id", ($"pos" + 1).cast("long").as("pos"),
-        md5Prefix60($"col").as("h")),
+        $"col".as("h")),
       nPart, Seq("h"))
     // df bounds DOCS per anchor; occ bounds total POSITIONS — a doc
     // repeating one 8-gram p times contributes p rows at df=2, so the
@@ -400,13 +397,9 @@ object TextAnalysis {
     * ADMITTED doc ids, so the oracle proves each admit decision. */
   def qSpanAdmit(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val toks = tokens($"text")
-    val spans = transform(
-      sequence(lit(1), greatest(size(toks) - (SpanK - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(SpanK))))
     val anchors = Tables.documents(s, d)
-      .select($"doc_id", $"source", explode(spans).as("span"))
-      .select($"doc_id", $"source", md5Prefix60($"span").as("h"))
+      .select($"doc_id", $"source", explode(graft.functions.MinHash
+        .shingleHash60(tokens($"text"), SpanK)).as("h"))
       .transform(graft.functions.Cp.local)
     val isBatch = pmod($"doc_id", lit(AdmitMod)) === AdmitRem
     val corpus = anchors.filter(!isBatch).select($"h").distinct()
@@ -448,14 +441,10 @@ object TextAnalysis {
     val tbl = anchorStoreTable(d)
     graft.sources.Sources.recoverRotation(s, tbl)
     if (!s.catalog.tableExists(tbl)) {
-      val toks = tokens($"text")
-      val spans = transform(
-        sequence(lit(1), greatest(size(toks) - (SpanK - 1), lit(1))),
-        i => concat_ws(" ", slice(toks, i, lit(SpanK))))
       val corpus = Tables.documents(s, d)
         .filter(pmod($"doc_id", lit(AdmitMod)) =!= AdmitRem)
-        .select(explode(spans).as("span"))
-        .select(md5Prefix60($"span").as("h"))
+        .select(explode(graft.functions.MinHash
+          .shingleHash60(tokens($"text"), SpanK)).as("h"))
         .distinct()
       graft.sources.Sources.writeBucketed(corpus, tbl, "h",
         graft.operators.Dedup.FpStoreBuckets,
@@ -482,13 +471,9 @@ object TextAnalysis {
     graft.sources.Sources.recoverRotation(s, tbl)
     require(s.catalog.tableExists(tbl),
       s"anchor store $tbl does not exist — build it with ensureAnchorStore")
-    val toks = tokens($"text")
-    val spans = transform(
-      sequence(lit(1), greatest(size(toks) - (SpanK - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(SpanK))))
     graft.sources.Sources.writeBucketed(
-      docs.select(explode(spans).as("span"))
-        .select(md5Prefix60($"span").as("h")).distinct()
+      docs.select(explode(graft.functions.MinHash
+          .shingleHash60(tokens($"text"), SpanK)).as("h")).distinct()
         .join(s.table(tbl).hint("merge"), Seq("h"), "left_anti"),
       tbl, "h", graft.operators.Dedup.FpStoreBuckets,
       mode = org.apache.spark.sql.SaveMode.Append)
@@ -514,14 +499,10 @@ object TextAnalysis {
   private[graft] def spanAdmitStoreOver(s: SparkSession, d: String,
                                         docs: DataFrame): DataFrame = {
     import s.implicits._
-    val toks = tokens($"text")
-    val spans = transform(
-      sequence(lit(1), greatest(size(toks) - (SpanK - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(SpanK))))
     val corpus = s.table(ensureAnchorStore(s, d))
     val batch = docs
-      .select($"doc_id", $"source", explode(spans).as("span"))
-      .select($"doc_id", $"source", md5Prefix60($"span").as("h"))
+      .select($"doc_id", $"source", explode(graft.functions.MinHash
+        .shingleHash60(tokens($"text"), SpanK)).as("h"))
       .transform(graft.functions.Cp.local) // read twice: spans + hits
     val hits = batch.join(corpus.hint("merge"), Seq("h"), "left_semi")
       .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
@@ -589,11 +570,14 @@ object TextAnalysis {
       .groupBy($"doc_id")
       .agg(collect_list(struct($"st", $"en")).as("ivs"))
     val toks = tokens($"text")
+    // untrimmed docs (ivs IS NULL — the common case) take the
+    // kept = toks fast path: the per-token interpreted filter+exists
+    // lambda only runs on rows that actually carry intervals (r16)
     docs.join(iv.hint("merge"), Seq("doc_id"), "left")
-      .withColumn("kept", filter(toks, (t, i) =>
-        !exists(coalesce($"ivs",
-            array().cast("array<struct<st:long,en:long>>")),
-          v => v.getField("st") <= i + 1 && i + 1 <= v.getField("en"))))
+      .withColumn("kept", when($"ivs".isNull, toks).otherwise(
+        filter(toks, (t, i) =>
+          !exists($"ivs",
+            v => v.getField("st") <= i + 1 && i + 1 <= v.getField("en")))))
       .withColumn("was_trimmed", $"ivs".isNotNull)
       .withColumn("ntok_before", size(toks).cast("long"))
       .drop("ivs")
@@ -640,9 +624,7 @@ object TextAnalysis {
   def qDistinctNgrams(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = tokens($"text")
-    val grams2 = transform(
-      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val grams2 = graft.functions.MinHash.shingles(toks, 2)
     val docs = Tables.documents(s, d)
     val uni = docs.select($"source", explode(toks).as("g"))
       .groupBy($"source")
@@ -660,10 +642,7 @@ object TextAnalysis {
 
   def qTopNgrams(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val toks = tokens($"text")
-    val grams = transform(
-      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val grams = graft.functions.MinHash.shingles(tokens($"text"), 2)
     Tables.documents(s, d)
       .select(explode(grams).as("gram"))
       .groupBy($"gram")
@@ -730,11 +709,12 @@ object TextAnalysis {
       .limit(IndexTopTerms)
   }
 
-  /** Word n-gram strings of width n (clipped at the end, min one). */
+  /** Word n-gram strings of width n (clipped at the end, min one).
+    * Fused one-pass codegen expression — semantics identical to the
+    * previous transform(sequence…, slice, concat_ws) chain, which ran
+    * interpreted (HigherOrderFunctions are CodegenFallback). */
   private[operators] def wordGrams(toks: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+    graft.functions.MinHash.shingles(toks, n)
 
   /** ROUGE-N OVERLAP SCORING (Lin 2004) — the n-gram eval metric every
     * summarization/eval harness computes, run at corpus scale over
@@ -1179,9 +1159,8 @@ object TextAnalysis {
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val sh = graft.functions.Cp.localClusteredAs(
       Tables.documents(s, d)
-        .select($"source", tokens($"text").as("t"))
-        .select($"source", explode(wordGrams($"t", OverlapN)).as("g"))
-        .select($"source", md5Prefix60($"g").as("h"))
+        .select($"source", explode(graft.functions.MinHash
+          .shingleHash60(tokens($"text"), OverlapN)).as("h"))
         .repartition(nPart, $"h")
         .distinct(),
       nPart, Seq("h"))
@@ -1223,10 +1202,8 @@ object TextAnalysis {
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val post = graft.functions.Cp.localClusteredAs(
       Tables.documents(s, d)
-        .select($"doc_id", $"source", tokens($"text").as("t"))
-        .select($"doc_id", $"source",
-          explode(wordGrams($"t", OverlapN)).as("g"))
-        .select($"doc_id", $"source", md5Prefix60($"g").as("h"))
+        .select($"doc_id", $"source", explode(graft.functions.MinHash
+          .shingleHash60(tokens($"text"), OverlapN)).as("h"))
         .repartition(nPart, $"h")
         .distinct(),
       nPart, Seq("h"))

@@ -116,6 +116,32 @@ class VectorSpec extends AnyFunSuite {
     assert(pairs.filter($"fast" =!= $"hof").count() === 0)
   }
 
+  test("fused shingles equal the transform/slice/concat_ws chain") {
+    import spark.implicits._
+    // the r16 span-family swap: MinHash.shingles / shingleHash60 must
+    // reproduce the interpreted HOF idiom bit-for-bit, including the
+    // short-doc clip (len < n → one whole-array shingle) and the
+    // empty-string doc (split("") = [""]).
+    def hofGrams(toks: org.apache.spark.sql.Column, n: Int) =
+      transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n))))
+    val docs = Tables.documents(spark, sf).select($"text")
+      .unionAll(Seq("", "one", "a b", "x y z w q r s t u").toDF("text"))
+    for (n <- Seq(2, 5, 8)) {
+      val toks = graft.functions.TextFunctions.tokens($"text")
+      val cmp = docs.select(
+        MinHash.shingles(toks, n).as("fused"),
+        hofGrams(toks, n).as("hof"),
+        MinHash.shingleHash60(toks, n).as("fusedh"))
+      assert(cmp.filter($"fused" =!= $"hof").count() === 0, s"n=$n strings")
+      val h = cmp.select(explode(arrays_zip($"fusedh", $"hof")).as("z"))
+        .select($"z.fusedh".as("a"),
+          graft.functions.TextFunctions.md5Prefix60($"z.hof").as("b"))
+      assert(h.filter($"a" =!= $"b").count() === 0, s"n=$n hashes")
+    }
+  }
+
   test("minhash universal-hash constants stay in range") {
     (0 until 64).foreach { j =>
       assert(MinHash.aj(j) >= 1 && MinHash.aj(j) < MinHash.M)
