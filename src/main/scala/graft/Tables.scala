@@ -33,6 +33,52 @@ object Tables {
     "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
     "embeddings" -> Seq("vec_id", "embedding", "label"))
 
+  /** Memoized ACTUAL scan split count per file set: the planner's own
+    * splitting (byte ranges over listed files, row-group granularity),
+    * so the fan-out decision below tracks exactly what would run. */
+  private val scanParts =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
+
+  /** EXPLICIT SCAN FAN-OUT for scans whose map-side work is heavy
+    * (opt-out: spark.graft.scan.fanout=false). A parquet scan
+    * parallelizes at row-group granularity; a table that arrives as a
+    * handful of small files (every local test SF: one file, one row
+    * group per table) runs its ENTIRE map side as a single task while
+    * the other cores idle. The optimization guide's input-skew rule
+    * ("one huge unsplittable file … repartition immediately after the
+    * read", §2.5) applied adaptively: when the scan's real split count
+    * is below the session parallelism, redistribute by a deterministic
+    * (near-)unique key — NEVER round-robin, which pays a
+    * sort-before-repartition and re-draws assignments on task retry
+    * (SPARK-38388) — so the per-row compute above the scan uses every
+    * core. At production scale (many files / many row groups) the
+    * split count exceeds the core count and this is a NO-OP: no extra
+    * exchange ever appears on a well-laid-out table.
+    *
+    * Applied PER QUERY SITE, not blanket in [[load]]: the inserted
+    * exchange costs a fixed ~0.2-0.4 s locally (AQE stage barrier +
+    * M×R shuffle blocks), so it only pays where the single-threaded
+    * map work exceeds that — measured per adopted site (r16; e.g.
+    * q_bootstrap's 32-md5/row explode 5.1→1.9 s, while light
+    * scan→agg queries REGRESSED under a blanket table-level fan-out
+    * and keep the plain scan). Results are partitioning-independent
+    * (decimal-exact sums, unique tie-breaks, sorted collect_lists —
+    * SURVEY §6), re-proven by the oracle gate. */
+  def fanOut(df: DataFrame, keys: String*): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.conf.get("spark.graft.scan.fanout", "true").toBoolean) df
+    else {
+      val files = df.inputFiles
+      if (files.isEmpty) return df // not a file scan — nothing to assess
+      val key = files.length + ":" + files.sorted.mkString(",") + ":" +
+        spark.conf.get("spark.sql.files.maxPartitionBytes")
+      val splits = scanParts.computeIfAbsent(key, _ => df.rdd.getNumPartitions)
+      val cores = spark.sparkContext.defaultParallelism
+      if (splits >= cores) df
+      else df.repartition(cores, keys.map(df.col): _*)
+    }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     required.get(name).foreach { cols =>

@@ -400,7 +400,7 @@ object Dedup {
     import s.implicits._
     val cand = minhashCandidates(Tables.documents(s, d))
       .withColumnRenamed("agree", "agree_k")
-    val ds = Tables.documents(s, d)
+    val ds = Tables.fanOut(Tables.documents(s, d), "doc_id")
       .select($"doc_id", explode(array_distinct(
         MinHash.shingleHash60(tokens($"text"), ShingleN))).as("sh"))
     val sz = ds.groupBy($"doc_id").agg(count(lit(1)).as("n"))

@@ -112,7 +112,7 @@ object Events {
   def qHopping(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val slideUs = 900000000L // 15 min; len = 4 × slide = 1 hour
-    events(s, d)
+    graft.Tables.fanOut(events(s, d), "event_id")
       .select($"ts_us", $"event_type", $"user_id", $"value")
       .withColumn("window_start_us", explode(expr(
         s"transform(sequence(0, 3), i -> " +
@@ -669,7 +669,9 @@ object Events {
         concat(dd.cast("string"), lit(":"), key.cast("string"))),
         lit(CmsWidth))
     val ev = events(s, d).select($"user_id")
-    val counters = ev
+    // counter side explodes CmsDepth md5s per event map-side — fanOut
+    // the heavy arm only (the <10-user probe stays on the plain scan)
+    val counters = graft.Tables.fanOut(ev, "user_id")
       .select($"user_id", explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
       .select($"d", bucketOf($"d", $"user_id").as("bucket"))
       .groupBy($"d", $"bucket").agg(count(lit(1)).as("n"))

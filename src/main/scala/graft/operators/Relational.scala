@@ -649,7 +649,7 @@ object Relational {
     import s.implicits._
     val x = $"l_quantity".cast("decimal(18,2)")
     val y = $"l_extendedprice".cast("decimal(18,2)")
-    Tables.lineitem(s, d)
+    Tables.fanOut(Tables.lineitem(s, d), "l_orderkey", "l_linenumber")
       .groupBy($"l_returnflag")
       .agg(
         count(lit(1)).cast("double").as("n"),
@@ -775,7 +775,8 @@ object Relational {
     * spine window. */
   def qMedianCi(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val h = Tables.lineitem(s, d).select($"l_returnflag",
+    val h = Tables.fanOut(Tables.lineitem(s, d),
+        "l_orderkey", "l_linenumber").select($"l_returnflag",
       ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long").as("cents"))
       .groupBy($"l_returnflag", $"cents").agg(count(lit(1)).as("t"))
     val cumW = Window.partitionBy($"l_returnflag").orderBy($"cents".asc)
@@ -829,7 +830,9 @@ object Relational {
     import s.implicits._
     val thresholds = PoissonCum1000.map(t => s"CASE WHEN h >= $t THEN 1 ELSE 0 END")
       .mkString(" + ")
-    Tables.orders(s, d)
+    // 32 md5s/row of map-side work above a potentially 1-split scan:
+    // the measured poster child for Tables.fanOut (5.1 → 1.9 s sf0.1)
+    Tables.fanOut(Tables.orders(s, d), "o_orderkey")
       .select($"o_orderkey", $"o_orderpriority",
         round($"o_totalprice" * 100).cast("long").as("cents"))
       .withColumn("replica",
@@ -1586,7 +1589,8 @@ object Relational {
     // shuffle (7×-unpivoted raw rows never cross the wire), then the
     // 7-group rollup reads counts off the distinct grain. 12.7→~4 s
     // at sf1 vs the countDistinct-over-raw-rows formulation.
-    Tables.lineitem(s, d)
+    // fanOut: the 7× stack + partial agg is heavy map work (2.0 → 1.5 s)
+    Tables.fanOut(Tables.lineitem(s, d), "l_orderkey", "l_linenumber")
       .select(expr(stackExpr))
       .groupBy($"col", $"v").agg(count(lit(1)).as("cnt"))
       .groupBy($"col")

@@ -365,7 +365,9 @@ object Sampling {
     import graft.functions.TextFunctions.md5Prefix60
     val docs = Tables.documents(s, d)
     val budget = docs.count() / 10
-    val ds = dsirScored(docs)
+    // the scorer explodes + md5-buckets every token map-side — fan the
+    // scan out; the budget count above stays on the plain scan
+    val ds = dsirScored(Tables.fanOut(docs, "doc_id"))
     val selc = dsirSelectFrom(ds, budget)
       .groupBy($"lang").agg(
         count(lit(1)).as("n_sel"),

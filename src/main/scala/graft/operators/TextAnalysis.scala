@@ -949,7 +949,7 @@ object TextAnalysis {
     * handful-of-sources key — linear at 100 TB, no skew exposure. */
   def qPiiScrub(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val scr = Tables.documents(s, d).select($"source",
+    val scr = Tables.fanOut(Tables.documents(s, d), "doc_id").select($"source",
       graft.functions.TextFunctions.scrubPii($"text").as("stext"),
       graft.functions.TextFunctions.piiCount($"text").as("n_pii"))
     scr.groupBy($"source")
